@@ -1,0 +1,36 @@
+"""Parquet table registry for the driver's testdata star schema.
+
+Columnar scans with Catalyst pushdown/pruning; one call registers temp views
+so SQL-form queries work too. At cluster scale the same API reads
+``s3a://bucket/prefix`` — path in, DataFrame out, no staging step (replaces
+the reference's aws-cp + gunzip staging at /root/reference/build.sh:75-76).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    names: list[str] | None = None,
+    register_views: bool = False,
+) -> dict[str, DataFrame]:
+    out = {}
+    for name in names or TESTDATA_TABLES:
+        df = load_table(spark, name, sf_dir)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

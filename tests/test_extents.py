@@ -1,0 +1,56 @@
+"""Extents operator: R-7 quantile golden tests (SURVEY.md §2.4 A2-A5, §5.1)."""
+
+import numpy as np
+import pytest
+
+from map_v2_etl_spark.operators.extents import column_extents
+
+
+def test_extents_r7_quantiles(spark):
+    # values 1..10: R-7 q(0.01) = 1.09, q(0.99) = 9.91 (hand-computed:
+    # h=(n-1)p, x[floor h] + frac*(x[floor h +1]-x[floor h]))
+    rows = [("g%02d" % i, "nm", "pl", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, ["GEOID", "n", "pl", "m-00"])
+    out = {r["id"]: r for r in column_extents(df).collect()}
+    r = out["m-00"]
+    assert r["min"] == 1.0 and r["max"] == 10.0
+    assert r["q1"] == pytest.approx(1.09, abs=1e-12)
+    assert r["q99"] == pytest.approx(9.91, abs=1e-12)
+    # cross-check against numpy's default (R-7 linear) interpolation
+    vals = np.arange(1.0, 11.0)
+    assert r["q1"] == pytest.approx(np.percentile(vals, 1), abs=1e-12)
+    assert r["q99"] == pytest.approx(np.percentile(vals, 99), abs=1e-12)
+
+
+def test_extents_ignores_nulls_and_junk(spark):
+    # blanks and non-numeric strings are dropped per cell, not per row
+    # (extract-extents.js:24-27); engine: cast -> null -> aggs ignore
+    rows = [
+        ("01", "a", "x", "1", "5"),
+        ("02", "b", "x", "", "junk"),
+        ("03", "c", "x", "3", "7"),
+    ]
+    df = spark.createDataFrame(rows, ["GEOID", "n", "pl", "m-00", "k-00"])
+    out = {r["id"]: r for r in column_extents(df).collect()}
+    assert out["m-00"]["min"] == 1.0 and out["m-00"]["max"] == 3.0
+    assert out["k-00"]["min"] == 5.0 and out["k-00"]["max"] == 7.0
+
+
+def test_extents_row_order_follows_column_order(spark):
+    rows = [("01", "a", "x", 1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, ["GEOID", "n", "pl", "z-00", "a-00", "m-00"])
+    ids = [r["id"] for r in column_extents(df).collect()]
+    assert ids == ["z-00", "a-00", "m-00"]
+
+
+def test_extents_bounds_property(spark):
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(0, 2, size=200)
+    df = spark.createDataFrame(
+        [("g%03d" % i, "n", "p", float(v)) for i, v in enumerate(vals)],
+        ["GEOID", "n", "pl", "m-00"],
+    )
+    r = column_extents(df).collect()[0]
+    assert r["min"] <= r["q1"] <= r["q99"] <= r["max"]
+    assert r["q1"] == pytest.approx(np.percentile(vals, 1), rel=1e-9)
+    assert r["q99"] == pytest.approx(np.percentile(vals, 99), rel=1e-9)

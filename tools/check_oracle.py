@@ -1,0 +1,138 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every queries() entry at sf0.01 on Spark AND its oracle_sql() in
+DuckDB (tables pre-registered as views), then compares:
+  * row count
+  * sorted column-name list
+  * order-insensitive value comparison (rows sorted, exact for
+    strings/ints, and exact-then-ulp report for floats so any
+    nondeterminism is visible before the real driver sees it)
+
+Usage: python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def rows_sorted(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    proj = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(proj, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def compare(name, spark_df, con) -> list[str]:
+    from map_v2_etl_spark.plans.queries import REGISTRY
+
+    problems = []
+    sql = REGISTRY[name].oracle
+    t0 = time.time()
+    s_rows = spark_df.collect()
+    s_cols = spark_df.columns
+    t_spark = time.time() - t0
+    t0 = time.time()
+    d = con.execute(sql)
+    d_cols = [c[0] for c in d.description]
+    d_rows = d.fetchall()
+    t_duck = time.time() - t0
+
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
+        return problems
+
+    a = rows_sorted([tuple(r) for r in s_rows], s_cols)
+    b = rows_sorted(d_rows, d_cols)
+    n_exact = n_close = n_diff = 0
+    example = None
+    for ra, rb in zip(a, b):
+        for va, vb in zip(ra, rb):
+            if va == vb or (va is None and vb is None):
+                n_exact += 1
+            elif (
+                isinstance(va, float)
+                and isinstance(vb, float)
+                and math.isclose(va, vb, rel_tol=1e-9, abs_tol=1e-12)
+            ):
+                n_close += 1
+                if example is None:
+                    example = (va, vb)
+            else:
+                n_diff += 1
+                if example is None:
+                    example = (va, vb)
+    if n_diff:
+        problems.append(f"values: {n_diff} cells differ, e.g. {example}")
+    elif n_close:
+        problems.append(
+            f"FLOAT-ULP: {n_close} cells only float-close (driver hash may "
+            f"fail), e.g. {example}"
+        )
+    print(f"  timings: spark={t_spark:.2f}s duck={t_duck:.3f}s rows={len(s_rows)}")
+    return problems
+
+
+def main():
+    import __spark_entry__ as e
+    from map_v2_etl_spark.session import get_spark
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    spark = get_spark("oracle-check", cpus=8, shuffle_partitions=16)
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    names = sys.argv[1:] or list(qs)
+    failed = []
+    for name in names:
+        if name not in oracles:
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            print(f"{name}: rows-only check, {n} rows")
+            continue
+        print(f"{name}:")
+        probs = compare(name, qs[name](spark, SF_DIR), con)
+        if probs:
+            failed.append(name)
+            for p in probs:
+                print(f"  MISMATCH {p}")
+        else:
+            print("  OK")
+    print()
+    if failed:
+        print(f"FAILED: {failed}")
+        sys.exit(1)
+    print(f"all {len(names)} queries match")
+
+
+if __name__ == "__main__":
+    main()
