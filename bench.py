@@ -1,0 +1,83 @@
+"""Benchmark harness — times the engine's headline queries.
+
+Runs each named query from the registry at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is forced through the full plan with the noop sink (distributed
+execution, no driver collect). A tiny warmup query first so JVM/codegen
+startup is not billed to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from map_v2_etl_spark.plans.queries import REGISTRY  # noqa: E402
+from map_v2_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference's three core jobs (pivot, extents, join+slice)
+# plus representative heavy operators from the extension surface.
+HEADLINE = [
+    "pivot_wide",
+    "extents",
+    "attr_join",
+    "column_slice",
+    "topk_per_group",
+    "window_analytics",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "dedup_minhash_pairs",
+    "embedding_cosine_topk",
+    "text_quality",
+    "events_tumbling_window",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("m2e-bench")
+    # warmup: spin up executors + codegen on a trivial plan
+    force(spark.range(1000).selectExpr("sum(id) as s"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue  # not yet implemented this round
+        t0 = time.time()
+        force(spec.fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    sf_token = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_token)
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
