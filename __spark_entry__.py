@@ -22,18 +22,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from map_v2_etl_spark.plans import queries as _q  # noqa: E402
+from map_v2_etl_spark.plans import registry as _r  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the long->wide pivot on sf0.001 orders (one row per
     customer, one column per order-year) — the reference's core operator."""
-    return _q.REGISTRY["pivot_wide"].fn(spark, "/root/testdata/sf0.001")
+    return _r.all_queries()["pivot_wide"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _q.queries()
+    return _r.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return _q.oracle_sql()
+    return _r.all_oracles()

@@ -19,8 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from map_v2_etl_spark.plans.queries import REGISTRY  # noqa: E402
+from map_v2_etl_spark.plans.registry import REGISTRY, all_queries  # noqa: E402
 from map_v2_etl_spark.session import get_spark  # noqa: E402
+
+all_queries()  # import side-effect: register every query module
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

@@ -1,0 +1,316 @@
+"""Deduplication operators for large-scale text corpora (SURVEY.md §2.11).
+
+North-star extension surface — not in the reference (which has no dedup);
+designed for the 100 TB training-data-pipeline use case:
+
+  * exact_dedup          — hash groupBy on a normalization key
+  * shingle/ngram sets   — word n-grams, JVM-side (split/transform/sequence)
+  * jaccard_pairs        — exact n-gram Jaccard similarity join (quadratic
+                           in shingle-sharing docs; ground truth / verifier)
+  * minhash_lsh_pairs    — MinHash signatures + banded LSH: candidate
+                           generation touches only same-bucket docs, then
+                           exact-Jaccard verification of candidates. The
+                           scale path: shuffle is bounded by band buckets,
+                           never all-pairs.
+  * simhash_pairs        — 60-bit SimHash + pigeonhole banding for
+                           hamming-distance candidates, verified by
+                           bit_count(xor).
+
+Everything is built from built-in column expressions (xxhash64/md5, HOFs)
+— no Python UDFs in any hot path. Hash-family notes:
+  * MinHash permutations: h_i(s) = xxhash64(i, s) — Spark-native, fast;
+    signatures are engine-specific so the *verified output* (exact Jaccard
+    over candidates) is what the oracle checks.
+  * SimHash uses md5-derived 60-bit token hashes (first 15 hex chars) so
+    the value is reproducible in any engine with md5 — including DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# building blocks
+# --------------------------------------------------------------------------
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string>; empty if < n words."""
+    w = tokens(text)
+    k = F.size(w) - (n - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(n)]
+    )
+    return F.when(
+        k >= 1, F.array_distinct(F.transform(F.sequence(F.lit(1), k), gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per normalization-key group.
+
+    One hash aggregation; at scale this is a single shuffle on the key and
+    the survivor choice (min id) is deterministic — unlike dropDuplicates,
+    whose survivor depends on partition order.
+    """
+    return (
+        df.groupBy(key.alias("dedup_key"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .select(id_col, "n_dups")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (ground truth; quadratic only in shingle-sharing docs)
+# --------------------------------------------------------------------------
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard >= threshold: (id_a, id_b, jaccard).
+
+    Shuffle pattern: explode shingles -> self equi-join on shingle ->
+    per-pair intersection counts. Docs sharing no shingle never meet — the
+    join is linear in sum-of-bucket-sizes^2 per shingle, not |docs|^2.
+    jaccard = c / (|A| + |B| - c) as exact integer division in double.
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jaccard", F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH (the scale path for near-dup detection)
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """MinHash signature array<bigint>[num_perm] per doc.
+
+    h_i(s) = xxhash64(i, s): one pass over exploded shingles, num_perm
+    mins per doc in a single aggregation (map-side partial min)."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified by exact Jaccard.
+
+    bands=16 x rows=4 over 64 perms: P(candidate) = 1-(1-j^4)^16 — at the
+    planted-dup regime (j ~ 0.98) recall is 1-1e-18; at j = 0.5 the false-
+    candidate rate is ~0.64 per pair *that shares a bucket*, all discarded
+    by the exact verification. Only same-bucket docs are ever paired, so
+    the shuffle is |docs| x bands rows, never all-pairs. Output == exact
+    jaccard_pairs(threshold) whenever LSH recall holds (verified in tests).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[
+                        F.col("sig")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ]).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("s"))
+    common = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jaccard", F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (hamming-distance near-dup; md5-based for cross-engine parity)
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit int
+
+
+def _token_hash60(tok: Column) -> Column:
+    """Deterministic 60-bit token hash reproducible in any md5-capable
+    engine: first 15 hex chars of md5, parsed base-16."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash(text: Column) -> Column:
+    """60-bit SimHash over distinct lowercased tokens, as a Column.
+
+    Classic scheme: each token votes +1/-1 per bit of its hash; the sign
+    of each bit-sum forms the fingerprint. Expressed with HOFs: fold over
+    token hashes accumulating 60 counters, then reassemble bits."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, _token_hash60)
+    # 2^i masks as a literal array: pow-of-two doubles are exact in IEEE,
+    # so the long cast is exact; avoids shiftleft/right whose PySpark
+    # wrappers only take literal ints (not lambda-bound Columns)
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    counters = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0)] * SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            masks,
+            lambda cnt, m: F.when(cnt > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split 60 bits into max_hamming+1 chunks; any pair
+    within distance k agrees exactly on >= 1 chunk, so candidates come from
+    equi-joining on (chunk_idx, chunk_value) — never all-pairs. Verified
+    with bit_count(xor)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    fp = df.select(F.col(id_col), simhash(F.col(text_col)).alias("fp"))
+    mask = (1 << chunk_bits) - 1
+    chunks = fp.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftright(F.col("fp"), i * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("cv"),
+                )
+                for i in range(n_chunks)
+            ])
+        ).alias("ch"),
+    ).select(id_col, "fp", "ch.ci", "ch.cv")
+    x, y = chunks.alias("x"), chunks.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.ci") == F.col("y.ci"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col("x.fp").alias("fp_a"),
+            F.col("y.fp").alias("fp_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -17,31 +17,13 @@ Determinism rules used throughout (so Spark and DuckDB agree bit-for-bit):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..sources.registry import load_table
-
-
-@dataclass
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None -> driver does rows-only check
-    tags: list[str] = field(default_factory=list)
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def query(name: str, oracle: str | None, tags: list[str] | None = None):
-    def deco(fn):
-        REGISTRY[name] = QuerySpec(fn, oracle, tags or [])
-        return fn
-
-    return deco
+from .registry import REGISTRY, query
 
 
 def _dec_sum(col, alias):

@@ -1,0 +1,39 @@
+"""Query registry shared by the core and extension query modules."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver does rows-only check
+    tags: list[str] = field(default_factory=list)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, tags: list[str] | None = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle, tags or [])
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # import side-effect registration of every query module
+    from . import queries, queries_ext  # noqa: F401
+
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    from . import queries, queries_ext  # noqa: F401
+
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -18,7 +18,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # nanosecond-precision parquet timestamps arrive as long (see session.py
+    # nanosAsLong); normalize to microsecond TIMESTAMP — same truncation
+    # DuckDB applies when surfacing TIMESTAMP_NS values
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")),
+            )
+    return df
 
 
 def load_tables(
