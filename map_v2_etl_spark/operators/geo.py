@@ -1,0 +1,193 @@
+"""Geometry operators (SURVEY.md §2.9 G1-G3).
+
+The reference's geometry surface is small: derive an interior point per
+polygon for the bubble layer (mapshaper `-points inner`,
+/root/reference/build.sh:114), compute `id = Number(GEOID)`
+(/root/reference/build.sh:113,140), and let tippecanoe assign features to
+Web-Mercator tiles. Spark-first mapping:
+
+  * geometry rides along as a GeoJSON string column — opaque to Catalyst,
+    schema'd metadata beside it
+  * interior_point — Arrow-batched pandas UDF (the one genuinely
+    per-feature imperative computation; shapely isn't in the image, so the
+    classic representative-point scanline is implemented directly)
+  * tile keys (z/x/y) — pure column math (slippy-map formulas), no UDF,
+    fully codegen'd; tiling becomes groupBy(z, x, y)
+  * per-tile top-k density dropping (O3) — rank window over tile groups
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+
+# --------------------------------------------------------------------------
+# interior point (G1)
+# --------------------------------------------------------------------------
+
+def _ring_area_centroid(ring: list[list[float]]) -> tuple[float, float, float]:
+    """Signed area + area-weighted centroid of one linear ring (shoelace)."""
+    a = cx = cy = 0.0
+    for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+        cross = x0 * y1 - x1 * y0
+        a += cross
+        cx += (x0 + x1) * cross
+        cy += (y0 + y1) * cross
+    a *= 0.5
+    if a == 0:
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        return 0.0, sum(xs) / len(xs), sum(ys) / len(ys)
+    return a, cx / (6 * a), cy / (6 * a)
+
+
+def _polygon_centroid(rings: list[list[list[float]]]) -> tuple[float, float]:
+    total = cx = cy = 0.0
+    for ring in rings:
+        a, x, y = _ring_area_centroid(ring)
+        total += a
+        cx += x * a
+        cy += y * a
+    if total == 0:
+        return _ring_area_centroid(rings[0])[1:]
+    return cx / total, cy / total
+
+
+def _point_in_rings(x: float, y: float, rings) -> bool:
+    """Even-odd ray casting over all rings (holes flip parity)."""
+    inside = False
+    for ring in rings:
+        for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+            if (y0 > y) != (y1 > y):
+                xi = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+                if xi > x:
+                    inside = not inside
+    return inside
+
+
+def _scanline_point(y: float, rings) -> tuple[float, float] | None:
+    """Midpoint of the widest interior interval on the horizontal at y —
+    the representative-point construction (same idea as shapely's
+    representative_point / mapshaper's -points inner)."""
+    xs = []
+    for ring in rings:
+        for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+            if (y0 > y) != (y1 > y):
+                xs.append(x0 + (y - y0) * (x1 - x0) / (y1 - y0))
+    xs.sort()
+    best, best_w = None, -1.0
+    for lo, hi in zip(xs[0::2], xs[1::2]):
+        if hi - lo > best_w:
+            best, best_w = (lo + hi) / 2.0, hi - lo
+    return (best, y) if best is not None else None
+
+
+def interior_point_py(geojson_geom: str) -> tuple[float, float] | None:
+    """Pure-Python interior point of a GeoJSON Polygon/MultiPolygon:
+    centroid if inside, else widest-interval scanline through a y strictly
+    between vertex rows (guaranteed inside for any simple polygon)."""
+    if not geojson_geom:
+        return None
+    g = json.loads(geojson_geom)
+    t, coords = g.get("type"), g.get("coordinates")
+    if t == "Polygon":
+        polys = [coords]
+    elif t == "MultiPolygon":
+        polys = coords
+    elif t == "Point":
+        return tuple(coords[:2])
+    else:
+        return None
+    # largest polygon by outer-ring |area| carries the point
+    polys = sorted(polys, key=lambda p: abs(_ring_area_centroid(p[0])[0]))
+    rings = polys[-1]
+    cx, cy = _polygon_centroid(rings)
+    if _point_in_rings(cx, cy, rings):
+        return cx, cy
+    # scan at a y that avoids vertex degeneracy: midpoint of the two
+    # middle distinct vertex ys around the centroid
+    ys = sorted({p[1] for p in rings[0]})
+    lo = max((v for v in ys if v <= cy), default=ys[0])
+    hi = min((v for v in ys if v > cy), default=ys[-1])
+    y = (lo + hi) / 2.0 if hi > lo else cy
+    hit = _scanline_point(y, rings)
+    if hit is None:
+        hit = _scanline_point(cy, rings)
+    return hit
+
+
+_POINT_SCHEMA = T.StructType(
+    [
+        T.StructField("x", T.DoubleType(), True),
+        T.StructField("y", T.DoubleType(), True),
+    ]
+)
+
+
+@F.pandas_udf(_POINT_SCHEMA)
+def interior_point(geom: pd.Series) -> pd.DataFrame:
+    """Arrow-batched interior point over a GeoJSON geometry column."""
+    pts = geom.map(interior_point_py)
+    return pd.DataFrame(
+        {
+            "x": pts.map(lambda p: p[0] if p else None),
+            "y": pts.map(lambda p: p[1] if p else None),
+        }
+    )
+
+
+def with_interior_points(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
+    pt = interior_point(F.col(geom_col))
+    return df.withColumn("ip_x", pt["x"]).withColumn("ip_y", pt["y"])
+
+
+# --------------------------------------------------------------------------
+# tile keys (G3) — pure column math, no UDF
+# --------------------------------------------------------------------------
+
+def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """Slippy-map tile indices at `zoom` (Web-Mercator)."""
+    n = F.lit(float(2 ** zoom))
+    x = F.floor((lon + 180.0) / 360.0 * n).cast("int")
+    lat_r = F.radians(lat)
+    y = F.floor(
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi) / 2.0 * n
+    ).cast("int")
+    clamp = lambda c: F.greatest(F.lit(0), F.least(c, F.lit(2 ** zoom - 1)))  # noqa: E731
+    return clamp(x), clamp(y)
+
+
+def assign_tiles(
+    df: DataFrame, lon_col: str, lat_col: str, zoom: int
+) -> DataFrame:
+    x, y = tile_xy(F.col(lon_col), F.col(lat_col), zoom)
+    return (
+        df.withColumn("tile_z", F.lit(zoom))
+        .withColumn("tile_x", x)
+        .withColumn("tile_y", y)
+    )
+
+
+def per_tile_topk(
+    df: DataFrame, weight_col: str, k: int, tie_cols: list[str] | None = None
+) -> DataFrame:
+    """Density dropping (O3): keep the k heaviest features per tile."""
+    order = [F.desc(weight_col)] + [F.asc(c) for c in (tie_cols or [])]
+    w = W.partitionBy("tile_z", "tile_x", "tile_y").orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def numeric_geoid(geoid: Column) -> Column:
+    """`id = Number(GEOID)` (F7, /root/reference/build.sh:113,140)."""
+    return geoid.try_cast("long")

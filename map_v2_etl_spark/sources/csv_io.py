@@ -73,16 +73,18 @@ def write_csv_dir(df: DataFrame, path: str, sort_cols: list[str], compression: s
     writer.csv(path)
 
 
-def write_sorted_csv(df: DataFrame, path: str, sort_cols: list[str]):
+def write_sorted_csv(df: DataFrame, path: str, sort_cols: list[str] | None):
     """Compatibility sink: one CSV file, header, globally sorted rows.
 
     coalesce(1) after the sort keeps the plan parallel until the final
     write; only appropriate for outputs that fit one file by design.
+    ``sort_cols=None`` preserves the DataFrame's existing order (for plans
+    that already end in an orderBy, e.g. extents' input-column order).
     """
     tmp = tempfile.mkdtemp(prefix="m2e_csv_")
     try:
         (
-            df.orderBy(*sort_cols)
+            (df.orderBy(*sort_cols) if sort_cols else df)
             .coalesce(1)
             .write.mode("overwrite")
             .option("header", True)
