@@ -1,0 +1,122 @@
+"""Join operators Spark lacks as built-ins: as-of join and interval/range
+join (SURVEY.md §2.3 declared extension surface).
+
+The reference has only the GEOID equi-join (tile-join,
+/root/reference/build.sh:189,210); these are the engine's scale-path
+additions for event/time-series workloads. Both are compositions of
+built-in DataFrame ops — no UDF, no driver loop — so Catalyst/Tungsten
+keep whole-stage codegen and AQE applies.
+
+asof_join: the classic union + running-last trick. One shuffle on
+(key, ts); no range condition ever reaches a nested-loop join. At 100 TB
+the cost is a single sort-shuffle of left+right — the same lower bound a
+merge-based as-of would pay.
+
+bucketed_range_join: interval joins expressed as `val BETWEEN lo AND hi`
+plan as BroadcastNestedLoopJoin (a cartesian at scale). Bucketing the
+value domain turns it into an equi-join on bucket id: the right side
+explodes each interval into the buckets it covers (sequence()), the left
+hashes into one bucket, and the residual BETWEEN filter runs post-join.
+Shuffle volume = rows x avg_interval/bucket_width — tunable, skew-safe
+under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` per key (backward as-of, the pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics). Left rows with no
+    prior right row keep nulls.
+
+    Implementation: tag both sides, union, and take the running
+    ``last(right_struct, ignorenulls)`` over a window ordered by
+    (ts, side) — right side sorts first at equal ts so ties match.
+    Right columns travel inside ONE struct: a right row whose payload
+    column is legitimately null must still win over an older row.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    ts = "__asof_ts"
+    side = "__asof_side"
+    pack = "__asof_pack"
+
+    l_tagged = left.withColumn(ts, F.col(left_ts)).withColumn(side, F.lit(1))
+    r_tagged = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(side),
+        F.struct(F.col(right_ts), *[F.col(c) for c in right_cols]).alias(pack),
+    )
+    # missing columns null-fill on either side with the other side's types
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col(ts), F.col(side))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = unioned.withColumn(
+        pack, F.last(pack, ignorenulls=True).over(w)
+    ).filter(F.col(side) == 1)
+
+    if tolerance is not None:
+        in_tol = F.col(ts).cast("double") - F.col(f"{pack}.{right_ts}").cast(
+            "double"
+        ) <= tolerance
+        matched = matched.withColumn(
+            pack, F.when(in_tol, F.col(pack))
+        )
+
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"{pack}.{right_ts}").alias(f"{right_ts}_right"))
+    out_cols += [F.col(f"{pack}.`{c}`").alias(c) for c in right_cols]
+    return matched.select(*out_cols)
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``left.val BETWEEN right.lo AND right.hi`` via bucket equi-join.
+
+    ``bucket_width`` should be on the order of the typical interval length:
+    each right interval lands in ceil(len/width)+1 buckets, each left row
+    in exactly one.
+    """
+    b = "__range_bucket"
+    r_exploded = right.withColumn(
+        b,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width).cast("long"),
+                F.floor(F.col(right_hi) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    l_bucketed = left.withColumn(
+        b, F.floor(F.col(left_val) / bucket_width).cast("long")
+    )
+    joined = l_bucketed.join(r_exploded, on=b, how=how).filter(
+        F.col(left_val).between(F.col(right_lo), F.col(right_hi))
+    )
+    return joined.drop(b)

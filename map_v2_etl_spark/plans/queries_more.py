@@ -1,0 +1,390 @@
+"""Second extension query wave: as-of / range / full-outer joins, window
+ranking, JSON & array scalars, correlated subqueries (decorrelation),
+geo tiling, multimodal binary columns, sessionization, stateful streaming.
+
+Same oracle philosophy as queries_ext.py: deterministic definitions shared
+bit-for-bit with DuckDB wherever SQL can express the op; rows-only for the
+genuinely non-SQL surfaces (pandas-UDF geometry, mapInPandas features,
+applyInPandasWithState), each of which has a pytest ground-truth twin.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..operators.geo import assign_tiles, per_tile_topk, with_interior_points
+from ..operators.joins import asof_join, bucketed_range_join
+from ..operators.multimodal import extract_features, synth_media
+from ..sources.registry import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "asof_join",
+    "SELECT p.event_id, p.user_id, p.ts, c.ts AS ts_right, c.value AS value "
+    "FROM (SELECT event_id, user_id, ts FROM events "
+    "      WHERE event_type = 'purchase') p "
+    "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events "
+    "                WHERE event_type = 'click') c "
+    "ON p.user_id = c.user_id AND p.ts >= c.ts",
+    tags=["join", "asof"],
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's latest
+    prior click. Union + running-last composition — one shuffle on
+    (user_id, ts), no nested-loop range join (operators/joins.asof_join)."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"],
+    )
+
+
+_N_BANDS = 140
+_BAND_W = 800.0
+_BAND_LEN = 1599.0
+
+
+@query(
+    "range_join",
+    f"SELECT band_id, COUNT(*) AS n, "
+    f"CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty "
+    f"FROM lineitem JOIN ("
+    f"  SELECT i AS band_id, i * {_BAND_W} AS lo, i * {_BAND_W} + {_BAND_LEN} AS hi "
+    f"  FROM range(0, {_N_BANDS}) t(i)) bands "
+    f"ON l_extendedprice BETWEEN lo AND hi GROUP BY band_id",
+    tags=["join", "range"],
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucketed equi-join (operators/joins.
+    bucketed_range_join): overlapping price bands x lineitem. A plain
+    BETWEEN join would plan BroadcastNestedLoop — cartesian at scale;
+    bucketing makes it a hash join on band buckets."""
+    li = load_table(spark, "lineitem", sf_dir)
+    bands = spark.range(0, _N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * _BAND_W).alias("lo"),
+        (F.col("id") * _BAND_W + _BAND_LEN).alias("hi"),
+    )
+    joined = bucketed_range_join(
+        li.select("l_extendedprice", "l_quantity"), bands,
+        "l_extendedprice", "lo", "hi", bucket_width=_BAND_W,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+        .cast("double")
+        .alias("qty"),
+    )
+
+
+@query(
+    "full_outer_join",
+    "WITH cu AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer "
+    "WHERE c_mktsegment = 'MACHINERY' GROUP BY c_nationkey), "
+    "su AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier "
+    "WHERE s_acctbal > 3000 GROUP BY s_nationkey) "
+    "SELECT COALESCE(cu.k, su.k) AS nationkey, n_cust, n_supp "
+    "FROM cu FULL OUTER JOIN su ON cu.k = su.k",
+    tags=["join", "outer"],
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two filtered aggregates (SURVEY §2.3 declared
+    join-type surface)."""
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    cu = (
+        c.filter(F.col("c_mktsegment") == "MACHINERY")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    su = (
+        s.filter(F.col("s_acctbal") > 3000)
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cu.join(su, cu.k == su.k, "full_outer").select(
+        F.coalesce(cu.k, su.k).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "correlated_subquery",
+    "SELECT l_partkey, COUNT(*) AS n_small FROM lineitem l1 "
+    "WHERE l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS "
+    "DECIMAL(20,4))) AS DOUBLE) / COUNT(*)) FROM lineitem l2 "
+    "WHERE l2.l_partkey = l1.l_partkey) GROUP BY l_partkey",
+    tags=["subquery", "decorrelation"],
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape) through the SQL entry
+    point — Catalyst decorrelates it into an aggregate + join; no
+    per-row re-execution ever happens."""
+    li = load_table(spark, "lineitem", sf_dir)
+    view = "lineitem_corr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT l_partkey, COUNT(*) AS n_small FROM {view} l1 "
+        f"WHERE l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS "
+        f"DECIMAL(20,4))) AS DOUBLE) / COUNT(*)) FROM {view} l2 "
+        f"WHERE l2.l_partkey = l1.l_partkey) GROUP BY l_partkey"
+    )
+
+
+# --------------------------------------------------------------------------
+# window ranking (SURVEY §2.5 declared surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_ranking",
+    "SELECT c_nationkey, c_custkey, "
+    "RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, "
+    "NTILE(4) OVER w AS quartile, "
+    "CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank, "
+    "CAST(CUME_DIST() OVER w AS DOUBLE) AS cume "
+    "FROM customer "
+    "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)",
+    tags=["window", "ranking"],
+)
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank / cume_dist over a
+    deterministic total order (unique-key tiebreak)."""
+    c = load_table(spark, "customer", sf_dir)
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON / array scalar surface (SURVEY §2.8 extension)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "json_funcs",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket "
+    "FROM events",
+    tags=["scalar", "json"],
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (get_json_object —
+    JVM-side Jackson path, no UDF)."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.select(
+        "event_id", k.alias("k"), (k % 10).alias("k_bucket")
+    )
+
+
+@query(
+    "array_funcs",
+    "SELECT l_orderkey, "
+    "array_to_string(list_sort(array_agg(l_linenumber)), ',') AS lines, "
+    "COUNT(*) AS n_lines, "
+    "list_contains(array_agg(l_linenumber), 3) AS has_line3 "
+    "FROM lineitem GROUP BY l_orderkey",
+    tags=["scalar", "array"],
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + sort + contains (collect_list / array_sort /
+    array_contains); array serialized to string for the cross-engine
+    hash."""
+    li = load_table(spark, "lineitem", sf_dir)
+    lines = F.array_sort(F.collect_list("l_linenumber"))
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(lines, lambda x: x.cast("string")), ","
+        ).alias("lines"),
+        F.count("*").alias("n_lines"),
+        F.array_contains(F.collect_list("l_linenumber"), F.lit(3)).alias(
+            "has_line3"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# geo tiling (SURVEY §2.9) — lon/lat derived deterministically from keys
+# --------------------------------------------------------------------------
+
+_ZOOM = 4
+
+_DUCK_TILES = f"""
+WITH pts AS (
+  SELECT c_custkey, c_acctbal,
+         (c_custkey % 360) - 180 + 0.5 AS lon,
+         ((c_custkey * 7) % 160) - 80 + 0.25 AS lat
+  FROM customer
+),
+t AS (
+  SELECT c_custkey, c_acctbal,
+    CAST(floor((lon + 180.0) / 360.0 * {2 ** _ZOOM}) AS INTEGER) AS tile_x,
+    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+         / 2.0 * {2 ** _ZOOM}) AS INTEGER) AS tile_y
+  FROM pts
+),
+r AS (
+  SELECT tile_x, tile_y, c_custkey,
+    ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM t
+)
+SELECT tile_x, tile_y, c_custkey FROM r WHERE rn <= 3
+"""
+
+
+@query("geo_tiles", _DUCK_TILES, tags=["geo", "tiles", "topk"])
+def q_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator tile assignment (pure column math, G3) + per-tile
+    top-k density dropping (O3) — the tippecanoe tiling surface
+    in-engine. lon/lat derived from keys so the oracle reproduces them."""
+    c = load_table(spark, "customer", sf_dir)
+    pts = c.select(
+        "c_custkey",
+        "c_acctbal",
+        ((F.col("c_custkey") % 360) - 180 + 0.5).alias("lon"),
+        ((F.col("c_custkey") * 7) % 160 - 80 + 0.25).alias("lat"),
+    )
+    tiled = assign_tiles(pts, "lon", "lat", zoom=_ZOOM)
+    topk = per_tile_topk(tiled, "c_acctbal", 3, tie_cols=["c_custkey"])
+    return topk.select("tile_x", "tile_y", "c_custkey")
+
+
+@query("geo_interior_points", None, tags=["geo", "interior-point"])
+def q_geo_interior_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interior points (G1, mapshaper -points inner) of synthetic square
+    polygons via the Arrow-batched pandas UDF. Non-SQL (pure-Python
+    geometry) -> rows-only check; exactness covered in
+    tests/test_geo_pipeline.py."""
+    n = load_table(spark, "nation", sf_dir)
+    sq = n.select(
+        "n_nationkey",
+        F.format_string(
+            '{"type":"Polygon","coordinates":[[[%d,%d],[%d,%d],[%d,%d],'
+            "[%d,%d],[%d,%d]]]}",
+            F.col("n_nationkey"), F.col("n_nationkey"),
+            F.col("n_nationkey") + 2, F.col("n_nationkey"),
+            F.col("n_nationkey") + 2, F.col("n_nationkey") + 2,
+            F.col("n_nationkey"), F.col("n_nationkey") + 2,
+            F.col("n_nationkey"), F.col("n_nationkey"),
+        ).alias("geometry"),
+    )
+    return with_interior_points(sq).select("n_nationkey", "ip_x", "ip_y")
+
+
+# --------------------------------------------------------------------------
+# multimodal binary columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "media_byte_stats",
+    "SELECT doc_id AS media_id, "
+    "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS kind, "
+    "octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5 "
+    "FROM documents",
+    tags=["multimodal", "binary"],
+)
+def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata plan: payload length + content hash, all
+    JVM-side (octet_length/md5 on BINARY). The media table itself is the
+    deterministic synth_media stand-in (operators/multimodal.py)."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = synth_media(docs)
+    return media.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+@query("media_features", None, tags=["multimodal", "mapInPandas"])
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (byte histogram through the stub
+    decode boundary) via mapInPandas — non-SQL; ground truth asserted in
+    tests/test_multimodal.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    return extract_features(synth_media(docs))
+
+
+# --------------------------------------------------------------------------
+# sessionization + stateful streaming
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_session_windows",
+    "WITH o AS (SELECT user_id, ts, CASE WHEN "
+    "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR "
+    "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= "
+    "INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+    "SELECT user_id, MIN(ts) AS session_start, "
+    "MAX(ts) + INTERVAL 10 MINUTE AS session_end, COUNT(*) AS n_events "
+    "FROM s GROUP BY user_id, sid",
+    tags=["streaming", "session"],
+)
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window, 10-min gap) in its batch
+    form; the oracle rebuilds the identical sessions with lag + running
+    sum. The same transform runs as a real watermarked stream in
+    streaming/windows.session_windows."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("events_stateful_running", None, tags=["streaming", "stateful"])
+def q_events_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): runs a
+    REAL Structured Streaming query over the events parquet and returns
+    the per-user running totals. Non-SQL by nature (stateful streaming) ->
+    rows-only; batch-parity asserted in tests/test_streaming.py."""
+    from ..streaming.stateful import running_user_totals
+    from ..streaming.windows import run_stream_on_parquet
+
+    qname = "stateful_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return run_stream_on_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        running_user_totals,
+        query_name=qname,
+        output_mode="update",
+    )

@@ -27,9 +27,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # integer division: `/` would promote to double, which cannot
+            # represent ~1.7e18 nanos exactly (off-by-1-microsecond drift)
             df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")),
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
     return df
 

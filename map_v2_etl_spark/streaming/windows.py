@@ -104,9 +104,10 @@ def run_stream_on_parquet(
 
     for f in schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # integer division — double `/` drifts by 1 microsecond at
+            # nanosecond epoch magnitudes (see sources/registry.load_table)
             stream = stream.withColumn(
-                "ts",
-                F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")),
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
     q = (
         transform(stream)

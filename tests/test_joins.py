@@ -1,0 +1,98 @@
+"""as-of join and bucketed range join (operators/joins.py) semantics."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from map_v2_etl_spark.operators.joins import asof_join, bucketed_range_join
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def make_asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", ts("2024-01-01 10:00:00")),   # after r1/r2 -> r2
+            (2, "u1", ts("2024-01-01 09:00:00")),   # exactly at r1 -> tie match
+            (3, "u1", ts("2024-01-01 08:00:00")),   # before any right -> null
+            (4, "u2", ts("2024-01-01 10:00:00")),   # other key -> r3
+            (5, "u3", ts("2024-01-01 10:00:00")),   # key with no right rows
+        ],
+        ["event_id", "uid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01 09:00:00"), 1.0),   # r1
+            ("u1", ts("2024-01-01 09:30:00"), None),  # r2: null payload wins
+            ("u2", ts("2024-01-01 09:45:00"), 3.0),   # r3
+        ],
+        ["uid", "ts", "val"],
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    left, right = make_asof_frames(spark)
+    out = {
+        r.event_id: (r.ts_right, r.val)
+        for r in asof_join(
+            left, right, ["uid"], "ts", "ts", ["val"]
+        ).collect()
+    }
+    assert out[1] == (ts("2024-01-01 09:30:00"), None)  # latest row, null val
+    assert out[2] == (ts("2024-01-01 09:00:00"), 1.0)   # tie: equal ts matches
+    assert out[3] == (None, None)                        # nothing prior
+    assert out[4] == (ts("2024-01-01 09:45:00"), 3.0)
+    assert out[5] == (None, None)                        # key absent on right
+    assert len(out) == 5                                 # left rows preserved
+
+
+def test_asof_join_tolerance(spark):
+    left, right = make_asof_frames(spark)
+    out = {
+        r.event_id: r.ts_right
+        for r in asof_join(
+            left, right, ["uid"], "ts", "ts", ["val"],
+            tolerance=F.lit(20 * 60.0),  # 20 minutes, in seconds
+        ).collect()
+    }
+    assert out[4] == ts("2024-01-01 09:45:00")  # 15 min gap: kept
+    assert out[2] == ts("2024-01-01 09:00:00")  # 0 gap: kept
+    assert out[1] is None                        # 30 min gap: dropped
+
+
+def test_bucketed_range_join_matches_between(spark):
+    left = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(200)], ["lid", "v"]
+    )
+    right = spark.createDataFrame(
+        [(b, b * 10.0, b * 10.0 + 14.0) for b in range(10)],
+        ["band", "lo", "hi"],
+    )
+    got = {
+        (r.lid, r.band)
+        for r in bucketed_range_join(
+            left, right, "v", "lo", "hi", bucket_width=10.0
+        ).collect()
+    }
+    want = {
+        (lid, band)
+        for lid, v in ((i, i * 7 % 100) for i in range(200))
+        for band, lo, hi in ((b, b * 10, b * 10 + 14) for b in range(10))
+        if lo <= v <= hi
+    }
+    assert got == want
+
+
+def test_bucketed_range_join_plans_hash_join(spark):
+    """The point of bucketing: the physical plan must be a shuffle/broadcast
+    HASH join on the bucket key, never BroadcastNestedLoopJoin."""
+    left = spark.createDataFrame([(1, 5.0)], ["lid", "v"])
+    right = spark.createDataFrame([(1, 0.0, 9.0)], ["band", "lo", "hi"])
+    plan = bucketed_range_join(
+        left, right, "v", "lo", "hi", bucket_width=10.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -25,6 +25,33 @@ def test_tumbling_window_stream_equals_batch(spark, sf_dir):
     assert rows_set(streamed, cols) == rows_set(batch, cols)
 
 
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    """applyInPandasWithState per-user running totals: after the stream
+    drains, state must equal the batch groupBy answer."""
+    from pyspark.sql import functions as F
+
+    from map_v2_etl_spark.streaming.stateful import running_user_totals
+
+    path = os.path.join(sf_dir, "events.parquet")
+    streamed = run_stream_on_parquet(
+        spark, path, running_user_totals,
+        query_name="t_stateful", output_mode="update",
+    )
+    # update mode appends one row per (user, micro-batch); keep the latest
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in streamed.collect()  # single-file source -> one batch
+    }
+    batch = load_table(spark, "events", sf_dir).groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    expect = {r.user_id: (r.n, r.total) for r in batch.collect()}
+    assert set(final) == set(expect)
+    for uid, (n, total) in expect.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - total) < 1e-6
+
+
 def test_session_windows_run(spark, sf_dir):
     path = os.path.join(sf_dir, "events.parquet")
     streamed = run_stream_on_parquet(
