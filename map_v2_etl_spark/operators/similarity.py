@@ -51,10 +51,14 @@ def cosine_topk(
     The query side is broadcast (queries << corpus by design), so the plan
     is one corpus scan + BroadcastNestedLoopJoin + per-query top-k; no
     corpus shuffle. Scales linearly in |corpus| x |queries|."""
+    from ..sources.registry import widen_partitions
+
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    # vector math is CPU-bound: widen a narrow local scan so the scoring
+    # loop uses every core (no-op when the corpus arrives pre-split)
+    c = widen_partitions(corpus).select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
     )
     scored = (
@@ -120,7 +124,9 @@ def lsh_cosine_topk(
     overall recall ~0.75, with ~2x scan pruning. More planes => more
     pruning, less recall; scale both with corpus size and similarity
     structure."""
-    c = corpus.select(
+    from ..sources.registry import widen_partitions
+
+    c = widen_partitions(corpus).select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
     )
     q = queries.select(
@@ -164,7 +170,11 @@ def embedding_near_dup_pairs(
     High-similarity pairs collide with probability (1 - theta/pi)^planes
     per table; 8 tables of 8 planes gives >0.99 recall at cosine >= 0.95.
     Candidates verified exactly."""
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    from ..sources.registry import widen_partitions
+
+    c = widen_partitions(corpus).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
     dim = len(c.select("vec").first()["vec"])
     cand = None
     for t in range(tables):

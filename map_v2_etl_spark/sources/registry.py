@@ -17,6 +17,33 @@ from ..schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def widen_partitions(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the input
+    arrives narrow (single small parquet files plan as ONE partition
+    locally, serializing downstream CPU-heavy work on one core).
+
+    For use by CPU-bound operators (shingling, hashing, vector math) right
+    above their scan — NOT as a blanket on every load: scan-bound queries
+    only lose by paying an extra shuffle.
+
+    Narrowness is detected via ``df.inputFiles`` — pure file-index
+    metadata. Never use ``df.rdd.getNumPartitions()`` here: converting a
+    DataFrame whose plan already contains an exchange to an RDD makes AQE
+    finalize the plan, which EXECUTES every upstream query stage eagerly
+    at plan-build time (measured: it silently re-ran a whole MinHash
+    pipeline). At cluster scale inputs come pre-split into many files and
+    this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # nanosecond-precision parquet timestamps arrive as long (see session.py
