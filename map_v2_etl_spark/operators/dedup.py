@@ -256,6 +256,87 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# connected components: near-dup pairs -> duplicate clusters
+# --------------------------------------------------------------------------
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster) — cluster = min vertex id reachable from id.
+
+    Iterative min-label propagation: each round every vertex adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds. Near-dup graphs are unions of near-cliques,
+    so 2-3 rounds in practice.
+
+    Scale posture: each round is one equi-join + one min-aggregation —
+    both shuffle on vertex id, so a cluster co-partitions after round one.
+    ``localCheckpoint(eager=True)`` truncates lineage every round: without
+    it the plan doubles per iteration and Catalyst re-analysis dominates
+    (classic iterative-join trap). The driver-side convergence check is
+    one count per round — the standard pattern for iterative algorithms
+    (GraphX/GraphFrames do the same); for graphs with huge diameters the
+    production upgrade is the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which squares the reach per round.
+    """
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    )
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.a == labels.id).select(
+            F.col("b").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))
+
+
+def dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """(doc_id, cluster) for every doc: near-dup docs share a cluster id
+    (the minimum doc_id of the group), unique docs form singletons.
+
+    Edges come from the exact n-gram Jaccard join (``exact=True``, the
+    oracle-checkable path) or MinHash-LSH candidates (the 100 TB path —
+    identical output whenever LSH recall holds)."""
+    pair_fn = jaccard_pairs if exact else minhash_lsh_pairs
+    pairs = pair_fn(df, threshold, id_col=id_col, text_col=text_col, n=n)
+    return connected_components(
+        df.select(F.col(id_col)), pairs, id_col=id_col,
+        src_col="id_a", dst_col="id_b",
+    ).select(F.col("id").alias(id_col), "cluster")
+
+
+# --------------------------------------------------------------------------
 # SimHash (hamming-distance near-dup; md5-based for cross-engine parity)
 # --------------------------------------------------------------------------
 

@@ -113,6 +113,31 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, threshold=0.8)
 
 
+_DUCK_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_DUCK_JACCARD_PAIRS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS doc_id, MIN(label) AS cluster FROM reach GROUP BY id
+"""
+
+
+@query("dedup_clusters", _DUCK_CLUSTERS, tags=["dedup", "clusters", "graph"])
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS via iterative min-label
+    connected components (operators/dedup.connected_components); the
+    oracle computes the same closure with a recursive CTE. Every doc gets
+    a cluster id = min doc_id of its component."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.dup_clusters(docs, threshold=0.8)
+
+
 @query("simhash_fingerprints", _DUCK_SIMHASH_FPS, tags=["dedup", "simhash"])
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per doc. md5-derived token hashes + integer bit votes

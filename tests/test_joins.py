@@ -86,6 +86,22 @@ def test_bucketed_range_join_matches_between(spark):
     assert got == want
 
 
+def test_connected_components(spark):
+    """Chain, triangle, and singletons resolve to min-id clusters."""
+    from map_v2_etl_spark.operators.dedup import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(1, 10)], ["id"])
+    # chain 1-2-3-4, triangle 5-6-7, singletons 8, 9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 5)], ["src", "dst"]
+    )
+    got = {
+        r.id: r.cluster
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
+
+
 def test_bucketed_range_join_plans_hash_join(spark):
     """The point of bucketing: the physical plan must be a shuffle/broadcast
     HASH join on the bucket key, never BroadcastNestedLoopJoin."""
