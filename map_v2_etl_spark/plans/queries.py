@@ -79,15 +79,20 @@ _EXTENT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     tags=["A2", "A3", "A4", "A5", "extents"],
 )
 def q_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column min/max/exact R-7 percentiles (SURVEY §2.4 A2-A5) via
-    unpivot + one groupBy — the extract-extents.js operator."""
+    """Per-column min/max/exact R-7 percentiles (SURVEY §2.4 A2-A5) — the
+    extract-extents.js operator. Few columns -> the operator picks the
+    wide-aggregation layout (no cell values ever shuffle); many columns
+    would switch to melt + groupBy(column)."""
+    from ..operators.extents import column_extents
+
     li = load_table(spark, "lineitem", sf_dir).select(*_EXTENT_COLS)
-    melted = li.unpivot([], _EXTENT_COLS, "id", "value")
-    return melted.groupBy("id").agg(
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-        F.percentile("value", F.lit(0.01)).alias("q1"),
-        F.percentile("value", F.lit(0.99)).alias("q99"),
+    ext = column_extents(li, exclude=())
+    return ext.select(
+        "id",
+        F.col("min").alias("vmin"),
+        F.col("max").alias("vmax"),
+        "q1",
+        "q99",
     )
 
 

@@ -145,6 +145,121 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skew_salted_agg",
+    "SELECT l_returnflag, COUNT(*) AS n, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS qty, "
+    "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price "
+    "FROM lineitem GROUP BY l_returnflag",
+    tags=["agg", "skew", "salting"],
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a pathologically skewed key
+    (3 distinct returnflags): each hot key fans out over 16 salt buckets
+    in phase 1, partials merge in phase 2. Result identical to the plain
+    GROUP BY the oracle runs (operators/skew.salted_agg)."""
+    from ..operators.skew import salted_agg
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("count", F.lit(1)),
+            "qty": ("sum", F.col("l_quantity").cast("decimal(20,4)")),
+            "min_price": ("min", F.col("l_extendedprice")),
+            "max_price": ("max", F.col("l_extendedprice")),
+        },
+    )
+    return out.withColumn("qty", F.col("qty").cast("double"))
+
+
+@query(
+    "tpch_q12",
+    "SELECT o_orderpriority, "
+    "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS high_count, "
+    "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS low_count, COUNT(*) AS n "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate > o_orderdate GROUP BY o_orderpriority",
+    tags=["tpch", "case-agg"],
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-conditional counting."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q14",
+    "SELECT CAST(100.0 * "
+    "CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN "
+    "CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4))) END) AS DOUBLE) / "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) "
+    "AS DOUBLE) AS promo_revenue_pct FROM lineitem JOIN part ON l_partkey = p_partkey",
+    tags=["tpch", "ratio"],
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue ratio — conditional / total
+    aggregate in one pass, broadcast dimension join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev = (F.col("l_extendedprice").cast("decimal(20,4)")
+           * (1 - F.col("l_discount").cast("decimal(20,4)")))
+    promo = F.col("p_type").like("PROMO%")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(promo, rev)).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q18",
+    "SELECT c_name, o_orderkey, o_totalprice FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) > 200)",
+    tags=["tpch", "subquery", "semi"],
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with grouped HAVING — Catalyst plans
+    the IN as a left-semi join against the aggregated subquery."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice")
+    )
+
+
 # --------------------------------------------------------------------------
 # window ranking (SURVEY §2.5 declared surface)
 # --------------------------------------------------------------------------

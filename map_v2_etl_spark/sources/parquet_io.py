@@ -1,0 +1,64 @@
+"""Parquet layout management — the engine's internal storage format.
+
+SURVEY §7.7 scale posture: "Parquet everywhere internally, partition by
+region/year". Two layouts:
+
+  * ``write_partitioned`` — hive-style directory partitioning; reads with
+    a partition-column predicate prune whole directories (visible as
+    PartitionFilters in the scan node), the columnar reader prunes
+    columns, and ordinary predicates push down to row groups.
+  * ``write_bucketed`` — pre-shuffled, hash-bucketed table layout: two
+    tables bucketed on the same key join WITHOUT an exchange on either
+    side — the shuffle is paid once at write time, then every downstream
+    join/aggregation on that key is shuffle-free. This is the cluster
+    answer to repeated joins against a 100 TB fact table.
+
+The reference's decade sharding (/root/reference/build.sh:34-36,163) is
+the same idea done by hand with csvcut; here it is partitionBy("decade")
+and partition pruning replaces the file naming convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Hive-layout parquet: one directory per partition-column value."""
+    (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Partition columns come back as real columns; predicates on them
+    prune directories before any file is opened."""
+    return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and optionally sorted) managed table.
+
+    Joins and aggregations keyed on ``bucket_cols`` between tables with
+    the same bucketing skip the exchange entirely; with ``sort_cols`` a
+    sort-merge join also skips the sort."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

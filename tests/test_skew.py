@@ -1,0 +1,44 @@
+"""Salted two-phase aggregation (operators/skew.py)."""
+
+from pyspark.sql import functions as F
+
+from map_v2_etl_spark.operators.skew import salted_agg
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    # pathological skew: 90% of rows share one key
+    rows = [("hot" if i % 10 else f"k{i}", float(i), i) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "v", "i"])
+
+    salted = salted_agg(
+        df,
+        keys=["k"],
+        aggs={
+            "n": ("count", F.lit(1)),
+            "total": ("sum", F.col("v").cast("decimal(20,4)")),
+            "lo": ("min", F.col("v")),
+            "hi": ("max", F.col("v")),
+        },
+        salt_buckets=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(20,4)")).alias("total"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    a = {r.k: (r.n, r.total, r.lo, r.hi) for r in salted.collect()}
+    b = {r.k: (r.n, r.total, r.lo, r.hi) for r in plain.collect()}
+    assert a == b
+    # phase 1 actually fans the hot key out over multiple salt buckets
+    phase1_groups = (
+        df.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col("v"), F.col("i")), F.lit(8)),
+        )
+        .filter(F.col("k") == "hot")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert phase1_groups > 1
