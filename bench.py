@@ -38,10 +38,14 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "asof_join",
+    "range_join",
     "dedup_minhash_pairs",
+    "dedup_clusters",
     "embedding_cosine_topk",
     "text_quality",
     "events_tumbling_window",
+    "events_session_windows",
 ]
 
 

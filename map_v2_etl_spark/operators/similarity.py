@@ -156,6 +156,72 @@ def lsh_cosine_topk(
     return _topk_window(scored, k)
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    Codebook: every ``centroid_stride``-th vector (deterministic sample —
+    a k-means refinement would drop in without changing the plan shape).
+    Corpus vectors are assigned to their nearest centroid in ONE pass
+    (broadcast centroids + max_by partial aggregation, no window over the
+    corpus); queries probe their ``nprobe`` nearest centroids and score
+    only vectors in those cells.
+
+    Scale: corpus scoring cost is |corpus| x k_centroids (broadcast, map-
+    side) instead of |corpus| x |queries|; the candidate join is an
+    equi-join on centroid id. With sqrt(N) centroids and nprobe cells the
+    scored fraction is ~nprobe/sqrt(N) of brute force. Recall depends on
+    the similarity structure; asserted against the exact twin in tests.
+    """
+    from ..sources.registry import widen_partitions
+
+    c = widen_partitions(corpus).select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
+    )
+    cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+    # nearest centroid per corpus vector: broadcast cross + max_by — a
+    # single partial-aggregated pass, deterministic tie-break on cent_id
+    c_scored = c.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", cosine_similarity(F.col("nn_vec"), F.col("cent_vec"))
+    )
+    assign = c_scored.groupBy("nn_id").agg(
+        F.max_by("cent_id", F.struct("cs", "cent_id")).alias("cent_id")
+    )
+    cells = c.join(assign, "nn_id")
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", cosine_similarity(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", "cent_id")
+    )
+
+    scored = (
+        probes.join(cells, "cent_id")
+        .filter(F.col("nn_id") != F.col("q_id"))
+        .withColumn(
+            "cosine", cosine_similarity(F.col("q_vec"), F.col("nn_vec"))
+        )
+    )
+    return _topk_window(scored, k)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

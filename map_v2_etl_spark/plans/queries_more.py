@@ -448,6 +448,78 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synth_media(docs))
 
 
+@query("embedding_ivf_topk", None, tags=["similarity", "ann", "ivf"])
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (operators/similarity.
+    ivf_cosine_topk): coarse-quantize the corpus into centroid cells,
+    probe nprobe cells per query. Approximate by construction -> rows-only
+    check; recall vs the exact twin asserted in tests/test_similarity.py."""
+    from ..operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_cosine_topk(emb, qs, k=5, centroid_stride=10, nprobe=4)
+
+
+@query(
+    "text_posexplode",
+    "SELECT doc_id, CAST(i AS INTEGER) AS pos, w[i + 1] AS tok FROM "
+    r"(SELECT doc_id, string_split_regex(trim(text), '\s+') AS w "
+    "FROM documents WHERE length(trim(text)) > 0) t, "
+    "LATERAL unnest(range(len(t.w))) AS u(i)",
+    tags=["text", "explode", "lateral"],
+)
+def q_text_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral view / posexplode: token table with positions (the
+    tokenize-with-offsets shape every text pipeline needs)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    )
+
+
+@query(
+    "stats_agg",
+    "SELECT l_returnflag, COUNT(*) AS n, "
+    "CAST(SUM(qi) AS DOUBLE) / COUNT(*) AS mean_qty, "
+    "(CAST(SUM(qi * qi) AS DOUBLE) - CAST(SUM(qi) AS DOUBLE) * CAST(SUM(qi) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1) AS var_qty, "
+    "(CAST(SUM(qi * di) AS DOUBLE) - CAST(SUM(qi) AS DOUBLE) * CAST(SUM(di) AS DOUBLE) / COUNT(*)) / "
+    "SQRT((CAST(SUM(qi * qi) AS DOUBLE) - CAST(SUM(qi) AS DOUBLE) * CAST(SUM(qi) AS DOUBLE) / COUNT(*)) * "
+    "(CAST(SUM(di * di) AS DOUBLE) - CAST(SUM(di) AS DOUBLE) * CAST(SUM(di) AS DOUBLE) / COUNT(*))) AS corr_qty_disc "
+    "FROM (SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS qi, "
+    "CAST(ROUND(l_discount * 100) AS BIGINT) AS di FROM lineitem) "
+    "GROUP BY l_returnflag",
+    tags=["agg", "stats"],
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean/variance/correlation) via explicit
+    integer-sum formulas: quantity and discount are integer-quantized, so
+    SUM/SUM-of-squares are exact BIGINTs and every engine derives
+    identical doubles. (Built-in stddev/corr use Welford-style updates
+    whose rounding is engine-specific — fine in practice, but they would
+    fail a bit-exact cross-engine hash.)"""
+    li = load_table(spark, "lineitem", sf_dir)
+    qi = F.round(F.col("l_quantity")).cast("bigint")
+    di = F.round(F.col("l_discount") * 100).cast("bigint")
+    base = li.select("l_returnflag", qi.alias("qi"), di.alias("di"))
+    n = F.count("*")
+    s_q, s_qq = F.sum("qi").cast("double"), F.sum(F.col("qi") * F.col("qi")).cast("double")
+    s_d, s_dd = F.sum("di").cast("double"), F.sum(F.col("di") * F.col("di")).cast("double")
+    s_qd = F.sum(F.col("qi") * F.col("di")).cast("double")
+    var_q = (s_qq - s_q * s_q / n) / (n - 1)
+    corr = (s_qd - s_q * s_d / n) / F.sqrt(
+        (s_qq - s_q * s_q / n) * (s_dd - s_d * s_d / n)
+    )
+    return base.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        (s_q / n).alias("mean_qty"),
+        var_q.alias("var_qty"),
+        corr.alias("corr_qty_disc"),
+    )
+
+
 # --------------------------------------------------------------------------
 # sessionization + stateful streaming
 # --------------------------------------------------------------------------

@@ -42,6 +42,26 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert len(approx_set) <= len(exact_set)
 
 
+def test_ivf_topk_recall_and_probe_bound(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = S.cosine_topk(emb, qs, k=5).collect()
+    approx = S.ivf_cosine_topk(
+        emb, qs, k=5, centroid_stride=10, nprobe=8
+    ).collect()
+    exact_set = {(r["q_id"], r["nn_id"]) for r in exact}
+    approx_set = {(r["q_id"], r["nn_id"]) for r in approx}
+    # uniform-random data is the IVF worst case too (cells barely
+    # correlate with the true neighbors); nprobe=8 of ~N/10 cells must
+    # still recover a meaningful share and never exceed k per query
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3
+    per_q = {}
+    for q_id, nn in approx_set:
+        per_q[q_id] = per_q.get(q_id, 0) + 1
+    assert max(per_q.values()) <= 5
+
+
 def test_near_dup_pairs_empty_below_threshold(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     out = S.embedding_near_dup_pairs(emb, threshold=0.95)
