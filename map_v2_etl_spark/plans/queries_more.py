@@ -448,6 +448,82 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synth_media(docs))
 
 
+@query(
+    "pivot_builtin",
+    "SELECT o_custkey, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = {y} "
+        f"THEN CAST(o_totalprice AS DECIMAL(20,4)) END) AS DOUBLE) AS total_{y}"
+        for y in range(1995, 2002)
+    )
+    + " FROM orders GROUP BY o_custkey",
+    tags=["A1", "pivot", "builtin"],
+)
+def q_pivot_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same long->wide pivot via Spark's native groupBy().pivot() with
+    EXPLICIT values (no extra distinct-values job, deterministic schema) —
+    the alternative formulation to pivot_wide's conditional aggregates.
+    Catalyst compiles both to one hash aggregation."""
+    years = list(range(1995, 2002))
+    o = load_table(spark, "orders", sf_dir).withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    wide = (
+        o.groupBy("o_custkey")
+        .pivot("yr", years)
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double")
+        )
+    )
+    return wide.select(
+        "o_custkey", *[F.col(str(y)).alias(f"total_{y}") for y in years]
+    )
+
+
+@query(
+    "unpivot_melt",
+    "SELECT metric, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS metric, {c} AS value FROM lineitem"
+        for c in ["l_quantity", "l_discount", "l_tax"]
+    )
+    + ") GROUP BY metric",
+    tags=["unpivot", "melt"],
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt (unpivot) + aggregation — the inverse of the pivot
+    operator, used by the extents path (SURVEY §2.4 A5)."""
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    li = load_table(spark, "lineitem", sf_dir).select(*cols)
+    melted = li.unpivot([], cols, "metric", "value")
+    return melted.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "map_funcs",
+    "SELECT doc_id, m['lang'][1] AS lang_val, "
+    "array_to_string(list_sort(map_keys(m)), ',') AS keys_str "
+    "FROM (SELECT doc_id, MAP {'lang': lang, 'source': source} AS m "
+    "FROM documents)",
+    tags=["scalar", "map"],
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: create_map, element_at, map_keys."""
+    docs = load_table(spark, "documents", sf_dir)
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_val"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_str"),
+    )
+
+
 @query("embedding_ivf_topk", None, tags=["similarity", "ann", "ivf"])
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (operators/similarity.

@@ -121,3 +121,46 @@ def run_stream_on_parquet(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_to_parquet(
+    spark: SparkSession,
+    parquet_in: str,
+    transform,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Production-shaped file sink: stream -> transform -> parquet with a
+    checkpoint. ``availableNow`` drains everything currently in the
+    source then stops — the batch-backfill trigger; a live deployment
+    drops the trigger and keeps the same checkpointed query running.
+    Exactly-once into the sink comes from the checkpoint + file-sink
+    manifest, surviving restarts."""
+    batch_df = spark.read.parquet(parquet_in)
+    schema = batch_df.schema
+    if os.path.isfile(parquet_in):
+        staged = tempfile.mkdtemp(prefix="m2e_stream_")
+        os.symlink(
+            os.path.abspath(parquet_in),
+            os.path.join(staged, os.path.basename(parquet_in)),
+        )
+        parquet_in = staged
+    stream = spark.readStream.schema(schema).parquet(parquet_in)
+    from pyspark.sql import types as T
+
+    for f in schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+    q = (
+        transform(stream)
+        .writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
