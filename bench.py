@@ -53,10 +53,24 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+WARMUP_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001"
+)
+
+
 def main() -> None:
     spark = get_spark("m2e-bench")
-    # warmup: spin up executors + codegen on a trivial plan
+    # warmup: run every headline plan once at the smallest SF so JVM
+    # spin-up, codegen compilation, and JIT are not billed to the
+    # measured run — measurements then reflect steady-state throughput
     force(spark.range(1000).selectExpr("sum(id) as s"))
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is not None:
+            try:
+                force(spec.fn(spark, WARMUP_SF_DIR))
+            except Exception:
+                pass  # warmup is best-effort
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

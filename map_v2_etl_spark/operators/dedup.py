@@ -327,13 +327,32 @@ def dup_clusters(
 
     Edges come from the exact n-gram Jaccard join (``exact=True``, the
     oracle-checkable path) or MinHash-LSH candidates (the 100 TB path —
-    identical output whenever LSH recall holds)."""
+    identical output whenever LSH recall holds).
+
+    The iterative CC runs only over vertices that appear in an edge —
+    docs in no near-dup pair are singleton clusters by definition and
+    join back afterwards, so label propagation touches |dup docs| rows,
+    not |corpus| rows."""
     pair_fn = jaccard_pairs if exact else minhash_lsh_pairs
-    pairs = pair_fn(df, threshold, id_col=id_col, text_col=text_col, n=n)
-    return connected_components(
-        df.select(F.col(id_col)), pairs, id_col=id_col,
-        src_col="id_a", dst_col="id_b",
-    ).select(F.col("id").alias(id_col), "cluster")
+    pairs = pair_fn(
+        df, threshold, id_col=id_col, text_col=text_col, n=n
+    ).persist()
+    edge_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(
+        edge_ids, pairs, id_col="id", src_col="id_a", dst_col="id_b"
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

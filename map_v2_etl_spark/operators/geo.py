@@ -191,3 +191,80 @@ def per_tile_topk(
 def numeric_geoid(geoid: Column) -> Column:
     """`id = Number(GEOID)` (F7, /root/reference/build.sh:113,140)."""
     return geoid.try_cast("long")
+
+
+# --------------------------------------------------------------------------
+# polygon simplification (G2) — tippecanoe --simplification in-engine
+# --------------------------------------------------------------------------
+
+def _perp_dist(p, a, b) -> float:
+    """Distance from p to segment line a-b (degenerate -> point dist)."""
+    (px, py), (ax, ay), (bx, by) = p, a, b
+    dx, dy = bx - ax, by - ay
+    norm = math.hypot(dx, dy)
+    if norm == 0:
+        return math.hypot(px - ax, py - ay)
+    return abs(dx * (ay - py) - dy * (ax - px)) / norm
+
+
+def _dp_ring(points: list, eps: float) -> list:
+    """Iterative Douglas-Peucker over an open point list."""
+    if len(points) < 3:
+        return list(points)
+    keep = [False] * len(points)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(points) - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        best_i, best_d = -1, -1.0
+        for i in range(lo + 1, hi):
+            d = _perp_dist(points[i], points[lo], points[hi])
+            if d > best_d:
+                best_i, best_d = i, d
+        if best_d > eps:
+            keep[best_i] = True
+            stack.append((lo, best_i))
+            stack.append((best_i, hi))
+    return [p for p, k in zip(points, keep) if k]
+
+
+def simplify_py(geojson_geom: str, tolerance: float) -> str | None:
+    """Douglas-Peucker simplification of a GeoJSON geometry string
+    (the in-engine replacement for tippecanoe --simplification,
+    /root/reference/build.sh:148-152). Rings keep closure and at least
+    4 points (degenerate results fall back to the original ring)."""
+    if not geojson_geom:
+        return None
+    g = json.loads(geojson_geom)
+    t = g.get("type")
+
+    def ring(r):
+        closed = r[0] == r[-1]
+        open_pts = r[:-1] if closed else r
+        out = _dp_ring(open_pts + [open_pts[0]], tolerance)
+        if len(out) < 4:
+            return r
+        return out[:-1] + [out[0]] if not closed else out
+
+    if t == "Polygon":
+        g["coordinates"] = [ring(r) for r in g["coordinates"]]
+    elif t == "MultiPolygon":
+        g["coordinates"] = [
+            [ring(r) for r in poly] for poly in g["coordinates"]
+        ]
+    elif t == "LineString":
+        out = _dp_ring(g["coordinates"], tolerance)
+        g["coordinates"] = out if len(out) >= 2 else g["coordinates"]
+    return json.dumps(g, separators=(",", ":"))
+
+
+def simplify_geometry(tolerance: float):
+    """Arrow-batched geometry simplification UDF factory."""
+
+    @F.pandas_udf(T.StringType())
+    def _simplify(geom: pd.Series) -> pd.Series:
+        return geom.map(lambda g: simplify_py(g, tolerance))
+
+    return _simplify

@@ -133,9 +133,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> duplicate CLUSTERS via iterative min-label
     connected components (operators/dedup.connected_components); the
     oracle computes the same closure with a recursive CTE. Every doc gets
-    a cluster id = min doc_id of its component."""
+    a cluster id = min doc_id of its component. Edges come from the
+    MinHash-LSH scale path — output equals the exact-Jaccard closure
+    whenever LSH recall holds (same argument, and same oracle, as
+    dedup_minhash_pairs)."""
     docs = load_table(spark, "documents", sf_dir)
-    return D.dup_clusters(docs, threshold=0.8)
+    return D.dup_clusters(docs, threshold=0.8, exact=False)
 
 
 @query("simhash_fingerprints", _DUCK_SIMHASH_FPS, tags=["dedup", "simhash"])

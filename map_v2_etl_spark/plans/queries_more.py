@@ -634,6 +634,66 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_resample_gapfill",
+    "WITH b AS (SELECT to_timestamp(floor(epoch(MIN(ts)) / 300) * 300) AS lo, "
+    "to_timestamp(floor(epoch(MAX(ts)) / 300) * 300) AS hi FROM events), "
+    "grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS ws "
+    "FROM b), "
+    "types AS (SELECT DISTINCT event_type FROM events), "
+    "c AS (SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS ws, "
+    "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2) "
+    "SELECT CAST(g.ws AS TIMESTAMP) AS window_start, t.event_type, "
+    "COALESCE(c.n, 0) AS n_events FROM grid g CROSS JOIN types t "
+    "LEFT JOIN c ON c.ws = g.ws AND c.event_type = t.event_type",
+    tags=["timeseries", "gapfill"],
+)
+def q_events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense resample: fixed 5-min windows x all event types with explicit
+    zero rows for silent windows (operators/timeseries.resample_gapfill).
+    Grid built with sequence()+explode, no driver loop."""
+    from ..operators.timeseries import resample_gapfill
+
+    ev = load_table(spark, "events", sf_dir)
+    return resample_gapfill(ev, window_sec=300)
+
+
+@query("geo_simplify", None, tags=["geo", "simplification"])
+def q_geo_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker polygon simplification (G2 — tippecanoe
+    --simplification in-engine) over synthetic sawtooth polygons; pure-
+    Python geometry under an Arrow-batched UDF -> rows-only; exactness
+    covered in tests/test_geo_pipeline.py."""
+    from ..operators.geo import simplify_geometry
+
+    n = load_table(spark, "nation", sf_dir)
+    # sawtooth square around each nation key: extra collinear points that
+    # a tolerance of 0.5 must remove
+    k = F.col("n_nationkey").cast("double")
+    coords = F.concat_ws(
+        ",",
+        *[
+            F.format_string("[%s,%s]", (k + dx).cast("string"), (k + dy).cast("string"))
+            for dx, dy in [
+                (0.0, 0.0), (1.0, 0.01), (2.0, 0.0), (2.0, 1.0),
+                (2.0, 2.0), (1.0, 2.0), (0.0, 2.0), (0.0, 1.0), (0.0, 0.0),
+            ]
+        ],
+    )
+    sq = n.select(
+        "n_nationkey",
+        F.concat(
+            F.lit('{"type":"Polygon","coordinates":[['),
+            coords,
+            F.lit("]]}"),
+        ).alias("geometry"),
+    )
+    return sq.select(
+        "n_nationkey",
+        simplify_geometry(0.5)(F.col("geometry")).alias("simplified"),
+    )
+
+
 @query("events_stateful_running", None, tags=["streaming", "stateful"])
 def q_events_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): runs a

@@ -70,6 +70,33 @@ def test_interior_point_passthrough_and_null():
     assert interior_point_py(geom("LineString", [[0, 0], [1, 1]])) is None
 
 
+def test_simplify_removes_near_collinear_points():
+    from map_v2_etl_spark.operators.geo import simplify_py
+
+    saw = [[[0.0, 0.0], [1.0, 0.01], [2.0, 0.0], [2.0, 1.0], [2.0, 2.0],
+            [1.0, 2.0], [0.0, 2.0], [0.0, 1.0], [0.0, 0.0]]]
+    out = json.loads(simplify_py(geom("Polygon", saw), 0.5))
+    # near-collinear and exactly-collinear midpoints all drop
+    assert out["coordinates"][0] == [
+        [0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]
+    ]
+    # tolerance 0 keeps genuinely non-collinear points
+    out0 = json.loads(simplify_py(geom("Polygon", saw), 0.0))
+    assert [1.0, 0.01] in out0["coordinates"][0]
+    # ring stays closed and valid
+    r = out["coordinates"][0]
+    assert r[0] == r[-1] and len(r) >= 4
+
+
+def test_simplify_preserves_degenerate_rings():
+    from map_v2_etl_spark.operators.geo import simplify_py
+
+    tri = [[[0.0, 0.0], [1.0, 0.0], [0.5, 0.1], [0.0, 0.0]]]
+    out = json.loads(simplify_py(geom("Polygon", tri), 10.0))
+    # over-aggressive tolerance would collapse below 4 points -> keep orig
+    assert out["coordinates"][0] == tri[0]
+
+
 # --------------------------------------------------------------------------
 # tile keys (G3) + per-tile top-k (O3) + numeric GEOID (F7)
 # --------------------------------------------------------------------------
