@@ -294,6 +294,152 @@ def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_range_frame",
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER "
+    "(PARTITION BY o_custkey ORDER BY days "
+    "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d, "
+    "FIRST_VALUE(o_orderkey) OVER w AS first_key, "
+    "LAST_VALUE(o_orderkey) OVER "
+    "(PARTITION BY o_custkey ORDER BY days, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key, "
+    "NTH_VALUE(o_orderkey, 2) OVER "
+    "(PARTITION BY o_custkey ORDER BY days, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key "
+    "FROM (SELECT *, DATEDIFF('day', TIMESTAMP '1990-01-01 00:00:00', "
+    "o_orderdate) AS days FROM orders) "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY days, o_orderkey)",
+    tags=["window", "range-frame"],
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based sliding window — 30-day rolling sum) plus
+    first/last/nth_value over explicit ROWS frames (SURVEY §2.5)."""
+    o = load_table(spark, "orders", sf_dir).withColumn(
+        "days", F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+    )
+    w_range = (
+        W.partitionBy("o_custkey").orderBy("days").rangeBetween(-30, 0)
+    )
+    w_rows = W.partitionBy("o_custkey").orderBy("days", "o_orderkey")
+    w_full = w_rows.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+        .over(w_range)
+        .cast("double")
+        .alias("rolling_30d"),
+        F.first("o_orderkey").over(w_rows).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+    )
+
+
+@query(
+    "grouping_sets",
+    "SELECT EXTRACT(YEAR FROM o_orderdate) AS yr, o_orderstatus, "
+    "COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total, "
+    "CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate)) AS INTEGER) AS g_yr, "
+    "CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st "
+    "FROM orders GROUP BY GROUPING SETS "
+    "((EXTRACT(YEAR FROM o_orderdate)), (o_orderstatus), ())",
+    tags=["agg", "grouping-sets"],
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers through the SQL
+    entry point (rollup/cube cover the shorthand forms)."""
+    o = load_table(spark, "orders", sf_dir)
+    view = "orders_gs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT YEAR(o_orderdate) AS yr, o_orderstatus, COUNT(*) AS n, "
+        f"CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total, "
+        f"CAST(GROUPING(YEAR(o_orderdate)) AS INT) AS g_yr, "
+        f"CAST(GROUPING(o_orderstatus) AS INT) AS g_st "
+        f"FROM {view} GROUP BY GROUPING SETS "
+        f"((YEAR(o_orderdate)), (o_orderstatus), ())"
+    )
+
+
+@query(
+    "median_quartiles",
+    "SELECT l_returnflag, "
+    "quantile_cont(l_extendedprice, 0.5) AS median_price, "
+    "quantile_cont(l_extendedprice, 0.25) AS p25, "
+    "quantile_cont(l_extendedprice, 0.75) AS p75 "
+    "FROM lineitem GROUP BY l_returnflag",
+    tags=["agg", "median"],
+)
+def q_median_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + quartiles — exact R-7 percentile (same interpolation as
+    quantile_cont / d3.quantile; SURVEY §2.4 A4 applied at 0.25/0.5/0.75)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("p75"),
+    )
+
+
+@query(
+    "string_funcs2",
+    "SELECT p_partkey, "
+    "regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred, "
+    "translate(p_brand, '#', 'B') AS brand_t, "
+    "lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad, "
+    "split_part(p_type, ' ', 1) AS type_head, "
+    "strpos(p_name, 'a') AS a_pos, "
+    "reverse(p_brand) AS brand_rev, "
+    "levenshtein(p_brand, reverse(p_brand)) AS lev_palin "
+    "FROM part",
+    tags=["scalar", "string"],
+)
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second wave of string scalars: regexp_replace, translate, lpad,
+    split_part, instr/strpos, reverse, levenshtein — all JVM-side."""
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("starred"),
+        F.translate("p_brand", "#", "B").alias("brand_t"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.instr(F.col("p_name"), "a").alias("a_pos"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.levenshtein(F.col("p_brand"), F.reverse("p_brand")).alias(
+            "lev_palin"
+        ),
+    )
+
+
+@query(
+    "group_zscore",
+    "WITH b AS (SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS qi "
+    "FROM lineitem), "
+    "s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(qi) AS sq, "
+    "SUM(qi * qi) AS sqq FROM b GROUP BY l_returnflag) "
+    "SELECT b.l_returnflag, b.qi, "
+    "CASE WHEN s.n > 1 AND (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) > 0 "
+    "THEN (qi - CAST(sq AS DOUBLE) / n) / "
+    "SQRT((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / (n - 1)) "
+    "ELSE 0.0 END AS zscore "
+    "FROM b JOIN s USING (l_returnflag)",
+    tags=["applyInPandas", "groups"],
+)
+def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via applyInPandas (operators/groups.py) — the
+    Arrow per-group escape hatch, kept integer-exact so the pandas result
+    hash-matches the SQL formula."""
+    from ..operators.groups import group_zscore
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", F.round("l_quantity").cast("bigint").alias("qi")
+    )
+    return group_zscore(li, "l_returnflag", "qi")
+
+
 # --------------------------------------------------------------------------
 # JSON / array scalar surface (SURVEY §2.8 extension)
 # --------------------------------------------------------------------------

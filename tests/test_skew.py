@@ -42,3 +42,16 @@ def test_salted_agg_equals_plain_groupby(spark):
         .count()
     )
     assert phase1_groups > 1
+
+
+def test_group_zscore_edges(spark):
+    from map_v2_etl_spark.operators.groups import group_zscore
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 7), ("c", 5), ("c", 5)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {(r.k, r.v, round(r.zscore, 9)) for r in
+           group_zscore(df, "k", "v").collect()}
+    assert ("a", 2, 0.0) in got
+    assert ("a", 1, -1.0) in got and ("a", 3, 1.0) in got
+    assert ("b", 7, 0.0) in got          # singleton group -> 0
+    assert ("c", 5, 0.0) in got          # zero-variance group -> 0
