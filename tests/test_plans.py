@@ -1,0 +1,70 @@
+"""Plan contracts: the physical-plan properties the engine's scale story
+depends on. If a refactor silently turns a broadcast join into a shuffle
+join or un-pushes a filter, these fail — the plan IS the product."""
+
+import pytest
+
+from map_v2_etl_spark.plans.registry import REGISTRY, all_queries
+
+all_queries()
+
+
+def plan_of(name, spark, sf_dir):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_attr_join_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of("attr_join", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pivot_is_single_shuffle(spark, sf_dir):
+    plan = plan_of("pivot_wide", spark, sf_dir)
+    assert plan.count("Exchange") == 1
+
+
+def test_tpch_q3_filters_reach_the_scan(spark, sf_dir):
+    plan = plan_of("tpch_q3", spark, sf_dir)
+    scan_parts = [p for p in plan.split("FileScan") if "PushedFilters" in p]
+    assert scan_parts, plan
+    pushed = " ".join(p.split("PushedFilters:")[1][:300] for p in scan_parts)
+    # the date predicates must appear as pushed scan filters, not row filters
+    assert "o_orderdate" in pushed or "l_shipdate" in pushed
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    plan = plan_of("rename_project", spark, sf_dir)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    # unprojected columns must not be read
+    assert "l_extendedprice" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_sort_limit_avoids_global_sort(spark, sf_dir):
+    plan = plan_of("sort_limit", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_never_nested_loop(spark, sf_dir):
+    plan = plan_of("asof_join", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_stays_in_codegen(spark, sf_dir):
+    # codegen spans only appear once AQE finalizes -> execute first
+    df = REGISTRY["tpch_q1"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" marks whole-stage-codegen stages in the plan string; both
+    # the partial and final aggregate must carry it
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+@pytest.mark.parametrize("name", ["tpch_q5", "tpch_q14", "tpch_q18"])
+def test_join_chains_broadcast_their_dims(spark, sf_dir, name):
+    plan = plan_of(name, spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
