@@ -75,10 +75,16 @@ def column_extents(
             F.percentile_approx(col, F.lit(q_high), F.lit(10000)),
         )
 
+    def nan_safe(v):
+        # d3.min/max/quantile DROP NaN (extract-extents.js:24-27); Spark
+        # sorts NaN greatest, so max/q99 would return NaN. NaN -> null:
+        # every agg ignores nulls, reproducing the drop exactly.
+        return F.when(~F.isnan(v), v)
+
     if layout == "wide":
         aggs = []
         for c in metric_cols:
-            v = F.col(c).try_cast("double")
+            v = nan_safe(F.col(c).try_cast("double"))
             ql, qh = quantiles(v)
             aggs += [
                 F.min(v).alias(f"{c}__min"),
@@ -104,7 +110,7 @@ def column_extents(
     # melt: unpivot keeps one scan; values try_cast to double — blanks and
     # junk become null (ANSI-safe), matching the reference's isNaN-drop
     melted = wide_df.select(
-        [F.col(c).try_cast("double").alias(c) for c in metric_cols]
+        [nan_safe(F.col(c).try_cast("double")).alias(c) for c in metric_cols]
     ).unpivot([], metric_cols, "id", "value")
     ql, qh = quantiles(F.col("value"))
     agg = melted.groupBy("id").agg(

@@ -20,6 +20,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
+def cogroup_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Pandas twin of operators/joins.asof_join, built on
+    ``groupBy().cogroup().applyInPandas``: each key's (left, right)
+    partitions arrive as two pandas frames and merge with
+    ``pd.merge_asof``. Same output contract as the JVM formulation
+    (asserted equal in tests) — use this shape when the per-key logic
+    outgrows what window functions express (model-based matching,
+    tolerance curves, per-key calibration).
+    """
+    fields = list(left.schema.fields)
+    fields.append(
+        T.StructField(f"{right_ts}_right", right.schema[right_ts].dataType, True)
+    )
+    for c in right_cols:
+        fields.append(T.StructField(c, right.schema[c].dataType, True))
+    schema = T.StructType(fields)
+    left_cols = left.columns
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=[f.name for f in fields])
+        l = l.sort_values(left_ts, kind="mergesort")
+        r2 = (
+            r[[right_ts] + right_cols]
+            .rename(columns={right_ts: f"{right_ts}_right"})
+            .sort_values(f"{right_ts}_right", kind="mergesort")
+        )
+        out = pd.merge_asof(
+            l, r2,
+            left_on=left_ts, right_on=f"{right_ts}_right",
+            direction="backward",
+        )
+        return out[[f.name for f in fields]]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(merge, schema)
+    )
+
+
 def group_zscore(
     df: DataFrame,
     key_col: str,

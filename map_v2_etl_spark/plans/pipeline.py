@@ -99,14 +99,29 @@ def run_region(
     geojson_path: str | None = None,
     years: list[str] | None = None,
     build_extents: bool = True,
-) -> dict[str, str]:
-    """Full region build: wide CSV, extents CSV, tile-ready GeoJSONL."""
-    outputs: dict[str, str] = {}
+) -> dict[str, object]:
+    """Full region build: wide CSV, extents CSV, tile-ready GeoJSONL.
+
+    Returns output paths plus ``_metrics`` (row/null counts) gathered via
+    ``df.observe`` — zero-cost accumulators riding the job, replacing the
+    reference's 10-second driver progress ticks
+    (/root/reference/scripts/shape-data.js:22,87-95, SURVEY §2.8 F5)."""
+    from pyspark.sql import Observation
+
+    outputs: dict[str, object] = {}
     wide = build_wide(spark, long_csv, dataset_type, years)
+
+    obs = Observation("wide_build")
+    wide = wide.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.when(F.col("pl") == "United States", 1)).alias("pl_filled"),
+    )
 
     wide_path = os.path.join(out_dir, "data.wide.csv")
     write_sorted_csv(wide, wide_path, ["GEOID"])
     outputs["wide"] = wide_path
+    outputs["_metrics"] = obs.get
 
     if build_extents:
         ext_path = os.path.join(out_dir, "extents.csv")

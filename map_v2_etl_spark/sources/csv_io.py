@@ -76,16 +76,22 @@ def write_csv_dir(df: DataFrame, path: str, sort_cols: list[str], compression: s
 def write_sorted_csv(df: DataFrame, path: str, sort_cols: list[str] | None):
     """Compatibility sink: one CSV file, header, globally sorted rows.
 
-    coalesce(1) after the sort keeps the plan parallel until the final
-    write; only appropriate for outputs that fit one file by design.
+    Coalesce to ONE partition first, then sortWithinPartitions: for a
+    single partition that is a total order, and it avoids orderBy's
+    range-partition sampling pass, which re-evaluates the whole child
+    plan (doubling observe() metrics and any non-deterministic work).
+    Only appropriate for outputs that fit one file by design.
     ``sort_cols=None`` preserves the DataFrame's existing order (for plans
     that already end in an orderBy, e.g. extents' input-column order).
     """
     tmp = tempfile.mkdtemp(prefix="m2e_csv_")
     try:
         (
-            (df.orderBy(*sort_cols) if sort_cols else df)
-            .coalesce(1)
+            (
+                df.coalesce(1).sortWithinPartitions(*sort_cols)
+                if sort_cols
+                else df.coalesce(1)
+            )
             .write.mode("overwrite")
             .option("header", True)
             .csv(tmp)

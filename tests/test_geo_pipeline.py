@@ -194,6 +194,10 @@ def test_run_region_end_to_end(spark, tmp_path):
     assert by_id["03"]["p-01"] == "300.0"
     assert "unmapped_col" not in rows[0]       # silently dropped
 
+    # observe() metrics rode the job (F5 progress-tick replacement)
+    assert outputs["_metrics"]["rows"] == 3
+    assert outputs["_metrics"]["pl_filled"] == 1
+
     # --- extents CSV: header, input column order, R-7 quantiles ---
     with open(outputs["extents"]) as f:
         ext = list(csv.DictReader(f))

@@ -86,6 +86,32 @@ def test_bucketed_range_join_matches_between(spark):
     assert got == want
 
 
+def test_cogroup_asof_matches_jvm_asof(spark, sf_dir):
+    """The pandas cogroup formulation and the union+window JVM
+    formulation implement the same operator — outputs must be equal on
+    real event data."""
+    from map_v2_etl_spark.operators.groups import cogroup_asof
+    from map_v2_etl_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    jvm = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts", ["value"]
+    )
+    pandas_side = cogroup_asof(
+        purchases, clicks, ["user_id"], "ts", "ts", ["value"]
+    )
+    cols = ["event_id", "user_id", "ts", "ts_right", "value"]
+    a = {tuple(r[c] for c in cols) for r in jvm.collect()}
+    b = {tuple(r[c] for c in cols) for r in pandas_side.collect()}
+    assert a == b
+
+
 def test_connected_components(spark):
     """Chain, triangle, and singletons resolve to min-id clusters."""
     from map_v2_etl_spark.operators.dedup import connected_components

@@ -53,6 +53,19 @@ def test_extents_match_numpy_r7(values):
     assert row["min"] <= row["q1"] <= row["q99"] <= row["max"]
 
 
+def test_extents_drop_nan_like_d3():
+    """Spark sorts NaN greatest; d3 drops it — extents must drop."""
+    df = _spark.createDataFrame(
+        [(1.0,), (float("nan"),), (3.0,), (None,)], ["m"]
+    )
+    for layout in ("wide", "melt"):
+        row = column_extents(df, exclude=(), layout=layout).collect()[0]
+        assert row["min"] == 1.0
+        assert row["max"] == 3.0          # NaN would win without the guard
+        assert math.isclose(row["q99"], 2.98)  # R-7 over [1, 3] at 0.99
+        assert not math.isnan(row["q1"])
+
+
 @settings(
     max_examples=10, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
