@@ -12,18 +12,33 @@ Semantics reproduced from /root/reference/scripts/shape-data.js:
     shape-data.js:96-101)
   * name/parent_location are year-invariant (shape-data.js:19,35-38)
 
-Spark-first design: ONE hash aggregation keyed on GEOID with a conditional
-``max_by`` per (metric, year) cell — a single shuffle, map-side partial
-aggregation, no driver-side accumulation (the reference holds the whole
-wide table in a 4 GB Node heap, /root/reference/build.sh:80). File order is
-captured as ``monotonically_increasing_id()`` at scan time so
-last-write-wins is deterministic under parallel read. The wide schema is
-total and deterministic (all metrics x all years), fixing the reference's
-first-row-derived-header quirk (SURVEY.md §1.4) — a documented improvement.
+Spark-first design, two cheap aggregations instead of |columns| conditional
+ones (measured at reference scale — 240k places x 19 years x 30 metrics =
+4.56M long rows, 573 wide columns, local[32]):
 
-At 100 TB scale: the groupBy shuffles ~once over the long table; cells
-collapse map-side (partial max_by), so shuffle volume is bounded by
-|places| x |columns|, not input rows. No pivotMaxValues concerns (19 keys).
+  1. row-level last-write-wins per (GEOID, yy): ONE ``max_by`` over a
+     struct of all metric columns (file order captured as
+     ``monotonically_increasing_id()`` at scan, so LWW is deterministic
+     under parallel read);
+  2. ``groupBy(GEOID).pivot(yy, <explicit years>)`` with ``first(struct)``
+     — Spark's PivotFirst indexes the pivot key directly, one evaluation
+     per row; then a pure projection flattens struct fields to
+     ``{short}-{yy}`` columns.
+
+The naive formulation (570 ``max_by(when(yy=y, col), when(yy=y, ord))``
+aggregates in one groupBy) evaluates |rows| x |columns| x 2 conditionals —
+~5 BILLION expression evaluations at the scale above, 164s wall-clock;
+this formulation does ~35 evaluations per row and runs the same build in
+a fraction of that (see docs/SCALE.md). No driver-side accumulation
+anywhere (the reference holds the whole wide table in a 4 GB Node heap,
+/root/reference/build.sh:80). The wide schema is total and deterministic
+(all metrics x all years), fixing the reference's first-row-derived-header
+quirk (SURVEY.md §1.4) — a documented improvement.
+
+At 100 TB scale: two shuffles — (GEOID, yy) then GEOID — each with
+map-side partial aggregation, shuffle volume bounded by
+|places| x |years| rows of structs. The identity columns (n, pl) take
+their global-LWW values through the same aggregates.
 """
 
 from __future__ import annotations
@@ -74,25 +89,47 @@ def pivot_long_to_wide(
         )
         .otherwise(F.col(col_map_inv_name(col_map, "pl")))
         .alias("pl"),
-        *[F.col(metric_srcs[s]).alias(s) for s in metric_shorts],
+        F.struct(*[F.col(metric_srcs[s]).alias(s) for s in metric_shorts])
+        .alias("__s"),
         F.col(ORDER_COL),
     )
 
     ordc = F.col(ORDER_COL)
-    aggs: list[Column] = [
+    # stage 1: row-level last-write-wins per (place, year) — one struct
+    # max_by; identity columns ride along with their per-year last values
+    lww = base.groupBy("GEOID", "yy").agg(
+        _last_by_order(F.col("__s"), ordc).alias("__s"),
         _last_by_order(F.col("n"), ordc).alias("n"),
         _last_by_order(F.col("pl"), ordc).alias("pl"),
-    ]
-    for s in metric_shorts:
-        for yy in yys:
-            cond = F.col("yy") == yy
-            aggs.append(
-                F.max_by(
-                    F.when(cond, F.col(s)), F.when(cond, ordc)
-                ).alias(f"{s}-{yy}")
-            )
+        F.max(ordc).alias(ORDER_COL),
+    )
 
-    return base.groupBy("GEOID").agg(*aggs)
+    # identity columns take the GLOBAL last row's values (shape-data.js
+    # overwrites name/parent_location on every row of the place)
+    identity = lww.groupBy("GEOID").agg(
+        _last_by_order(F.col("n"), F.col(ORDER_COL)).alias("n"),
+        _last_by_order(F.col("pl"), F.col(ORDER_COL)).alias("pl"),
+    )
+
+    # stage 2: native pivot with explicit values (PivotFirst — no
+    # per-value conditionals), then flatten struct fields by projection
+    wide_structs = (
+        lww.filter(F.col("yy").isin(yys))
+        .groupBy("GEOID")
+        .pivot("yy", yys)
+        .agg(F.first("__s"))
+    )
+    flat = [
+        F.col(f"`{yy}`").getField(s).alias(f"{s}-{yy}")
+        for s in metric_shorts
+        for yy in yys
+    ]
+    # both sides are aggregation outputs partitioned on GEOID -> the join
+    # adds no exchange; left join keeps places whose rows all fall outside
+    # the requested years (they emit all-null metric cells)
+    return identity.join(wide_structs, "GEOID", "left").select(
+        "GEOID", "n", "pl", *flat
+    )
 
 
 def col_map_inv_name(col_map: dict[str, str], short: str) -> str:
