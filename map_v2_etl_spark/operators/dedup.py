@@ -226,27 +226,47 @@ def minhash_lsh_pairs(
     # exact verification restricted to candidates: only docs that appear in
     # a candidate pair are ever re-shingled (candidate ids are a tiny
     # broadcast semi-join on the raw docs; the full corpus never joins at
-    # shingle granularity)
+    # shingle granularity). Verification keeps each candidate doc's shingle
+    # set as ONE array row and computes the intersection with
+    # array_intersect per pair — two equi-joins + a per-row hash-set
+    # intersection, instead of the explode -> (id, shingle) self-join ->
+    # per-pair count aggregation (3 extra shuffles; measured 2.1s -> 0.4s
+    # at sf0.1 where the candidate set is a few hundred pairs). The
+    # candidate-doc set is output-bounded (docs in >= 1 near-dup pair), so
+    # the array rows stay small relative to the corpus at any scale.
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    docs_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sh = _shingle_table(docs_cand, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("s"))
-    common = (
-        cand.join(sa, "id_a").join(sb, ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("c"))
+    # persist is load-bearing, not a cache hint: without it Catalyst's
+    # project-collapse inlines the word_shingles HOF into every downstream
+    # reference (sh_a, sh_b, both sizes, the intersection, the jaccard
+    # expression AND its filter copy), re-evaluating the shingle pipeline
+    # ~8x per row — measured 0.45s -> 19.7s at sf0.1. The persisted set is
+    # output-bounded (only docs in >= 1 candidate pair).
+    sharr = (
+        df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), n).alias("sh"),
+        )
+        .persist()
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    a = sharr.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.size("sh").alias("n_a"),
+    )
+    b = sharr.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.size("sh").alias("n_b"),
+    )
     return (
-        common.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("c", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard", F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
         )
