@@ -766,3 +766,46 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q15",
+    "WITH revenue AS ("
+    f"  SELECT l_suppkey AS supplier_no, SUM({_REV_SQL}) AS total_revenue "
+    "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue "
+    "FROM supplier, revenue WHERE s_suppkey = supplier_no "
+    "AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)",
+    tags=["tpch", "cte", "scalar-max"],
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the classic CREATE VIEW becomes a reused
+    DataFrame (same thing — a named logical plan); the supplier(s)
+    achieving MAX(total_revenue) in one quarter. Revenue stays decimal
+    through the MAX-equality comparison, so ties and the max itself are
+    exact on both engines; only the output column casts to double.
+
+    Scale: the revenue aggregate reduces lineitem to |suppliers| rows
+    before anything else happens; the scalar MAX broadcasts back over
+    it, and the supplier join is a broadcast.
+    """
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue_dec")
+    )
+    top = revenue.agg(F.max("total_revenue_dec").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue_dec") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+    )
