@@ -185,3 +185,135 @@ def q_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_users")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling — the training-data-pipeline splits. Hash-mod
+# sampling (first hex nibble of md5 over a stable key) beats df.sample /
+# TABLESAMPLE for pipeline use: the same row lands in the same split on
+# every run, every engine, every partition layout (df.sample draws from a
+# per-partition seeded RNG — repartition the input and the sample
+# changes). It is also a scan-local filter: no shuffle, pushes the key
+# column read down to parquet, and composes with any downstream operator.
+# ---------------------------------------------------------------------------
+
+def _hex1(key):
+    return F.substring(F.md5(key.cast("string")), 1, 1)
+
+
+@query(
+    "sample_hash",
+    "SELECT doc_id, source, n_chars FROM documents "
+    "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '3'",
+    tags=["sampling", "deterministic", "filter"],
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~3/16 document sample: keep rows whose md5(doc_id)
+    leads with hex 0-2. Same selection on any engine and any partition
+    layout — the property seeded RNG sampling cannot give."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.filter(_hex1(F.col("doc_id")) < "3").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
+    "sample_stratified",
+    "SELECT doc_id, source FROM documents "
+    "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < "
+    "CASE source WHEN 'src0' THEN '8' WHEN 'src1' THEN '4' ELSE '2' END",
+    tags=["sampling", "stratified"],
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum keep rates (src0
+    1/2, src1 1/4, rest 1/8) via a CASE'd hash threshold — the
+    reproducible twin of DataFrame.sampleBy, as one scan-local filter
+    with no shuffle and no RNG state."""
+    d = load_table(spark, "documents", sf_dir)
+    threshold = (
+        F.when(F.col("source") == "src0", F.lit("8"))
+        .when(F.col("source") == "src1", F.lit("4"))
+        .otherwise(F.lit("2"))
+    )
+    return d.filter(_hex1(F.col("doc_id")) < threshold).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "split_train_val_test",
+    "SELECT split, COUNT(*) AS n, SUM(n_chars) AS sum_chars FROM ("
+    "  SELECT CASE WHEN h < 'c' THEN 'train' WHEN h < 'e' THEN 'val' "
+    "  ELSE 'test' END AS split, n_chars FROM ("
+    "    SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h, n_chars "
+    "    FROM documents)) GROUP BY split",
+    tags=["sampling", "split"],
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 12/2/2-of-16 train/val/test assignment from the
+    document id hash — membership is a pure function of the row key, so
+    splits stay disjoint and stable as the corpus grows (a new document
+    never moves an old one between splits)."""
+    d = load_table(spark, "documents", sf_dir)
+    h = _hex1(F.col("doc_id"))
+    split = (
+        F.when(h < "c", F.lit("train"))
+        .when(h < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@query(
+    "histogram_totalprice",
+    "SELECT CAST(FLOOR(o_totalprice / 20000.0) AS INTEGER) AS bucket, "
+    "COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total "
+    "FROM orders GROUP BY bucket",
+    tags=["agg", "histogram", "bucketing"],
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram: bucket = floor(x / width) computed
+    with the identical double expression on both engines. One partial-
+    aggregated shuffle over a tiny bucket domain — the constant-memory
+    way to see a distribution at 100 TB (an ORDER BY to eyeball the same
+    thing would be a full sort)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 20000.0)
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
+    "cross_join_grid",
+    "SELECT r_name, o_orderpriority FROM region CROSS JOIN "
+    "(SELECT DISTINCT o_orderpriority FROM orders)",
+    tags=["join", "cross"],
+)
+def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join building a dense dimension grid (every region
+    x every priority) — the scaffold for gap-free reports. Both sides
+    are tiny aggregates; Spark plans a broadcast nested-loop, which is
+    exactly right here and only here (the plan-contract tests assert
+    the big-table queries never fall into it)."""
+    r = load_table(spark, "region", sf_dir).select("r_name")
+    pr = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderpriority")
+        .distinct()
+    )
+    return r.crossJoin(pr)
