@@ -43,7 +43,12 @@ def get_spark(
         # reader rejects; read as long and convert at the source boundary
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode: the "driver" heap IS the executor heap.
+        # 8g starves 32 concurrent tasks on wide workloads (573-column
+        # parquet writers + pivot buffers -> TASK_WRITE_FAILED); size for
+        # cores x widest-operator working set, not the classic small
+        # cluster-driver heuristic.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if not os.environ.get("SPARK_MASTER"):  # spark-submit may set its own master
         builder = builder.master(f"local[{cpus}]")
