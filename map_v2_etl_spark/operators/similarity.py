@@ -262,3 +262,121 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# k-means clustering + SemDeDup-style semantic dedup
+# --------------------------------------------------------------------------
+
+def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from an array column to a constant centroid.
+
+    The centroid is folded into the plan as literals (like the LSH
+    hyperplanes above): no UDF, no broadcast variable, stays JVM-side."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment; ties break to the lowest cluster id
+    (array_min over (dist, cid) structs — struct ordering is
+    lexicographic). Narrow map over the corpus: no shuffle."""
+    best = F.array_min(
+        F.array(*[
+            F.struct(
+                _sq_dist_to(F.col(vec_col), c).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ])
+    )
+    return emb.withColumn("cluster", best["cid"])
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column.
+
+    Init: the k lowest-id vectors (no RNG — reruns are bit-identical).
+    Per iteration: one narrow assignment pass + ONE shuffle of partial
+    per-(cluster, dim) sums (posexplode then hash agg with map-side
+    combine: the shuffle carries k x dim rows per partition, never the
+    corpus). Centroid means go through decimal so the update is
+    partition-order independent — float avg would make assignments
+    run-to-run unstable near Voronoi boundaries. Driver state is k x dim
+    floats per iteration, exactly MLlib's centroid-broadcast pattern; the
+    corpus is never collected. Empty clusters keep their old centroid.
+
+    The reference has no clustering at all; this is north-star extension
+    surface (SURVEY.md §2.11) — the clustering stage of SemDeDup-style
+    semantic curation (see semdedup_removals).
+    """
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in emb.orderBy(id_col).limit(k).collect()
+    ]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = assign_clusters(emb, cents, id_col, vec_col)
+        rows = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("decimal(27,12)")).alias("m"))
+            .collect()
+        )
+        upd: dict[int, list[float]] = {}
+        for r in rows:
+            upd.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = float(r["m"])
+        cents = [upd.get(c, cents[c]) for c in range(k)]
+    return assign_clusters(emb, cents, id_col, vec_col).select(id_col, "cluster")
+
+
+def semdedup_removals(
+    emb: DataFrame,
+    assignments: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each cluster, a vector is
+    removed when a lower-id vector in the same cluster has cosine >=
+    threshold; the survivor recorded as kept_id (the lowest such id, so
+    output is deterministic). Returns (id, kept_id, n_dups) for removed
+    vectors only.
+
+    Scale: clustering first means the pairwise pass is cluster-local —
+    cost sum(|c_i|^2) instead of |corpus|^2, and the join partitions by
+    cluster id. This is the entire point of SemDeDup: k ~ sqrt(n) makes
+    semantic dedup tractable at corpus scale."""
+    a = emb.join(assignments, id_col)
+    x = a.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "cluster"
+    )
+    y = a.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "cluster"
+    )
+    return (
+        x.join(y, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("v_a"), F.col("v_b")) >= threshold)
+        .groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min("id_a").alias("kept_id"), F.count("*").alias("n_dups"))
+    )

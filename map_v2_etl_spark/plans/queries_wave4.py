@@ -321,3 +321,32 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("op"),
     )
+
+
+@query("embedding_kmeans", None, tags=["similarity", "clustering", "kmeans"])
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=8, 3 iterations, lowest-id init)
+    over the embeddings table -> (vec_id, cluster). Iterative driver loop
+    -> rows-only check; exact assignment parity against a NumPy twin is
+    asserted in tests/test_wave4.py. See operators/similarity.py
+    kmeans_assignments for the scale analysis (corpus never collected,
+    k x dim centroid state only)."""
+    from ..operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.kmeans_assignments(emb, k=8, iters=3)
+
+
+@query("embedding_semdedup", None, tags=["similarity", "dedup", "semdedup"])
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cluster the embeddings,
+    then remove any vector whose cluster contains a lower-id vector with
+    cosine >= 0.3 (threshold fits this synthetic corpus's similarity
+    range; real corpora use ~0.95+ on normalized model embeddings).
+    Output (vec_id, kept_id, n_dups) — integers only. Depends on the
+    iterative k-means -> rows-only; NumPy twin in tests/test_wave4.py."""
+    from ..operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    asg = S.kmeans_assignments(emb, k=8, iters=3)
+    return S.semdedup_removals(emb, asg, threshold=0.3)

@@ -96,3 +96,57 @@ def test_merge_upsert_branches(spark, sf_dir):
     keys = [r.custkey for r in rows]
     assert len(keys) == len(set(keys))
     assert all(r.balance is not None for r in rows)
+
+
+def test_kmeans_matches_numpy_twin(spark, sf_dir):
+    import numpy as np
+
+    from map_v2_etl_spark.sources.registry import load_table
+
+    rows = load_table(spark, "embeddings", sf_dir).orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    k, iters = 8, 3
+    C = X[:k].copy()
+    for _ in range(iters):
+        a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(0)
+    a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    expect = dict(zip(ids, a.tolist()))
+    got = {
+        r.vec_id: r.cluster
+        for r in run("embedding_kmeans", spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_semdedup_matches_numpy_twin(spark, sf_dir):
+    import numpy as np
+
+    from map_v2_etl_spark.sources.registry import load_table
+
+    rows = load_table(spark, "embeddings", sf_dir).orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    asg = {
+        r.vec_id: r.cluster
+        for r in run("embedding_kmeans", spark, sf_dir).collect()
+    }
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    expect = {}
+    for j, idb in enumerate(ids):
+        dups = [
+            ids[i]
+            for i in range(j)
+            if asg[ids[i]] == asg[idb] and cos[i, j] >= 0.3
+        ]
+        if dups:
+            expect[idb] = (min(dups), len(dups))
+    got = {
+        r.vec_id: (r.kept_id, r.n_dups)
+        for r in run("embedding_semdedup", spark, sf_dir).collect()
+    }
+    assert got == expect
