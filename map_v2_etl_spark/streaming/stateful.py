@@ -64,3 +64,67 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas twin: same running totals on the
+# successor API (typed state handles, timers, multiple state variables) —
+# the forward path for custom stateful operators; applyInPandasWithState
+# above remains the stable-API twin.
+# --------------------------------------------------------------------------
+
+try:  # Spark >= 4.0, and the state-server protocol needs protobuf on
+    # the Python workers — gate on both so environments without the
+    # optional dependency fall back to applyInPandasWithState above
+    import google.protobuf.descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark / no protobuf
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+class _RunningTotals(StatefulProcessor):
+    """ValueState(n, total) per user; emits the running pair per batch.
+
+    The handle owns typed, checkpointed state variables — at scale each
+    key's state is one fixed-size tuple co-partitioned with its shuffle
+    partition, exactly like the applyInPandasWithState version, but the
+    API also offers ListState/MapState and event/processing-time timers
+    for eviction (the 100 TB state-hygiene story)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total = self._state.get() if self._state.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of running_user_totals."""
+    if not HAS_TWS:  # pragma: no cover
+        raise NotImplementedError("requires Spark >= 4.0")
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _RunningTotals(),
+            outputStructType=RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -62,3 +62,40 @@ def test_session_windows_run(spark, sf_dir):
     assert len(rows) > 0
     assert all(r["session_start"] <= r["session_end"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_v2_etl_spark.sources.registry import load_table
+    from map_v2_etl_spark.streaming.stateful import (
+        HAS_TWS,
+        running_user_totals_tws,
+    )
+    from map_v2_etl_spark.streaming.windows import run_stream_on_parquet
+
+    if not HAS_TWS:
+        import pytest
+
+        pytest.skip(
+            "transformWithStateInPandas requires Spark >= 4.0 and "
+            "google.protobuf on the workers"
+        )
+    path = os.path.join(sf_dir, "events.parquet")
+    streamed = run_stream_on_parquet(
+        spark, path, running_user_totals_tws,
+        query_name="t_tws", output_mode="update",
+    )
+    final = {
+        r.user_id: (r.n_events, r.total_value) for r in streamed.collect()
+    }
+    batch = load_table(spark, "events", sf_dir).groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    expect = {r.user_id: (r.n, r.total) for r in batch.collect()}
+    assert set(final) == set(expect)
+    for uid, (n, total) in expect.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - total) < 1e-6
