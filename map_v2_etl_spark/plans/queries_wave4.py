@@ -350,3 +350,44 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     asg = S.kmeans_assignments(emb, k=8, iters=3)
     return S.semdedup_removals(emb, asg, threshold=0.3)
+
+
+@query(
+    "fuzzy_name_pairs",
+    "SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, "
+    "levenshtein(a.s_name, b.s_name) AS dist "
+    "FROM supplier a JOIN supplier b "
+    "ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey "
+    "WHERE levenshtein(a.s_name, b.s_name) <= 4",
+    tags=["join", "fuzzy", "levenshtein", "blocking"],
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join: supplier name pairs within edit
+    distance 4, blocked on nationkey so the quadratic comparison runs
+    per block, never corpus-wide — the entity-resolution primitive.
+
+    Scale: the block key bounds pair cardinality (sum(|block|^2)); at
+    100 TB blocks come from cheap canopies (sorted-neighborhood windows
+    or q-gram LSH buckets) and this same plan applies unchanged.
+    levenshtein is a JVM codegen expression — no UDF in the pair loop.
+    """
+    s = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    a = s.select(
+        F.col("s_suppkey").alias("id_a"),
+        F.col("s_name").alias("name_a"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("id_b"),
+        F.col("s_name").alias("name_b"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("dist") <= 4)
+        .select("id_a", "id_b", "dist")
+    )
