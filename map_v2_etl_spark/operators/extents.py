@@ -129,3 +129,181 @@ def column_extents(
 def approx_extents(wide_df: DataFrame, **kw) -> DataFrame:
     """t-digest approximate variant for columns too hot for exact gather."""
     return column_extents(wide_df, exact=False, **kw)
+
+
+def sketch_extents(
+    wide_df: DataFrame,
+    exclude: tuple[str, ...] = ("GEOID", "n", "pl"),
+    q_low: float = 0.01,
+    q_high: float = 0.99,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Bit-identical extents via sketch-bracketed exact selection — the
+    100 TB path for exact R-7 percentiles.
+
+    The exact ``percentile`` aggregate buffers and sorts EVERY cell per
+    column; at n rows x 570 columns that is a cell-volume shuffle plus a
+    per-column sort — the dominant cost of the melt layout. But an exact
+    quantile only needs TWO order statistics (ranks floor(h) and
+    floor(h)+1, h=(n-1)p). So:
+
+      pass A (melt):   count / min / max / percentile_approx at
+                       p +/- 5/accuracy per column. GK sketches merge —
+                       the shuffle carries compressed sketch buffers per
+                       (partition, column), never cell values.
+      pass B (melt):   per column, count of values strictly below the
+                       bracket and the SORTED in-bracket values
+                       (a ~10/accuracy fraction of the column). GK rank
+                       error is a hard <= n/accuracy bound, so the
+                       bracket provably contains both order statistics;
+                       an index-range assertion re-checks at runtime and
+                       any violating column falls back to the exact agg.
+      driver:          R-7 interpolation from the two order statistics —
+                       identical IEEE arithmetic to d3.quantile and
+                       Spark's Percentile (a + (b-a)*(h-floor(h))).
+
+    Deterministic guards: columns with n <= 4*accuracy take the exact
+    aggregate directly (the sketch margin 5n/accuracy needs n large;
+    small columns are cheap anyway); a bracket whose endpoints are equal
+    IS the quantile (every in-bracket value equals it) — this also
+    short-circuits near-constant columns whose brackets would be huge.
+
+    Output is identical to column_extents (same schema, same input-column
+    row order) and hash-matches the same DuckDB oracle."""
+    import math
+
+    from ..sources.registry import widen_partitions
+
+    metric_cols = [c for c in wide_df.columns if c not in exclude]
+    wide_df = widen_partitions(wide_df)
+    delta = 5.0 / accuracy
+
+    def nan_safe(v):
+        return F.when(~F.isnan(v), v)
+
+    melted = wide_df.select(
+        [nan_safe(F.col(c).try_cast("double")).alias(c) for c in metric_cols]
+    ).unpivot([], metric_cols, "id", "value")
+
+    probe_ps = [
+        max(0.0, q_low - delta), min(1.0, q_low + delta),
+        max(0.0, q_high - delta), min(1.0, q_high + delta),
+    ]
+    stats = {
+        r["id"]: r
+        for r in melted.groupBy("id")
+        .agg(
+            F.count("value").alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.percentile_approx(
+                "value", F.array(*[F.lit(p) for p in probe_ps]), F.lit(accuracy)
+            ).alias("br"),
+        )
+        .collect()
+    }
+
+    def interp(lower: float, higher: float, n: int, p: float) -> float:
+        # EXACTLY org.apache.spark.sql.catalyst.expressions.Percentile:
+        # integral positions return the order statistic; fractional ones
+        # use the symmetric weighted form lower*(k1-h) + higher*(h-k) —
+        # NOT a+(b-a)*f, whose rounding differs in the last ulp
+        h = (n - 1) * p
+        k = math.floor(h)
+        if k == math.ceil(h) or lower == higher:
+            # Spark also short-circuits equal keys before interpolating
+            return lower
+        return lower * (k + 1 - h) + higher * (h - k)
+
+    def order_stat_ranks(n: int, p: float) -> tuple[int, int]:
+        h = (n - 1) * p
+        k = math.floor(h)
+        return k, min(math.ceil(h), n - 1)
+
+    # classify: tiny/empty columns -> exact aggregate; zero-width
+    # brackets -> answered already; the rest -> pass-B bracket gather
+    exact_cols: list[str] = []
+    solved: dict[str, tuple] = {}  # id -> (q1, q99) when both known
+    bracket_cols: dict[str, tuple] = {}
+    for c in metric_cols:
+        r = stats.get(c)
+        if r is None or r["n"] == 0:
+            solved[c] = (None, None)
+        elif r["n"] <= 4 * accuracy:
+            exact_cols.append(c)
+        else:
+            lo1, hi1, lo9, hi9 = r["br"]
+            # zero-width bracket: both order statistics equal the endpoint
+            # -> run the same interpolation with lower == higher
+            q1 = interp(lo1, hi1, r["n"], q_low) if lo1 == hi1 else None
+            q9 = interp(lo9, hi9, r["n"], q_high) if lo9 == hi9 else None
+            if q1 is not None and q9 is not None:
+                solved[c] = (q1, q9)
+            else:
+                bracket_cols[c] = (lo1, hi1, lo9, hi9, q1, q9)
+
+    if bracket_cols:
+        spark = wide_df.sparkSession
+        br_df = spark.createDataFrame(
+            [(c, *v[:4]) for c, v in bracket_cols.items()],
+            "id string, lo1 double, hi1 double, lo9 double, hi9 double",
+        )
+        v = F.col("value")
+        gathered = {
+            r["id"]: r
+            for r in melted.join(F.broadcast(br_df), "id")
+            .groupBy("id")
+            .agg(
+                F.sum((v < F.col("lo1")).cast("long")).alias("below1"),
+                F.sort_array(
+                    F.collect_list(F.when(v.between(F.col("lo1"), F.col("hi1")), v))
+                ).alias("b1"),
+                F.sum((v < F.col("lo9")).cast("long")).alias("below9"),
+                F.sort_array(
+                    F.collect_list(F.when(v.between(F.col("lo9"), F.col("hi9")), v))
+                ).alias("b9"),
+            )
+            .collect()
+        }
+        for c, (lo1, hi1, lo9, hi9, q1, q9) in bracket_cols.items():
+            g = gathered[c]
+            n = stats[c]["n"]
+            out = []
+            for p, qpre, below, vals in (
+                (q_low, q1, g["below1"], g["b1"]),
+                (q_high, q9, g["below9"], g["b9"]),
+            ):
+                if qpre is not None:
+                    out.append(qpre)
+                    continue
+                k, k1 = order_stat_ranks(n, p)
+                i, j = k - below, k1 - below
+                if i < 0 or j >= len(vals):
+                    out.append(None)  # sketch bound violated -> exact
+                    continue
+                out.append(interp(vals[i], vals[j], n, p))
+            if out[0] is None or out[1] is None:
+                exact_cols.append(c)
+            else:
+                solved[c] = tuple(out)
+
+    if exact_cols:
+        ps = F.array(F.lit(q_low), F.lit(q_high))
+        for r in (
+            melted.filter(F.col("id").isin(exact_cols))
+            .groupBy("id")
+            .agg(F.percentile("value", ps).alias("q"))
+            .collect()
+        ):
+            solved[r["id"]] = (r["q"][0], r["q"][1])
+
+    rows = []
+    for c in metric_cols:
+        r = stats.get(c)
+        mn = r["mn"] if r is not None else None
+        mx = r["mx"] if r is not None else None
+        q1, q9 = solved[c]
+        rows.append((c, mn, mx, q1, q9))
+    return wide_df.sparkSession.createDataFrame(
+        rows, "id string, min double, max double, q1 double, q99 double"
+    )

@@ -54,3 +54,48 @@ def test_extents_bounds_property(spark):
     assert r["min"] <= r["q1"] <= r["q99"] <= r["max"]
     assert r["q1"] == pytest.approx(np.percentile(vals, 1), rel=1e-9)
     assert r["q99"] == pytest.approx(np.percentile(vals, 99), rel=1e-9)
+
+
+def test_sketch_extents_bit_identical_bracket_path(spark):
+    # accuracy=25 forces n=200 columns through the bracket path
+    # (4*25=100 < 200) — results must be BIT-identical to the exact agg
+    rng = np.random.RandomState(11)
+    rows = [
+        (
+            "g%03d" % i,
+            "n",
+            "p",
+            float(rng.lognormal(0, 2)),
+            float(rng.randint(0, 5)),  # heavy duplicates
+            7.5,  # constant column (zero-width bracket shortcut)
+            float(i),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, ["GEOID", "n", "pl", "a-00", "b-00", "c-00", "d-00"]
+    )
+    from map_v2_etl_spark.operators.extents import sketch_extents
+
+    exact = [tuple(r) for r in column_extents(df, layout="melt").collect()]
+    sk = [tuple(r) for r in sketch_extents(df, accuracy=25).collect()]
+    assert sk == exact
+
+
+def test_sketch_extents_edge_columns(spark):
+    # all-null, single-value, and two-value columns (small-n exact path)
+    rows = [
+        ("01", "n", "p", None, 4.0, 1.0),
+        ("02", "n", "p", None, None, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "GEOID string, n string, pl string, "
+        "`x-00` double, `y-00` double, `z-00` double",
+    )
+    from map_v2_etl_spark.operators.extents import sketch_extents
+
+    exact = [tuple(r) for r in column_extents(df, layout="melt").collect()]
+    sk = [tuple(r) for r in sketch_extents(df).collect()]
+    assert sk == exact
+    assert sk[0][1] is None  # all-null column: min is null
