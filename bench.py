@@ -46,6 +46,7 @@ HEADLINE = [
     "text_quality",
     "events_tumbling_window",
     "events_session_windows",
+    "decontaminate_docs",
 ]
 
 

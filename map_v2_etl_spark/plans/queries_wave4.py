@@ -391,3 +391,87 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 4)
         .select("id_a", "id_b", "dist")
     )
+
+
+_DUCK_NTOK = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+)
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_NTOK} AS n_tokens FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) / 2048) AS BIGINT) AS bin
+    FROM t
+    """,
+    tags=["packing", "window", "training-data"],
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: within each source shard,
+    documents are laid end-to-end in doc_id order and assigned to the
+    2048-token bin their starting offset lands in (offset = running
+    token sum minus own length). Deterministic, integer-only.
+
+    Scale: the running sum is windowed PER SOURCE SHARD, not globally —
+    a global ordered window is a single-partition bottleneck; sharded
+    packing parallelizes across shards and is how packing actually runs
+    in production (each data shard packs independently).
+    """
+    from ..operators.text import token_count
+
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.withColumn(
+        "bin", F.floor(offset / F.lit(2048)).cast("long")
+    )
+
+
+@query(
+    "sample_weighted",
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < "
+    "lpad(lower(to_hex(CAST(FLOOR(LEAST(1.0, n_chars / 400.0) * 16777215) "
+    "AS BIGINT))), 6, '0')",
+    tags=["sampling", "weighted", "deterministic"],
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability
+    proportional to document length (capped at 1), decided by comparing
+    a 24-bit md5 slice of the key against the per-row weight threshold —
+    reproducible on any engine and partition layout, no RNG state. The
+    curriculum/quality-mixing primitive: swap the length weight for any
+    model-scored quality column.
+
+    Scale: scan-local filter, no shuffle; the hex compare is
+    whole-stage-codegen string work, pushed to the scan.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    thresh = F.lpad(
+        F.lower(
+            F.hex(
+                F.floor(
+                    F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+                    * F.lit(16777215)
+                ).cast("long")
+            )
+        ),
+        6,
+        "0",
+    )
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6) < thresh
+    ).select("doc_id", "n_chars")
