@@ -88,8 +88,12 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bytes; only (doc_id) survivors shuffle for the count. The
     reference has no text operators at all (SURVEY.md §2.11 extension).
     """
+    from ..sources.registry import widen_partitions
+
     docs = load_table(spark, "documents", sf_dir)
-    sh = docs.select(
+    # the 8-gram explode is CPU-bound: widen the narrow local scan so it
+    # parallelizes (single-file parquet plans as ONE partition otherwise)
+    sh = widen_partitions(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(D.word_shingles(F.col("text"), 8)).alias("s")
     )
     bench = sh.filter(F.col("doc_id") % 10 == 0).select("s").distinct()
