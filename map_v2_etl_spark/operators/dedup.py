@@ -312,7 +312,7 @@ def connected_components(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = sym.join(labels, sym.a == labels.id).select(
             F.col("b").alias("id"), F.col("label")
         )
@@ -322,15 +322,20 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # skip the round-1 convergence count: any graph with an edge
+        # changes a label in round 1, so the count is a wasted job there
+        # (a vertex-only graph just pays one extra cheap round)
+        if it > 0:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 
