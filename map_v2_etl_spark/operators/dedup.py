@@ -308,9 +308,17 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     )
-    sym = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    # Self-loops are dropped: they never change a label, and the round-1
+    # convergence-count skip below relies on "any edge changes a label in
+    # round 1" — a self-loop-only graph would violate that invariant
+    # (round-1 advice).
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
 
     for it in range(max_iter):
         msgs = sym.join(labels, sym.a == labels.id).select(

@@ -102,10 +102,19 @@ def bucketed_range_join(
     ``bucket_width`` should be on the order of the typical interval length:
     each right interval lands in ceil(len/width)+1 buckets, each left row
     in exactly one.
+
+    The BETWEEN residual is part of the JOIN CONDITION, not a post-join
+    filter: a post-filter would silently turn outer joins into inner ones
+    (unmatched left rows carry null lo/hi, BETWEEN evaluates null, filter
+    drops them). In the condition, Spark still plans a shuffled hash join
+    keyed on the bucket equality with the range as a residual, and outer
+    semantics are preserved. A left row matches each covering interval
+    exactly once (its single bucket meets each interval's exploded copy at
+    most once), so no post-join dedup is needed.
     """
-    b = "__range_bucket"
+    bl, br = "__range_bucket_l", "__range_bucket_r"
     r_exploded = right.withColumn(
-        b,
+        br,
         F.explode(
             F.sequence(
                 F.floor(F.col(right_lo) / bucket_width).cast("long"),
@@ -114,9 +123,9 @@ def bucketed_range_join(
         ),
     )
     l_bucketed = left.withColumn(
-        b, F.floor(F.col(left_val) / bucket_width).cast("long")
+        bl, F.floor(F.col(left_val) / bucket_width).cast("long")
     )
-    joined = l_bucketed.join(r_exploded, on=b, how=how).filter(
-        F.col(left_val).between(F.col(right_lo), F.col(right_hi))
+    cond = (F.col(bl) == F.col(br)) & F.col(left_val).between(
+        F.col(right_lo), F.col(right_hi)
     )
-    return joined.drop(b)
+    return l_bucketed.join(r_exploded, on=cond, how=how).drop(bl, br)

@@ -101,6 +101,38 @@ def _signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
     return sig
 
 
+def _multi_table_buckets(vec: Column, dim: int, planes: int, tables: int,
+                         seed: int) -> Column:
+    """(tbl, bucket) struct array for ALL hash tables in one expression.
+
+    Exploded inline by the caller, this computes every table's signature in
+    a single projection over ONE scan of the input — the same single-pass
+    trick minhash_lsh_pairs uses for its bands (dedup.py). The old
+    per-table loop unioned ``tables`` plans, each re-reading and re-signing
+    the corpus: 8 full passes where one suffices."""
+    return F.array(*[
+        F.struct(
+            F.lit(t).cast("int").alias("tbl"),
+            _signature(vec, random_hyperplanes(dim, planes, seed + t)).alias(
+                "bucket"
+            ),
+        )
+        for t in range(tables)
+    ])
+
+
+def _vec_dim(df: DataFrame, vec_col: str, dim: int | None) -> int | None:
+    """Resolve embedding dimensionality: explicit param wins; otherwise one
+    row is sampled (None on an empty input — callers must handle it rather
+    than TypeError, per round-1 advice)."""
+    if dim is not None:
+        return dim
+    row = df.select(vec_col).first()
+    if row is None or row[vec_col] is None:
+        return None
+    return len(row[vec_col])
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -110,11 +142,19 @@ def lsh_cosine_topk(
     planes: int = 4,
     tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH.
 
-    ``tables`` independent hash tables (different seeds) are unioned for
-    recall; a candidate is scored once (distinct before scoring).
+    ``tables`` independent hash tables (different seeds) raise recall; a
+    candidate is scored once (distinct before scoring). All table
+    signatures are computed in ONE projection and exploded to (tbl,
+    bucket) rows, so the physical plan has a single corpus FileScan
+    (plan-contract-tested) — the candidate join is a broadcast equi-join
+    on (tbl, bucket).
+
+    Pass ``dim`` explicitly at scale; when omitted it is sniffed from one
+    row (empty corpus => empty result, not an error).
 
     Tuning: P(neighbor collides per table) = (1 - theta/pi)^planes. For
     corpora with genuinely close neighbors (cosine >= 0.9, theta <= 26deg)
@@ -132,20 +172,26 @@ def lsh_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    dim = len(c.select("nn_vec").first()["nn_vec"])
-    cand = None
-    for t in range(tables):
-        hp = random_hyperplanes(dim, planes, seed + t)
-        ct = c.withColumn("bucket", _signature(F.col("nn_vec"), hp)).withColumn(
-            "tbl", F.lit(t)
-        )
-        qt = q.withColumn("bucket", _signature(F.col("q_vec"), hp)).withColumn(
-            "tbl", F.lit(t)
-        )
-        pairs = ct.join(F.broadcast(qt), ["tbl", "bucket"]).select(
-            "q_id", "q_vec", "nn_id", "nn_vec"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    dim = _vec_dim(c, "nn_vec", dim)
+    if dim is None:  # empty corpus: correct empty result via the exact plan
+        return cosine_topk(corpus, queries, k, id_col, vec_col)
+    ct = c.select(
+        "nn_id",
+        "nn_vec",
+        F.explode(
+            _multi_table_buckets(F.col("nn_vec"), dim, planes, tables, seed)
+        ).alias("tb"),
+    ).select("nn_id", "nn_vec", "tb.tbl", "tb.bucket")
+    qt = q.select(
+        "q_id",
+        "q_vec",
+        F.explode(
+            _multi_table_buckets(F.col("q_vec"), dim, planes, tables, seed)
+        ).alias("tb"),
+    ).select("q_id", "q_vec", "tb.tbl", "tb.bucket")
+    cand = ct.join(F.broadcast(qt), ["tbl", "bucket"]).select(
+        "q_id", "q_vec", "nn_id", "nn_vec"
+    )
     scored = (
         cand.dropDuplicates(["q_id", "nn_id"])
         .filter(F.col("nn_id") != F.col("q_id"))
@@ -230,32 +276,49 @@ def embedding_near_dup_pairs(
     planes: int = 8,
     tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via the same sign-LSH buckets.
 
     High-similarity pairs collide with probability (1 - theta/pi)^planes
     per table; 8 tables of 8 planes gives >0.99 recall at cosine >= 0.95.
-    Candidates verified exactly."""
+    Candidates verified exactly. All table signatures come from ONE
+    projection + explode (single corpus scan; self-join on (tbl, bucket)),
+    not a per-table plan union. Pass ``dim`` at scale; empty corpus =>
+    empty result."""
     from ..sources.registry import widen_partitions
 
     c = widen_partitions(corpus).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    dim = len(c.select("vec").first()["vec"])
-    cand = None
-    for t in range(tables):
-        hp = random_hyperplanes(dim, planes, seed + t)
-        ct = c.withColumn("bucket", _signature(F.col("vec"), hp))
-        a = ct.select(
-            F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    dim = _vec_dim(c, "vec", dim)
+    if dim is None:
+        # empty corpus: empty (id_a, id_b, cosine) with correct types
+        return (
+            c.select(
+                F.col("id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            ).limit(0)
         )
-        b = ct.select(
-            F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
-        )
-        p = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "vec_a", "id_b", "vec_b"
-        )
-        cand = p if cand is None else cand.unionByName(p)
+    ct = c.select(
+        "id",
+        "vec",
+        F.explode(
+            _multi_table_buckets(F.col("vec"), dim, planes, tables, seed)
+        ).alias("tb"),
+    ).select("id", "vec", "tb.tbl", "tb.bucket")
+    a = ct.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "tbl", "bucket"
+    )
+    b = ct.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "tbl", "bucket"
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "vec_a", "id_b", "vec_b")
+    )
     return (
         cand.dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
@@ -283,25 +346,67 @@ def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
     )
 
 
+#: above this k, literal-folded centroids are replaced by a broadcast join.
+#: k x dim literal nodes blow up Catalyst analysis long before data moves
+#: (the SemDeDup posture is k ~ sqrt(n) — 10^4-10^5 centroids at corpus
+#: scale); below it, the zero-shuffle literal path wins.
+BROADCAST_K_THRESHOLD = 64
+
+
 def assign_clusters(
     emb: DataFrame,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment; ties break to the lowest cluster id
-    (array_min over (dist, cid) structs — struct ordering is
-    lexicographic). Narrow map over the corpus: no shuffle."""
-    best = F.array_min(
-        F.array(*[
-            F.struct(
-                _sq_dist_to(F.col(vec_col), c).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ])
+    """Nearest-centroid assignment; ties break to the lowest cluster id.
+
+    Two physical strategies with identical semantics (same double-sum
+    evaluation order per centroid, same (dist, cid) lexicographic
+    tie-break):
+
+    * k <= BROADCAST_K_THRESHOLD: centroids folded into the plan as
+      literals, array_min over (dist, cid) structs — a narrow map over
+      the corpus, zero shuffle.
+    * k >  threshold: centroids broadcast as a DataFrame; assignment is
+      crossJoin(broadcast) + min_by partial aggregation (the
+      ivf_cosine_topk pattern) — plan size is O(1) in k, the shuffle
+      carries only (id, cluster) pairs, and the cluster column is joined
+      back broadcast-free on the unique id."""
+    if len(centroids) <= BROADCAST_K_THRESHOLD:
+        best = F.array_min(
+            F.array(*[
+                F.struct(
+                    _sq_dist_to(F.col(vec_col), c).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ])
+        )
+        return emb.withColumn("cluster", best["cid"])
+
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid INT, cent ARRAY<DOUBLE>",
     )
-    return emb.withColumn("cluster", best["cid"])
+    d = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("cent"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", d)
+        .groupBy(id_col)
+        .agg(F.min_by("cid", F.struct("d", "cid")).alias("cluster"))
+    )
+    return emb.join(assign, id_col)
 
 
 def kmeans_assignments(

@@ -177,10 +177,10 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q12",
     "SELECT o_orderpriority, "
-    "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-    "THEN 1 ELSE 0 END) AS high_count, "
-    "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
-    "THEN 1 ELSE 0 END) AS low_count, COUNT(*) AS n "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS low_count, COUNT(*) AS n "
     "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
     "WHERE l_shipdate > o_orderdate GROUP BY o_orderpriority",
     tags=["tpch", "case-agg"],

@@ -37,8 +37,12 @@ def read_long_csv(
     become null, undeclared file columns are dropped — matching
     shape-data.js:33).
     """
+    import csv as _csv
+
     header_line = spark.read.text(path).limit(1).collect()[0][0]
-    file_cols = [c.strip('"') for c in header_line.split(",")]
+    # csv.reader honors quoting — a naive split(',') mis-parses quoted
+    # header names containing commas or escaped quotes (round-1 advice)
+    file_cols = next(_csv.reader([header_line]))
     raw_schema = T.StructType(
         [T.StructField(c, T.StringType(), True) for c in file_cols]
     )

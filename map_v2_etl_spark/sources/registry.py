@@ -45,6 +45,14 @@ def widen_partitions(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    # nanosAsLong is a runtime-settable SQL conf; set it here (not only in
+    # session.get_spark) so events.parquet (TIMESTAMP_NS) reads succeed even
+    # when the caller hands us a bare SparkSession (e.g. the driver's oracle
+    # harness builds its own session without our engine confs).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # older Spark without the conf; the read below will surface it
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # nanosecond-precision parquet timestamps arrive as long (see session.py
     # nanosAsLong); normalize to microsecond TIMESTAMP — same truncation

@@ -54,3 +54,27 @@ def test_blank_and_junk_cells_null(spark, tmp_path):
     df = read_long_csv(spark, str(src), long_schema("raw"))
     vals = {r["id"]: r["population"] for r in df.collect()}
     assert vals == {"01": None, "02": None}
+
+
+def test_read_header_with_quoted_comma(spark, tmp_path):
+    """Quoted header names containing commas must parse as ONE column
+    (csv.reader semantics), not split naively on ','."""
+    from pyspark.sql import types as T
+
+    src = tmp_path / "quoted.csv"
+    src.write_text(
+        '"name, full",id,value\n'
+        "alpha,01,3.5\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name, full", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = read_long_csv(spark, str(src), schema)
+    r = df.collect()[0]
+    assert r["id"] == "01"
+    assert r["name, full"] == "alpha"
+    assert r["value"] == 3.5

@@ -138,3 +138,38 @@ def test_bucketed_range_join_plans_hash_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bucketed_range_join_left_outer_keeps_unmatched(spark):
+    """The BETWEEN residual lives in the join condition, so outer joins
+    keep unmatched left rows (a post-join filter would drop them — the
+    null lo/hi makes BETWEEN evaluate to null)."""
+    left = spark.createDataFrame(
+        [(1, 5.0), (2, 55.0), (3, 999.0)], ["lid", "v"]
+    )
+    right = spark.createDataFrame(
+        [(10, 0.0, 9.0), (20, 50.0, 59.0)], ["band", "lo", "hi"]
+    )
+    got = {
+        (r.lid, r.band)
+        for r in bucketed_range_join(
+            left, right, "v", "lo", "hi", bucket_width=10.0, how="left"
+        ).collect()
+    }
+    assert got == {(1, 10), (2, 20), (3, None)}
+
+
+def test_connected_components_self_loops(spark):
+    """Self-loop edges are inert: clusters unchanged, and a self-loop-only
+    graph converges without violating the round-1 skip invariant."""
+    from map_v2_etl_spark.operators.dedup import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 4), (4, 4)], ["src", "dst"]
+    )
+    got = {
+        r.id: r.cluster
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 3}

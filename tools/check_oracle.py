@@ -8,7 +8,12 @@ DuckDB (tables pre-registered as views), then compares:
     strings/ints, and exact-then-ulp report for floats so any
     nondeterminism is visible before the real driver sees it)
 
-Usage: python tools/check_oracle.py [name ...]
+Usage: python tools/check_oracle.py [--bare] [name ...]
+
+--bare builds a deliberately vanilla SparkSession (no engine confs beyond
+master/memory) to replicate the driver's harness, which does NOT run our
+session.get_spark — catches hidden session-conf dependencies (timezone,
+Arrow, nanosAsLong) before the driver does.
 """
 
 from __future__ import annotations
@@ -100,18 +105,33 @@ def compare(name, spark_df, con) -> list[str]:
 
 def main():
     import __spark_entry__ as e
-    from map_v2_etl_spark.session import get_spark
+
+    args = sys.argv[1:]
+    bare = "--bare" in args
+    args = [a for a in args if a != "--bare"]
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
-    spark = get_spark("oracle-check", cpus=8, shuffle_partitions=16)
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-bare")
+            .getOrCreate()
+        )
+        print("session: BARE (driver-harness twin, no engine confs)")
+    else:
+        from map_v2_etl_spark.session import get_spark
+
+        spark = get_spark("oracle-check", cpus=8, shuffle_partitions=16)
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    names = sys.argv[1:] or list(qs)
+    names = args or list(qs)
     failed = []
     for name in names:
         if name not in oracles:
