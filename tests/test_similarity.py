@@ -66,3 +66,84 @@ def test_near_dup_pairs_empty_below_threshold(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     out = S.embedding_near_dup_pairs(emb, threshold=0.95)
     assert out.count() == 0  # testdata max cosine ~0.51
+
+
+def test_lsh_single_corpus_scan(spark, sf_dir):
+    """All hash-table signatures come from one projection + explode: the
+    physical plan must contain exactly ONE FileScan of embeddings.parquet
+    (the old per-table loop unioned `tables` scans)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    plan = (
+        S.lsh_cosine_topk(emb, qs, k=5, planes=4, tables=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # query side reads the same file (filtered), so expect exactly 2 scans
+    # total: 1 corpus + 1 queries — never tables+tables.
+    assert plan.count("Scan parquet") == 2
+
+
+def test_near_dup_single_corpus_scan(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    plan = (
+        S.embedding_near_dup_pairs(emb, threshold=0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # self-join: both sides scan the corpus once -> exactly 2 scans
+    assert plan.count("Scan parquet") == 2
+
+
+def test_lsh_empty_corpus(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    assert S.lsh_cosine_topk(empty, empty, k=3).count() == 0
+    assert S.embedding_near_dup_pairs(empty, threshold=0.9).count() == 0
+
+
+def test_assign_clusters_broadcast_path_k256(spark, sf_dir):
+    """k above BROADCAST_K_THRESHOLD takes the broadcast-join path: the
+    plan stays O(1) in k (no k x dim literal blowup) and assignments
+    agree with the literal path on the same centroids."""
+    emb = load_table(spark, "embeddings", sf_dir).limit(200)
+    rows = emb.orderBy("vec_id").limit(256).collect()
+    cents = [list(map(float, r["embedding"])) for r in rows]
+
+    big = S.assign_clusters(emb, cents)  # 256 > threshold -> broadcast
+    lit = S.assign_clusters(emb, cents[:64])  # literal path
+
+    got_big = {r["vec_id"]: r["cluster"] for r in big.collect()}
+    assert len(got_big) == 200
+
+    # agreement check on the shared prefix: restrict both paths to the
+    # same 64 centroids and compare assignments exactly
+    import numpy as np
+
+    E = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").collect()]
+    C = np.array(cents[:64], dtype=np.float64)
+    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want = {i: int(c) for i, c in zip(ids, d2.argmin(axis=1))}
+    got_lit = {r["vec_id"]: r["cluster"] for r in lit.collect()}
+    assert got_lit == want
+
+    # and the broadcast path on those same 64 centroids must agree too
+    import map_v2_etl_spark.operators.similarity as sim
+
+    old = sim.BROADCAST_K_THRESHOLD
+    sim.BROADCAST_K_THRESHOLD = 1
+    try:
+        got_bc64 = {
+            r["vec_id"]: r["cluster"]
+            for r in S.assign_clusters(emb, cents[:64]).collect()
+        }
+    finally:
+        sim.BROADCAST_K_THRESHOLD = old
+    assert got_bc64 == want
