@@ -1,0 +1,273 @@
+"""Tileset post-stage: the tippecanoe/tile-join handoff and S3 deploy
+manifest (SURVEY.md §2.1 S8/S9, §7.5).
+
+The engine's boundary is the feature table: ``run_region`` emits sorted
+tile-ready GeoJSONL and per-decade CSV attribute slices. Rasterizing
+those into pbf tiles is image encoding, not query processing, so it stays
+out-of-engine — but the handoff must be runnable. This module generates
+the EXACT command sequence the reference runs
+(/root/reference/build.sh:121-233) as data (argv lists — unit-testable
+without the binaries), plus a thin subprocess runner gated on tippecanoe
+being installed.
+
+Deploy parity: the reference uploads tile directories with
+``--content-type application/x-protobuf --content-encoding gzip``
+(excluding ``*.json``), ``metadata.json`` as ``application/json``
+(/root/reference/build.sh:222-227), wide/extents CSVs plainly
+(build.sh:92-97), and gzipped source CSVs as gzip-encoded text/csv
+(deploy-source.sh:38-45). ``upload_manifest`` reproduces those object
+-metadata decisions as a declarative manifest any uploader (aws cli,
+boto3) can replay; ``manifest_to_aws_cli`` renders the aws-cli commands.
+
+Scale posture: tile rasterization is per-region and embarrassingly
+parallel — at 100 TB each region's GeoJSONL is an independent post-job
+(the reference runs regions serially in one shell loop; a scheduler can
+fan these argv lists out per region).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+# tippecanoe zoom/drop options per region size class
+# (/root/reference/build.sh:124-129 bubble, :146-152 choropleth)
+BUBBLE_OPTS: dict[str, list[str]] = {
+    "states": ["--maximum-zoom=6", "--base-zoom=1"],
+    "counties": ["--maximum-zoom=7", "--base-zoom=2"],
+    "cities": [
+        "--maximum-zoom=9", "--base-zoom=7",
+        "--drop-densest-as-needed", "--extend-zooms-if-still-dropping",
+    ],
+    "tracts": [
+        "--maximum-zoom=10", "--base-zoom=9",
+        "--drop-densest-as-needed", "--extend-zooms-if-still-dropping",
+    ],
+    "block-groups": [
+        "--maximum-zoom=10", "--base-zoom=10",
+        "--drop-densest-as-needed", "--extend-zooms-if-still-dropping",
+    ],
+}
+
+CHOROPLETH_OPTS: dict[str, list[str]] = {
+    "states": ["--maximum-zoom=6", "--minimum-zoom=0", "--simplification=10"],
+    "counties": ["--maximum-zoom=7", "--minimum-zoom=0", "--simplification=10"],
+    "cities": [
+        "--maximum-zoom=9", "--minimum-zoom=2",
+        "--drop-densest-as-needed", "--extend-zooms-if-still-dropping",
+        "--simplification=10",
+    ],
+    "tracts": [
+        "--maximum-zoom=10", "--minimum-zoom=7",
+        "--coalesce-smallest-as-needed", "--extend-zooms-if-still-dropping",
+        "--simplification=25", "--detect-shared-borders",
+    ],
+    "block-groups": [
+        "--maximum-zoom=10", "--minimum-zoom=8",
+        "--coalesce-smallest-as-needed", "--extend-zooms-if-still-dropping",
+        "--simplification=25", "--detect-shared-borders",
+    ],
+}
+
+# flags shared by every tile-join data join (build.sh:191,214)
+_TILE_JOIN_DATA = [
+    "--if-matched", "--no-tile-size-limit", "--force", "--no-tile-stats",
+    "--empty-csv-columns-are-null",
+]
+
+
+def tippecanoe_commands(
+    region: str,
+    work_dir: str,
+    decades: list[str],
+    build_dir: str | None = None,
+    output_dirs: bool = False,
+) -> list[list[str]]:
+    """The reference's tileset build (build.sh:121-233) as argv lists.
+
+    Inputs expected in ``work_dir`` (all produced by the engine):
+      centers.geojson        sorted bubble-center features (write_geojsonl)
+      choropleth.geojson     sorted polygon features       (write_geojsonl)
+      bubble-data-{dd}.wide.csv / choropleth-data-{dd}.wide.csv
+                             per-decade attribute slices (export_decade_csvs)
+
+    ``decades`` are 2-digit decade prefixes (e.g. ["00", "10"]).
+    Returns the full ordered command list; run with ``build_tileset`` or
+    print for a copy-pasteable recipe (``manifest_to_aws_cli`` style).
+    """
+    w = lambda *p: os.path.join(work_dir, *p)  # noqa: E731
+    build_dir = build_dir or w("build")
+    cmds: list[list[str]] = []
+
+    # base tilesets (build.sh:131-138 bubble, :154-161 choropleth)
+    cmds.append(
+        ["tippecanoe", "-o", w(f"{region}-centers.mbtiles"), "-f",
+         "-L", f"{region}-centers:" + w("centers.geojson"),
+         "--read-parallel", *BUBBLE_OPTS[region],
+         "--attribute-type=GEOID:string", "--use-attribute-for-id=id",
+         "--empty-csv-columns-are-null"]
+    )
+    cmds.append(
+        ["tippecanoe", "-o", w(f"{region}-choropleth.mbtiles"), "-f",
+         "-L", f"{region}:" + w("choropleth.geojson"),
+         "--read-parallel", *CHOROPLETH_OPTS[region],
+         "--attribute-type=GEOID:string", "--use-attribute-for-id=id",
+         "--empty-csv-columns-are-null"]
+    )
+
+    for dd in decades:
+        # attribute joins (build.sh:189-191 bubble, :212-214 choropleth)
+        cmds.append(
+            ["tile-join", "-l", f"{region}-centers", *_TILE_JOIN_DATA,
+             "-o", w(f"{region}-centers-data-{dd}.mbtiles"),
+             "-c", w(f"bubble-data-{dd}.wide.csv"),
+             w(f"{region}-centers.mbtiles")]
+        )
+        cmds.append(
+            ["tile-join", "-l", region, *_TILE_JOIN_DATA,
+             "-o", w(f"{region}-choropleth-data-{dd}.mbtiles"),
+             "-c", w(f"choropleth-data-{dd}.wide.csv"),
+             w(f"{region}-choropleth.mbtiles")]
+        )
+        # merge bubble+choropleth (build.sh:218)
+        cmds.append(
+            ["tile-join", "--no-tile-size-limit", "--force",
+             "-o", os.path.join(build_dir, f"{region}-{dd}.mbtiles"),
+             w(f"{region}-choropleth-data-{dd}.mbtiles"),
+             w(f"{region}-centers-data-{dd}.mbtiles")]
+        )
+        if output_dirs:  # S9: mbtiles -> tile directory (build.sh:221-223)
+            cmds.append(
+                ["tile-join", "--no-tile-size-limit",
+                 f"--output-to-directory={w(f'{region}-{dd}')}",
+                 os.path.join(build_dir, f"{region}-{dd}.mbtiles")]
+            )
+    return cmds
+
+
+def export_decade_csvs(
+    wide, work_dir: str, dataset_type: str = "raw",
+    decades: dict[str, list[str]] | None = None,
+) -> list[str]:
+    """The per-decade ``csvcut`` slices tile-join consumes
+    (build.sh:177-188,200-213) — written by the engine as sorted
+    single-file CSVs. Column pruning happens in the plan, so each slice
+    scans only its columns."""
+    from ..schemas import BUBBLE_VARS, CHOROPLETH_VARS, DECADES
+    from ..sources.csv_io import write_sorted_csv
+    from .pipeline import decade_fields
+
+    decades = decades or DECADES
+    out = []
+    for dec_name, yys in decades.items():
+        dd = dec_name[:2]  # "${DECADE:0:2}" (build.sh:188)
+        for kind, variables in (
+            ("bubble", BUBBLE_VARS[dataset_type]),
+            ("choropleth", CHOROPLETH_VARS[dataset_type]),
+        ):
+            fields = decade_fields(wide.columns, variables, yys)
+            path = os.path.join(work_dir, f"{kind}-data-{dd}.wide.csv")
+            write_sorted_csv(wide.select(*fields), path, ["GEOID"])
+            out.append(path)
+    return out
+
+
+def build_tileset(
+    region: str, work_dir: str, decades: list[str],
+    build_dir: str | None = None, output_dirs: bool = False,
+) -> list[str]:
+    """Run the handoff. Requires tippecanoe + tile-join on PATH; raises
+    RuntimeError with the full recipe otherwise so the commands are never
+    lost — a user without the binaries here can replay them where they
+    are installed."""
+    cmds = tippecanoe_commands(region, work_dir, decades, build_dir, output_dirs)
+    missing = [b for b in {"tippecanoe", "tile-join"} if not shutil.which(b)]
+    if missing:
+        recipe = "\n".join(" ".join(c) for c in cmds)
+        raise RuntimeError(
+            f"{'/'.join(sorted(missing))} not installed; run these where "
+            f"they are:\n{recipe}"
+        )
+    os.makedirs(build_dir or os.path.join(work_dir, "build"), exist_ok=True)
+    done = []
+    for cmd in cmds:
+        subprocess.run(cmd, check=True)
+        done.append(" ".join(cmd))
+    return done
+
+
+# --------------------------------------------------------------------------
+# deploy manifest (S7 metadata parity)
+# --------------------------------------------------------------------------
+
+def upload_manifest(
+    region: str,
+    *,
+    wide_csv: str | None = None,
+    extents_csv: str | None = None,
+    source_csv_gz: str | None = None,
+    tile_dirs: dict[str, str] | None = None,
+    data_output: str = "data-output",
+    extents_output: str = "extents-output",
+    data_input: str = "data-input",
+    tileset_output: str = "tileset-output",
+) -> list[dict]:
+    """Declarative S3 upload plan with the reference's object metadata.
+
+    One dict per object: {local, s3_uri, content_type, content_encoding}
+    (None means "let the store default", matching a plain ``aws s3 cp``).
+
+      wide csv      -> s3://{data_output}/{region}.csv       (build.sh:97)
+      extents csv   -> s3://{extents_output}/{region}-extents.csv (:95)
+      source csv.gz -> s3://{data_input}/...  text/csv + gzip
+                       (deploy-source.sh:38-45 upload semantics)
+      tile dir      -> s3://{tileset_output}/{name}/...
+                       *.pbf  application/x-protobuf + gzip  (:224-226)
+                       metadata.json  application/json       (:227)
+                       other *.json excluded                 (--exclude)
+    """
+    entries: list[dict] = []
+
+    def add(local, uri, ctype=None, cenc=None):
+        entries.append(
+            {"local": local, "s3_uri": uri, "content_type": ctype,
+             "content_encoding": cenc}
+        )
+
+    if extents_csv:
+        add(extents_csv, f"s3://{extents_output}/{region}-extents.csv")
+    if wide_csv:
+        add(wide_csv, f"s3://{data_output}/{region}.csv")
+    if source_csv_gz:
+        add(
+            source_csv_gz,
+            f"s3://{data_input}/{os.path.basename(source_csv_gz)}",
+            "text/csv", "gzip",
+        )
+    for name, d in (tile_dirs or {}).items():
+        for root, _, files in os.walk(d):
+            for f in sorted(files):
+                local = os.path.join(root, f)
+                rel = os.path.relpath(local, d)
+                uri = f"s3://{tileset_output}/{name}/{rel}"
+                if f == "metadata.json":
+                    add(local, uri, "application/json")
+                elif f.endswith(".json"):
+                    continue  # --exclude "*.json" (build.sh:226)
+                else:
+                    add(local, uri, "application/x-protobuf", "gzip")
+    return entries
+
+
+def manifest_to_aws_cli(manifest: list[dict]) -> list[str]:
+    """Render the manifest as copy-pasteable ``aws s3 cp`` commands."""
+    out = []
+    for e in manifest:
+        cmd = f"aws s3 cp {e['local']} {e['s3_uri']}"
+        if e["content_type"]:
+            cmd += f" --content-type {e['content_type']}"
+        if e["content_encoding"]:
+            cmd += f" --content-encoding {e['content_encoding']}"
+        out.append(cmd)
+    return out

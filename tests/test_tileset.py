@@ -1,0 +1,149 @@
+"""Tileset post-stage: command recipe, decade CSV slices, deploy manifest
+(SURVEY.md §2.1 S8/S9/S7 metadata parity)."""
+
+import os
+import shutil
+
+import pytest
+
+from map_v2_etl_spark.plans.tileset import (
+    build_tileset,
+    export_decade_csvs,
+    manifest_to_aws_cli,
+    tippecanoe_commands,
+    upload_manifest,
+)
+
+HAVE_TIPPECANOE = shutil.which("tippecanoe") and shutil.which("tile-join")
+
+
+def test_tippecanoe_command_recipe_matches_reference_shape():
+    cmds = tippecanoe_commands("tracts", "/w", ["00", "10"])
+    # 2 base tilesets + per decade: 2 data joins + 1 merge
+    assert len(cmds) == 2 + 2 * 3
+    base_bubble, base_choro = cmds[0], cmds[1]
+    assert base_bubble[0] == "tippecanoe"
+    assert "-L" in base_bubble
+    assert "tracts-centers:/w/centers.geojson" in base_bubble
+    # region-class zoom options (build.sh:128,151)
+    assert "--base-zoom=9" in base_bubble
+    assert "--detect-shared-borders" in base_choro
+    assert "--use-attribute-for-id=id" in base_bubble
+    # decade data join uses the csvcut slice and --if-matched semantics
+    j = cmds[2]
+    assert j[0] == "tile-join" and "--if-matched" in j
+    assert "/w/bubble-data-00.wide.csv" in j
+    # final merge lands in the build dir with the {region}-{dd} name
+    merge = cmds[4]
+    assert merge[-3].endswith("build/tracts-00.mbtiles")
+    # S9 directory variant appends an --output-to-directory step per decade
+    with_dirs = tippecanoe_commands("tracts", "/w", ["00"], output_dirs=True)
+    assert any(
+        any(a.startswith("--output-to-directory=") for a in c)
+        for c in with_dirs
+    )
+
+
+def test_build_tileset_raises_with_recipe_when_binaries_absent(tmp_path):
+    if HAVE_TIPPECANOE:
+        pytest.skip("tippecanoe installed; covered by e2e test")
+    with pytest.raises(RuntimeError) as ei:
+        build_tileset("states", str(tmp_path), ["00"])
+    # the recipe must survive in the error so it can be replayed elsewhere
+    assert "tippecanoe -o" in str(ei.value)
+    assert "tile-join" in str(ei.value)
+
+
+def test_export_decade_csvs(spark, tmp_path):
+    from map_v2_etl_spark.plans.pipeline import build_wide
+
+    src = tmp_path / "long.csv"
+    src.write_text(
+        "id,year,name,parent_location,population,eviction_rate,"
+        "eviction_filing_rate,renter_occupied_households\n"
+        "01,2000,A,US,100,1.0,2.0,40\n"
+        "01,2010,A,US,120,1.5,2.5,44\n"
+        "02,2010,B,US,50,0.5,0.7,20\n"
+    )
+    wide = build_wide(spark, str(src), "raw")
+    paths = export_decade_csvs(wide, str(tmp_path), "raw")
+    names = {os.path.basename(p) for p in paths}
+    assert names == {
+        "bubble-data-00.wide.csv", "choropleth-data-00.wide.csv",
+        "bubble-data-10.wide.csv", "choropleth-data-10.wide.csv",
+    }
+    header = (tmp_path / "bubble-data-10.wide.csv").read_text().splitlines()[0]
+    cols = header.split(",")
+    assert cols[:3] == ["GEOID", "n", "pl"]
+    # bubble decade slice carries ONLY bubble vars for 10-18 years
+    assert "er-10" in cols and "efr-10" in cols and "tr-10" in cols
+    assert not any(c.startswith(("p-", "er-0", "mgr-")) for c in cols[3:])
+
+
+@pytest.mark.skipif(not HAVE_TIPPECANOE, reason="tippecanoe not installed")
+def test_build_tileset_e2e(spark, tmp_path):
+    """Miniature end-to-end: engine feature tables -> real MBTiles."""
+    from map_v2_etl_spark.plans.pipeline import build_wide, tile_layers
+    from map_v2_etl_spark.sources.geojson import write_geojsonl
+
+    src = tmp_path / "long.csv"
+    src.write_text(
+        "id,year,name,parent_location,population,eviction_rate,"
+        "eviction_filing_rate,renter_occupied_households\n"
+        "01,2000,A,US,100,1.0,2.0,40\n"
+    )
+    wide = build_wide(spark, str(src), "raw")
+    shapes = spark.createDataFrame(
+        [("01", '{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}')],
+        ["GEOID", "geometry"],
+    )
+    layers = tile_layers(wide, shapes, "raw")
+    for name, df in layers.items():
+        kind = "centers" if name.startswith("bubble") else "choropleth"
+        props = [c for c in df.columns if c != "geometry"]
+        write_geojsonl(df, str(tmp_path / f"{kind}_dir"), props, ["GEOID"])
+    for kind in ("centers", "choropleth"):
+        parts = sorted((tmp_path / f"{kind}_dir").glob("part-*"))
+        with open(tmp_path / f"{kind}.geojson", "w") as out:
+            for p in parts:
+                out.write(p.read_text())
+    export_decade_csvs(wide, str(tmp_path), "raw")
+    done = build_tileset("states", str(tmp_path), ["00"])
+    assert (tmp_path / "build" / "states-00.mbtiles").exists()
+    assert len(done) == 2 + 3
+
+
+def test_upload_manifest_metadata_parity(tmp_path):
+    tiles = tmp_path / "tiles"
+    (tiles / "0" / "0").mkdir(parents=True)
+    (tiles / "0" / "0" / "0.pbf").write_bytes(b"x")
+    (tiles / "metadata.json").write_text("{}")
+    (tiles / "stats.json").write_text("{}")  # must be excluded
+
+    m = upload_manifest(
+        "tracts",
+        wide_csv=str(tmp_path / "w.csv"),
+        extents_csv=str(tmp_path / "e.csv"),
+        source_csv_gz=str(tmp_path / "tracts.csv.gz"),
+        tile_dirs={"tracts-00": str(tiles)},
+    )
+    by_uri = {e["s3_uri"]: e for e in m}
+    assert by_uri["s3://data-output/tracts.csv"]["content_type"] is None
+    assert by_uri["s3://extents-output/tracts-extents.csv"]["content_type"] is None
+    gz = by_uri["s3://data-input/tracts.csv.gz"]
+    assert (gz["content_type"], gz["content_encoding"]) == ("text/csv", "gzip")
+    pbf = by_uri["s3://tileset-output/tracts-00/0/0/0.pbf"]
+    assert (pbf["content_type"], pbf["content_encoding"]) == (
+        "application/x-protobuf", "gzip",
+    )
+    meta = by_uri["s3://tileset-output/tracts-00/metadata.json"]
+    assert (meta["content_type"], meta["content_encoding"]) == (
+        "application/json", None,
+    )
+    assert not any(u.endswith("stats.json") for u in by_uri)
+
+    cli = manifest_to_aws_cli(m)
+    assert any(
+        "--content-type application/x-protobuf --content-encoding gzip" in c
+        for c in cli
+    )
