@@ -47,6 +47,9 @@ HEADLINE = [
     "events_tumbling_window",
     "events_session_windows",
     "decontaminate_docs",
+    "fuzzy_name_pairs",
+    "pack_sequences",
+    "merge_upsert",
 ]
 
 

@@ -347,6 +347,102 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 
+def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected edge set as both orientations, self-loops dropped."""
+    return (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14). Converges in O(log d) rounds vs O(d) for plain min-label
+    propagation — the scale path for high-diameter graphs (long chains,
+    web-link graphs); ``connected_components`` stays the default for
+    near-clique dup graphs where d is 2-3.
+
+    large-star(u): every neighbor v > u re-attaches to
+    m = min(N(u) ∪ {u}); small-star(u): with edges oriented (max, min),
+    every neighbor plus u itself attaches to m. Both are one window-min
+    over the neighbor list keyed by u — one shuffle each, no all-pairs
+    blowup; the edge set only ever shrinks toward the star forest, and
+    labels (attachment targets) decrease monotonically.
+
+    Convergence test: the oriented edge set is a fixpoint of the round.
+    Checked as |new| == |old| and new ⊄ old via ``subtract`` — one extra
+    shuffle per round, amortized by the O(log d) round count.
+    """
+    from pyspark.sql import Window as W
+
+    def _oriented(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = F.least(F.min("b").over(W.partitionBy("a")), F.col("a"))
+        return (
+            sym.withColumn("m", m)
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        o = _oriented(e)  # a > b for every row
+        withm = o.withColumn(
+            "m", F.min("b").over(W.partitionBy("a"))
+        )
+        nbr = withm.select(F.col("b").alias("a"), F.col("m").alias("b"))
+        self_ = withm.select(F.col("a"), F.col("m").alias("b")).distinct()
+        return (
+            nbr.union(self_).filter(F.col("a") != F.col("b")).distinct()
+        )
+
+    cur = _oriented(_symmetrize(edges, src_col, dst_col)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        nxt = _oriented(_small_star(_large_star(cur))).localCheckpoint(
+            eager=True
+        )
+        n_new, n_old = nxt.count(), cur.count()
+        if n_new == n_old and nxt.subtract(cur).count() == 0:
+            cur = nxt
+            break
+        cur = nxt
+
+    # fixpoint edge set is a star forest rooted at each component's min:
+    # every non-root points straight at its root
+    roots = cur.select(F.col("a").alias("id"), F.col("b").alias("label"))
+    labels = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(roots, "id", "left")
+        .select(
+            "id", F.coalesce("label", F.col("id")).alias("cluster")
+        )
+    )
+    return labels
+
+
 def dup_clusters(
     df: DataFrame,
     threshold: float = 0.8,

@@ -173,3 +173,52 @@ def test_connected_components_self_loops(spark):
         for r in connected_components(vertices, edges).collect()
     }
     assert got == {1: 1, 2: 2, 3: 3, 4: 3}
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    """Star CC agrees with min-label propagation on a mixed random graph
+    (chain + triangle + singletons + a random component)."""
+    import random
+
+    from map_v2_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 60
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    pairs = [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 5), (8, 8)]
+    pairs += [
+        (rng.randrange(20, n), rng.randrange(20, n)) for _ in range(40)
+    ]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    a = {
+        r.id: r.cluster
+        for r in connected_components(vertices, edges).collect()
+    }
+    b = {
+        r.id: r.cluster
+        for r in connected_components_star(vertices, edges).collect()
+    }
+    assert a == b
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """A 200-node chain (diameter 199) converges within 8 alternating
+    rounds — the O(log d) posture label propagation cannot match
+    (it would need ~199 rounds)."""
+    from map_v2_etl_spark.operators.dedup import connected_components_star
+
+    n = 200
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    got = {
+        r.id: r.cluster
+        for r in connected_components_star(
+            vertices, edges, max_iter=8
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
