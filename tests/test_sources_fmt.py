@@ -92,3 +92,39 @@ def test_stream_to_parquet_sink(spark, sf_dir, tmp_path):
         if t[0] + timedelta(minutes=5) <= max_ts - timedelta(minutes=10)
     }
     assert finalized <= a
+
+
+def test_jsonl_roundtrip_gzip(spark, sf_dir, tmp_path):
+    """documents parquet -> gzipped JSONL shards -> read back: lossless."""
+    from map_v2_etl_spark.sources.jsonl import (
+        documents_schema,
+        read_jsonl,
+        write_jsonl,
+    )
+    from map_v2_etl_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, compression="gzip", shards=3)
+    back = read_jsonl(spark, out, documents_schema())
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+    import glob as g
+    assert len(g.glob(out + "/part-*.json.gz")) == 3
+
+
+def test_jsonl_missing_and_extra_keys(spark, tmp_path):
+    """Declared-schema read: missing keys -> null, extra keys dropped."""
+    from map_v2_etl_spark.sources.jsonl import documents_schema, read_jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en", "source": "s", '
+        '"n_chars": 5, "extra": true}\n'
+        '{"doc_id": 2, "text": "world"}\n'
+    )
+    back = read_jsonl(spark, str(p), documents_schema())
+    rows = {r.doc_id: r for r in back.collect()}
+    assert rows[1].text == "hello" and not hasattr(rows[1], "extra")
+    assert rows[2].lang is None and rows[2].n_chars is None

@@ -99,3 +99,18 @@ def test_transform_with_state_matches_apply_in_pandas(spark, sf_dir):
     for uid, (n, total) in expect.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - total) < 1e-6
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join drains to exactly the
+    batch twin's rows (registry query events_stream_join)."""
+    from map_v2_etl_spark.plans.registry import REGISTRY, all_queries
+    from map_v2_etl_spark.streaming.joins import run_stream_join_on_parquet
+
+    all_queries()
+    path = os.path.join(sf_dir, "events.parquet")
+    streamed = run_stream_join_on_parquet(spark, path, query_name="t_sjoin")
+    batch = REGISTRY["events_stream_join"].fn(spark, sf_dir)
+    cols = ["purchase_id", "click_id", "user_id", "purchase_ts", "click_ts"]
+    assert rows_set(streamed, cols) == rows_set(batch, cols)
+    assert streamed.count() > 0
