@@ -432,6 +432,20 @@ def kmeans_assignments(
     surface (SURVEY.md §2.11) — the clustering stage of SemDeDup-style
     semantic curation (see semdedup_removals).
     """
+    cents = lloyd_centroids(emb, k, iters, id_col, vec_col)
+    return assign_clusters(emb, cents, id_col, vec_col).select(id_col, "cluster")
+
+
+def lloyd_centroids(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The training loop of kmeans_assignments, returning the centroids
+    themselves (k x dim floats of driver state). Shared by k-means
+    assignment and PQ codebook training."""
     cents = [
         [float(x) for x in r[vec_col]]
         for r in emb.orderBy(id_col).limit(k).collect()
@@ -451,7 +465,7 @@ def kmeans_assignments(
         for r in rows:
             upd.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = float(r["m"])
         cents = [upd.get(c, cents[c]) for c in range(k)]
-    return assign_clusters(emb, cents, id_col, vec_col).select(id_col, "cluster")
+    return cents
 
 
 def semdedup_removals(
@@ -485,3 +499,204 @@ def semdedup_removals(
         .groupBy(F.col("id_b").alias(id_col))
         .agg(F.min("id_a").alias("kept_id"), F.count("*").alias("n_dups"))
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (IVF-PQ-style ADC search)
+# --------------------------------------------------------------------------
+
+def _unit(vec: Column) -> Column:
+    """L2-normalize an array<float|double> column (zero vector -> zeros).
+
+    PQ approximates L2 distance; on unit vectors L2^2 = 2 - 2*cosine, so
+    ADC ranking by L2 equals ranking by cosine — normalization is what
+    makes a cosine ANN out of an L2 quantizer."""
+    n = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # bind the norm once (transform-over-singleton; see dedup.word_shingles
+    # — embedding the aggregate inside the per-element lambda would
+    # re-reduce the whole vector per element on the interpreted HOF path)
+    return F.element_at(
+        F.transform(
+            F.array(n),
+            lambda nn: F.transform(
+                vec,
+                lambda x: F.when(nn == 0.0, F.lit(0.0)).otherwise(
+                    x.cast("double") / nn
+                ),
+            ),
+        ),
+        1,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split dim into m subspaces, k-means each with
+    ksub codewords (deterministic — lloyd_centroids has no RNG).
+    Returns codebooks[sub][code] = centroid (dim/m floats). Driver state
+    is m x ksub x dim/m floats (a few KB at any corpus scale); each
+    subspace trains on one slice projection of the corpus — m small
+    aggregation jobs, the corpus is never collected."""
+    dim = _vec_dim(corpus, vec_col, dim)
+    if dim is None or dim % m != 0:
+        raise ValueError(f"dim {dim} must be a multiple of m={m}")
+    sublen = dim // m
+    unit = corpus.select(
+        F.col(id_col), _unit(F.col(vec_col)).alias("uvec")
+    )
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = unit.select(
+            id_col, F.slice("uvec", s * sublen + 1, sublen).alias("sv")
+        )
+        books.append(lloyd_centroids(sub, ksub, iters, id_col, "sv"))
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>[m]) — nearest codeword per subspace, ties to
+    the lowest code. One narrow map over the corpus (codebooks folded as
+    literals: m x ksub structs, small by PQ's design), zero shuffle.
+    The 8-16x compression (dim floats -> m bytes) is what lets a 100 TB
+    embedding corpus fit scan-speed ANN."""
+    m = len(codebooks)
+    sublen = len(codebooks[0][0])
+    uvec = _unit(F.col(vec_col))
+    codes = []
+    for s, book in enumerate(codebooks):
+        sv = F.slice(uvec, s * sublen + 1, sublen)
+        best = F.array_min(
+            F.array(*[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sv,
+                            F.array(*[F.lit(float(v)) for v in cw]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(c).alias("code"),
+                )
+                for c, cw in enumerate(book)
+            ])
+        )
+        codes.append(best["code"])
+    return corpus.select(
+        F.col(id_col), F.array(*codes).cast("array<int>").alias("codes")
+    )
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank: (q_id, nn_id, rank,
+    cosine), self-matches excluded — same shape as cosine_topk.
+
+    Asymmetric distance computation (ADC): each query precomputes a
+    (sub, code) -> partial-distance lookup table against the codebooks;
+    a corpus vector's approximate distance is m LUT lookups summed —
+    never a full dim-float multiply. The top `candidates` per query by
+    ADC are re-ranked with exact cosine on the raw vectors.
+
+    Scale: codes are ONE narrow projection of the corpus (pq_encode);
+    the LUT (|Q| x m x ksub rows) broadcasts; the ADC pass joins the
+    posexploded code table to the LUT map-side and partial-aggregates
+    (q_id, nn_id) sums before the only shuffle. Exact re-rank touches
+    `candidates` x |Q| vectors — output-bounded, not corpus-bounded.
+    Jegou et al., "Product Quantization for Nearest Neighbor Search"
+    (TPAMI'11) is the public blueprint.
+    """
+    from ..sources.registry import widen_partitions
+
+    dim = _vec_dim(corpus, vec_col, dim)
+    if dim is None:
+        # empty corpus: correct empty result via the exact plan
+        return cosine_topk(corpus, queries, k, id_col, vec_col)
+    sublen = dim // m
+    books = pq_train(corpus, m, ksub, iters, id_col, vec_col, dim)
+    codes = pq_encode(widen_partitions(corpus), books, id_col, vec_col)
+
+    spark = corpus.sparkSession
+    cw_rows = [
+        (s, c, [float(v) for v in cw])
+        for s, book in enumerate(books)
+        for c, cw in enumerate(book)
+    ]
+    cw = spark.createDataFrame(
+        cw_rows, "sub INT, code INT, cent ARRAY<DOUBLE>"
+    )
+    q_unit = queries.select(
+        F.col(id_col).alias("q_id"), _unit(F.col(vec_col)).alias("q_uvec")
+    )
+    part = F.aggregate(
+        F.zip_with(
+            F.slice("q_uvec", F.col("sub") * sublen + 1, F.lit(sublen)),
+            F.col("cent"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        q_unit.crossJoin(F.broadcast(cw))
+        .select("q_id", "sub", "code", part.alias("part"))
+    )
+    adc = (
+        codes.select(
+            F.col(id_col).alias("nn_id"),
+            F.posexplode("codes").alias("sub", "code"),
+        )
+        .join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("nn_id") != F.col("q_id"))
+        .groupBy("q_id", "nn_id")
+        .agg(F.sum("part").alias("adist"))
+    )
+    wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
+    cand = (
+        adc.withColumn("r", F.row_number().over(wnd))
+        .filter(F.col("r") <= candidates)
+        .select("q_id", "nn_id")
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        cand.join(c_vec, "nn_id")
+        .join(F.broadcast(q_vec), "q_id")
+        .withColumn(
+            "cosine", cosine_similarity(F.col("q_vec"), F.col("nn_vec"))
+        )
+    )
+    return _topk_window(scored, k)

@@ -379,3 +379,22 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_pq_topk — product-quantization ANN
+# --------------------------------------------------------------------------
+
+@query("embedding_pq_topk", None, tags=["similarity", "ann", "pq"])
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank
+    (operators/similarity.pq_cosine_topk): 16-dim vectors quantized to 4
+    byte codes (4 subspaces x 16 codewords), ranked by lookup-table sums,
+    top candidates re-ranked exactly. Approximate by construction ->
+    rows-only check; recall vs the exact twin asserted in
+    tests/test_similarity.py."""
+    from ..operators.similarity import pq_cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_cosine_topk(emb, qs, k=5, m=4, ksub=16, candidates=50)

@@ -147,3 +147,46 @@ def test_assign_clusters_broadcast_path_k256(spark, sf_dir):
     finally:
         sim.BROADCAST_K_THRESHOLD = old
     assert got_bc64 == want
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    """PQ/ADC with exact re-rank reaches high recall@5 vs brute force,
+    and its cosine values are exact (re-rank uses raw vectors)."""
+    from map_v2_etl_spark.operators.similarity import (
+        cosine_topk,
+        pq_cosine_topk,
+    )
+    from map_v2_etl_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.q_id, r.nn_id) for r in cosine_topk(emb, qs, k=5).collect()
+    }
+    pq_rows = pq_cosine_topk(emb, qs, k=5, candidates=100).collect()
+    approx = {(r.q_id, r.nn_id) for r in pq_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall@5 {recall:.2f}"
+    # returned cosines must be exact (computed on raw vectors)
+    exact_cos = {
+        (r.q_id, r.nn_id): r.cosine
+        for r in cosine_topk(emb, qs, k=50).collect()
+    }
+    for r in pq_rows:
+        if (r.q_id, r.nn_id) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.q_id, r.nn_id)]) < 1e-12
+
+
+def test_pq_encode_deterministic(spark, sf_dir):
+    """Same corpus -> bit-identical codes across runs (no RNG anywhere)."""
+    from map_v2_etl_spark.operators.similarity import pq_encode, pq_train
+    from map_v2_etl_spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books1 = pq_train(emb, m=4, ksub=8, iters=1)
+    books2 = pq_train(emb, m=4, ksub=8, iters=1)
+    assert books1 == books2
+    c1 = {(r.vec_id, tuple(r.codes)) for r in pq_encode(emb, books1).collect()}
+    c2 = {(r.vec_id, tuple(r.codes)) for r in pq_encode(emb, books2).collect()}
+    assert c1 == c2
