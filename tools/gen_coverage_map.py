@@ -29,8 +29,9 @@ def main() -> None:
 
     text = open(SURVEY).read()
     # replace the first markdown table after the §8 header
+    # [^\n] (not DOTALL .) so a table row never swallows past its own line
     m = re.search(
-        r"(## 8\..*?\n\n.*?\n\n)\| query \| oracle.*?\n(?:\|.*\n)+",
+        r"(## 8\..*?\n\n(?:[^\n]+\n)*?\n)\| query \| oracle[^\n]*\n(?:\|[^\n]*\n)+",
         text,
         flags=re.S,
     )
