@@ -398,3 +398,108 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     return pq_cosine_topk(emb, qs, k=5, m=4, ksub=16, candidates=50)
+
+
+# --------------------------------------------------------------------------
+# pii_redact
+# --------------------------------------------------------------------------
+
+#: patterns restricted to the Java-regex ∩ RE2 common subset (char classes,
+#: bounded repeats, \b) so Spark and DuckDB match identically
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "pii_redact",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+               WHEN doc_id % 11 = 0
+                 THEN ' call 555-0199 from 10.0.' || doc_id % 256 || '.1'
+               ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(
+             regexp_replace(t, '{_PII_PHONE}', '<PHONE>', 'g'), '{_PII_IP}'))
+             AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+             t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    tags=["text", "pii", "redaction", "regex"],
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training corpus needs:
+    redact emails, phone numbers, and IPv4 addresses, and count each
+    class per document. The synthetic corpus contains no PII, so the
+    query deterministically injects some (doc_id-keyed suffixes built
+    identically in both engines) — the redaction work is real, not a
+    no-op over clean text.
+
+    IP counting runs on the phone-redacted text: '555-0199 from
+    10.0.x.1' must not double-count the phone's digits, and the
+    engines must agree on that choice. Patterns stay in the Java-regex ∩
+    RE2 common subset; the redacted text is emitted as an md5
+    fingerprint (exact cross-engine string equality without hauling
+    full text through the driver compare).
+
+    Scale: pure per-row map — no shuffle at all; regexes are compiled
+    once per task by codegen. The reference's only string ops are
+    slice/concat (SURVEY.md §2.8); this is extension surface.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-0199 from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", t.alias("t"))
+    no_phone = F.regexp_replace(F.col("t"), _PII_PHONE, "<PHONE>")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count(no_phone, F.lit(_PII_IP))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )

@@ -123,3 +123,18 @@ def test_stream_join_plan_is_hash_join(spark, sf_dir):
     )
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pii_redact_counts(spark, sf_dir):
+    """Injected PII is found and fully redacted: every doc_id%7==0 doc
+    has exactly one email; %11 (and not %7) docs have one phone and one
+    IP; clean docs have zero of each."""
+    rows = REGISTRY["pii_redact"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.doc_id % 7 == 0:
+            assert (r.n_emails, r.n_phones, r.n_ips) == (1, 0, 0), r
+        elif r.doc_id % 11 == 0:
+            assert (r.n_emails, r.n_phones, r.n_ips) == (0, 1, 1), r
+        else:
+            assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 0), r
