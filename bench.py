@@ -50,6 +50,10 @@ HEADLINE = [
     "fuzzy_name_pairs",
     "pack_sequences",
     "merge_upsert",
+    "quality_gopher_rules",
+    "bm25_scores",
+    "pii_redact",
+    "embedding_pq_topk",
 ]
 
 
