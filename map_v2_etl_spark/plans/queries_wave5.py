@@ -184,18 +184,38 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import tokens
 
     docs = load_table(spark, "documents", sf_dir)
+    # ONE tokenize + ONE shuffle feeds dl, tf, df, and the corpus stats:
+    # aggregate (doc_id) once with the total count and per-query-term
+    # conditional counts pivoted into columns map-side — the token table
+    # never shuffles at (doc_id, term) granularity and is never exploded
+    # twice (the separate dl/tf formulation pays both, measured 9
+    # exchanges -> 5)
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("w") == t, 1)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").cast("double").alias("avgdl"),
     )
     tf = (
-        tok.filter(F.col("w").isin(*_BM25_TERMS))
-        .groupBy("doc_id", F.col("w").alias("term"))
-        .agg(F.count("*").alias("tf"))
+        per_doc.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*[F.lit(t) for t in _BM25_TERMS]),
+                    F.array(*[F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))]),
+                )
+            ).alias("term", "tf"),
+        )
+        .filter(F.col("tf") > 0)
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     score = F.round(
@@ -209,7 +229,6 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", "tf", "df", score.alias("bm25"))
     )
