@@ -1,0 +1,179 @@
+"""N-gram language-model scoring and importance weighting for corpus
+curation (SURVEY.md §2.11 extension — the reference at /root/reference
+has no text operators at all).
+
+Two classic curation signals built entirely from JVM-side expressions:
+
+* ``bigram_ll`` — CCNet-style LM scoring: train an add-1-smoothed bigram
+  LM on the corpus itself, score every document by its mean negative
+  log2 bigram probability ("bits per bigram"). Low bits = typical text,
+  high bits = outlier/garbage — the standard perplexity-bucket signal
+  (Wenzek et al., "CCNet", 2019 uses a KenLM 5-gram; the bigram here is
+  the same pipeline shape with the LM training step in-engine).
+* ``dsir_weights`` — hashed-n-gram importance weights (Xie et al.,
+  "Data Selection for Language Models via Importance Resampling",
+  NeurIPS 2023): features are bigrams hashed into B buckets; a document's
+  weight is sum over its features of log(p_target(b) / p_raw(b)), where
+  both distributions are add-1-smoothed bucket frequencies. Positive
+  weight = looks like the target domain.
+
+Scale posture (100 TB):
+* LM training is two chained hash aggregations with map-side partial
+  combine — shuffle carries (w1, w2) partial counts, never documents.
+* Scoring joins doc-bigrams to the bigram table on (w1, w2): a plain
+  shuffled equi-join whose build side is the LM, typically orders of
+  magnitude smaller than the corpus (broadcast it when it fits — the
+  hashed-bucket table in dsir_weights is B rows and ALWAYS broadcasts).
+* The token hash is md5-based (first 8 hex chars, base-16) so every
+  value is bit-reproducible in any md5-capable engine — the same
+  cross-engine trick operators/dedup.py uses for SimHash.
+* Floats appear only in the final per-doc log-sum, rounded to 6
+  decimals to absorb last-ulp libm differences (the bm25_scores
+  precedent in plans/queries_wave5.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import tokens
+
+LN2 = 0.6931471805599453
+
+
+def doc_bigrams(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, w1, w2) — one row per consecutive token pair, in order.
+
+    The token array binds once per row (transform-over-singleton, see
+    dedup.word_shingles); bigram i pairs toks[i] with toks[i+1] via an
+    index-aware transform, then explodes. Docs with < 2 tokens emit no
+    rows.
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
+    # zip the token array with its own tail; the array binds once per row
+    # (transform-over-singleton, see dedup.word_shingles)
+    bound = F.transform(F.array(F.lit(1)), lambda _: toks)[0]
+    pairs = F.zip_with(
+        F.slice(bound, 1, F.greatest(F.size(bound) - 1, F.lit(0))),
+        F.slice(bound, 2, F.greatest(F.size(bound) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def bigram_ll(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document add-1 bigram log-likelihood, trained on ``df`` itself.
+
+    P(w2 | w1) = (c(w1,w2) + 1) / (c(w1,·) + V), V = unigram vocabulary
+    size. Output: (id, n_bigrams, bits_per_bigram) where bits_per_bigram
+    = -mean log2 P, rounded to 6 decimals. Docs with < 2 tokens appear
+    with n_bigrams = 0 and NULL bits (left join from the input), so the
+    output covers every input row.
+
+    The vocabulary size joins in as a broadcast one-row aggregate — the
+    whole plan is aggregations plus equi-joins, no driver-side state.
+    """
+    bg = doc_bigrams(df, id_col, text_col)
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")))
+            ).alias("ll"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(
+                -F.col("ll") / F.col("n_bigrams") / F.lit(LN2), 6
+            ).alias("bits_per_bigram"),
+        )
+    )
+
+
+def hashed_bigram_bucket(w1: Column, w2: Column, buckets: int) -> Column:
+    """Engine-portable feature hash: first 8 hex chars of md5 over
+    'w1 w2', base-16, mod ``buckets``. Reproducible anywhere md5 is."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws(" ", w1, w2)), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weight per document: sum over hashed-bigram
+    occurrences of log(p_target / p_raw), add-1 smoothed over ``buckets``.
+
+    ``target_filter`` selects the target-domain rows INSIDE the same
+    corpus scan (e.g. ``F.col("lang") == "en"``); raw = all rows. Both
+    bucket tables are exactly ``buckets`` rows and broadcast into the
+    scoring join, so the corpus shuffles only to form its own bigram
+    buckets (one explode + hash agg). Output: (id, n_feats, round(w, 6)),
+    docs with no bigrams carry n_feats = 0 / NULL weight.
+    """
+    bg = doc_bigrams(df, id_col, text_col)
+    feats = bg.select(
+        id_col, hashed_bigram_bucket(F.col("w1"), F.col("w2"), buckets).alias("b")
+    )
+    t_ids = df.filter(target_filter).select(id_col)
+    t_counts = (
+        feats.join(t_ids, id_col).groupBy("b").agg(F.count("*").alias("ct"))
+    )
+    r_counts = feats.groupBy("b").agg(F.count("*").alias("cr"))
+    # totals as one-row broadcast aggregates; add-1 over all `buckets`
+    t_tot = t_counts.agg(F.sum("ct").alias("nt"))
+    r_tot = r_counts.agg(F.sum("cr").alias("nr"))
+    dist = (
+        r_counts.join(t_counts, "b", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "b",
+            F.log(
+                ((F.col("ct") + 1) / (F.col("nt") + buckets))
+                / ((F.col("cr") + 1) / (F.col("nr") + buckets))
+            ).alias("lw"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(dist), "b")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_feats"), F.sum("lw").alias("w"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.round("w", 6).alias("weight"),
+        )
+    )

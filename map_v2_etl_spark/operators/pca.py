@@ -1,0 +1,121 @@
+"""Distributed PCA over an embedding column (SURVEY.md §2.11 extension;
+the reference at /root/reference has no vector operators).
+
+The textbook two-phase shape for tall-skinny X (n × dim, dim small):
+
+1. **Gram phase (distributed)** — each partition accumulates its own
+   (count, Σx, XᵀX) with NumPy inside one Arrow-batched ``mapInPandas``
+   pass, emitting ONE row of dim² + dim + 1 doubles per partition. The
+   per-element sum of those rows is a bounded aggregate (dim² values
+   collected), never the corpus: at 1000 executors and dim = 64 the
+   driver sees ~4 KB × partitions, independent of n. This is exactly
+   what MLlib's ``RowMatrix.computeGramianMatrix`` does under treeAggregate.
+2. **Eigen phase (driver, bounded)** — covariance = G/n − μμᵀ, then a
+   dim × dim ``numpy.linalg.eigh``; top-k eigenvectors are sign-fixed
+   (largest-|coefficient| entry made positive) so the output is
+   deterministic up to eigenvalue ties.
+3. **Projection (JVM)** — components fold back in as literal arrays
+   (k·dim scalars — bounded, unlike data-dependent centroid folding);
+   each score is dot(x, cⱼ) − dot(μ, cⱼ) via the zip_with/aggregate
+   vector kernel. No Python in the projection path.
+
+Why not the posexplode self-join (pairs (i,j) per row)? That shuffles
+n·dim² rows — corpus-sized traffic for a dim²-sized answer. The partial
+Gram keeps shuffle volume at partitions × dim².
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.vectors import dot
+
+
+def gram_stats(df: DataFrame, vec_col: str = "embedding"):
+    """(n, mean, cov) of the vector column — driver state is dim²."""
+    import numpy as np
+
+    def partials(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n += x.shape[0]
+            s = x.sum(0) if s is None else s + x.sum(0)
+            gg = x.T @ x
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [float(n)],
+                    "sg": [np.concatenate([s, g.ravel()]).tolist()],
+                }
+            )
+
+    flat = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="n double, sg array<double>")
+        .select(
+            F.posexplode(
+                F.concat(F.array(F.col("n")), F.col("sg"))
+            ).alias("pos", "val")
+        )
+    )
+    rows = flat.groupBy("pos").agg(F.sum("val").alias("v")).collect()
+    vals = np.empty(len(rows))
+    for r in rows:
+        vals[r["pos"]] = r["v"]
+    n = vals[0]
+    if n == 0:
+        raise ValueError("gram_stats: empty input")
+    dim = int(round((len(vals) - 1 + 0.25) ** 0.5 - 0.5))  # solve d²+d = len-1
+    s, g = vals[1 : 1 + dim], vals[1 + dim :].reshape(dim, dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return int(n), mean, cov
+
+
+def principal_components(cov, k: int):
+    """Top-k eigenvectors of a symmetric matrix, eigenvalue-descending,
+    sign-fixed: the largest-|coefficient| entry of each component is
+    made positive (deterministic up to exact eigenvalue ties)."""
+    import numpy as np
+
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T.copy()
+    for j in range(comps.shape[0]):
+        i = int(np.argmax(np.abs(comps[j])))
+        if comps[j, i] < 0:
+            comps[j] = -comps[j]
+    return comps, w[order]
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """(id, pc0..pc{k-1}) — centered projection onto the top-k
+    components, rounded for cross-run stability."""
+    _, mean, cov = gram_stats(df, vec_col)
+    comps, _ = principal_components(cov, k)
+    offsets = comps @ mean
+    cols = [F.col(id_col)]
+    for j in range(k):
+        lit = F.array(*[F.lit(float(c)) for c in comps[j]])
+        cols.append(
+            F.round(
+                dot(F.col(vec_col).cast("array<double>"), lit)
+                - float(offsets[j]),
+                decimals,
+            ).alias(f"pc{j}")
+        )
+    return df.select(*cols)

@@ -62,3 +62,33 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zkey_col: str,
+    num_files: int,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Z-order-clustered parquet (see plans/queries_wave6.zorder_layout
+    for the key construction): range-partition on the Morton key, sort
+    within each partition, drop the key from the files.
+
+    ``repartitionByRange`` uses a sampled range exchange — NOT a global
+    sort — so the write scales like any shuffle while every output
+    file covers a compact Z-curve segment. Because the curve interleaves
+    both source dimensions, each file's row-group min/max stats are
+    tight on BOTH columns, and a reader's predicate on either one skips
+    most files (asserted against the footer stats in
+    tests/test_wave6.py).
+    """
+    (
+        df.repartitionByRange(num_files, zkey_col)
+        .sortWithinPartitions(zkey_col)
+        .drop(zkey_col)
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
