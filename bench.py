@@ -54,6 +54,10 @@ HEADLINE = [
     "bm25_scores",
     "pii_redact",
     "embedding_pq_topk",
+    "ngram_lm_score",
+    "dsir_weights",
+    "chunk_documents",
+    "zorder_layout",
 ]
 
 

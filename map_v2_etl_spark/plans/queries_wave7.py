@@ -1,0 +1,313 @@
+"""Wave-7 surface: collocation mining, sparse lexical similarity,
+substring-level duplication scoring, and streaming dedup.
+
+The reference (/root/reference) has none of these; they extend the
+engine per the north-star charter (BASELINE.json). Rationale per query:
+
+* text_collocations — PMI-ranked bigram collocations (min pair count
+  5): the classic phrase-mining signal (Church & Hanks 1990); corpora
+  use it to find multi-word units before tokenizer training.
+* tfidf_similar_pairs — sparse lexical cosine over tf-idf weights via
+  an inverted-index self-join: the term-space complement of the dense
+  embedding_similar_pairs. Pairs meet ONLY on shared terms — the
+  sparse-similarity join shape (no all-pairs). On natural corpora the
+  df distribution is Zipfian and a stop-term df cap keeps the hottest
+  posting lists bounded; this synthetic vocabulary is ~40 terms, all
+  hot, so no cap is applied here (documented, not hidden).
+* dup_span_score — per-document duplicated-substring pressure: the
+  fraction of a doc's word-8-grams that occur in at least one OTHER
+  document (Lee et al. 2021, "Deduplicating Training Data Makes
+  Language Models Better" — the n-gram approximation of their
+  suffix-array substring dedup). Integers only; the keep flag uses
+  integer cross-multiplication.
+* events_dedup_stream — a REAL Structured Streaming run of
+  dropDuplicatesWithinWatermark whose key-set output is
+  oracle-checkable against batch SELECT DISTINCT (the watermark is
+  wider than the replayed event-time span, so no key can expire
+  mid-replay and the emitted key set is exact).
+
+Float discipline: PMI and cosine are bounded log/ratio sums rounded to
+6 decimals; tfidf_similar_pairs THRESHOLDS ON THE ROUNDED VALUE so the
+keep/drop decision is identical across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.lm import doc_bigrams
+from ..sources.registry import load_table
+from .registry import query
+
+_DUCK_TOKS = (
+    "SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), "
+    r"'\s+'), x -> x <> '') AS toks FROM documents"
+)
+
+# ---------------------------------------------------------------------------
+# text_collocations
+# ---------------------------------------------------------------------------
+
+_MIN_PAIR = 5
+
+_DUCK_COLLOC = f"""
+WITH t AS ({_DUCK_TOKS}),
+pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t),
+big AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+n2 AS (SELECT CAST(sum(c2) AS BIGINT) AS n2 FROM bc),
+u AS (SELECT w, count(*) AS c1
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM u)
+SELECT bc.w1, bc.w2, CAST(bc.c2 AS BIGINT) AS pair_count,
+       round(ln((bc.c2 * n1.n1 * n1.n1)
+                / (n2.n2 * ua.c1 * ub.c1)), 6) AS pmi
+FROM bc
+JOIN u ua ON ua.w = bc.w1
+JOIN u ub ON ub.w = bc.w2
+CROSS JOIN n1 CROSS JOIN n2
+WHERE bc.c2 >= {_MIN_PAIR}
+ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 100
+"""
+
+
+@query("text_collocations", _DUCK_COLLOC, tags=["text", "pmi", "collocations"])
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations by pointwise mutual information,
+    PMI = ln(P(w1,w2) / (P(w1)·P(w2))), min pair count 5.
+
+    Scale: two hash aggs (bigram and unigram counts, map-side combine);
+    the PMI join's build side is the unigram table (vocab-bounded —
+    broadcastable); corpus totals ride in as one-row broadcast
+    aggregates. Ordering ties break on the ROUNDED pmi then (w1, w2),
+    so the LIMIT slice is engine-deterministic."""
+    docs = load_table(spark, "documents", sf_dir)
+    bg = doc_bigrams(docs)
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    n2 = bc.agg(F.sum("c2").cast("long").alias("n2"))
+    from ..operators.dedup import tokens
+
+    u = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    n1 = u.agg(F.sum("c1").cast("long").alias("n1"))
+    ua = u.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    ub = u.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    return (
+        bc.filter(F.col("c2") >= _MIN_PAIR)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c2") * F.col("n1") * F.col("n1"))
+                    / (F.col("n2") * F.col("c1a") * F.col("c1b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# tfidf_similar_pairs
+# ---------------------------------------------------------------------------
+
+_COS_MIN = 0.9
+
+_DUCK_TFIDF = f"""
+WITH t AS ({_DUCK_TOKS}),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+tw AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+dfq AS (SELECT w, count(*) AS df FROM tw GROUP BY w),
+n AS (SELECT count(*) AS n FROM documents),
+wts AS (SELECT tw.doc_id, tw.w, tw.tf * ln(n.n / dfq.df) AS wt
+        FROM tw JOIN dfq USING (w) CROSS JOIN n),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nm FROM wts GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS dp
+         FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(dp / (na.nm * nb.nm), 6) AS cos_sim
+FROM dots
+JOIN nrm na ON na.doc_id = id_a
+JOIN nrm nb ON nb.doc_id = id_b
+WHERE round(dp / (na.nm * nb.nm), 6) >= {_COS_MIN}
+"""
+
+
+@query("tfidf_similar_pairs", _DUCK_TFIDF, tags=["text", "tfidf", "similarity"])
+def q_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with tf-idf cosine ≥ 0.9 via an inverted-index
+    self-join: pairs meet only on shared terms, dot products accumulate
+    per pair, norms join in per side.
+
+    Scale: the posting-list self-join is quadratic per TERM, not per
+    corpus — Zipf-tail terms are tiny, and production corpora cap hot
+    terms (df ceiling) exactly like minhash bands cap bucket width.
+    The keep decision compares the ROUNDED cosine so both engines make
+    identical boundary calls."""
+    from ..operators.dedup import tokens
+    from ..sources.registry import widen_partitions
+
+    docs = widen_partitions(load_table(spark, "documents", sf_dir))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    tw = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfq = tw.groupBy("w").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    wts = (
+        tw.join(F.broadcast(dfq), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "w",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
+        )
+    )
+    nrm = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nm")
+    )
+    a = wts.select(
+        F.col("doc_id").alias("id_a"), "w", F.col("wt").alias("wa")
+    )
+    b = wts.select(
+        F.col("doc_id").alias("id_b"), "w", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nm").alias("nb"))
+    cos = F.round(F.col("dp") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _COS_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dup_span_score
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8
+
+_DUCK_DUPSPAN = f"""
+WITH t AS ({_DUCK_TOKS}),
+pos AS (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {_SPAN_N - 1})) AS i
+        FROM t WHERE len(toks) >= {_SPAN_N}),
+g AS (SELECT doc_id,
+             array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' ')
+               AS gram
+      FROM pos),
+gd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (gd.nd > 1) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN count(*) FILTER (gd.nd > 1) * 10 <= count(*) * 3
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM g JOIN gd USING (gram) GROUP BY g.doc_id
+"""
+
+
+@query("dup_span_score", _DUCK_DUPSPAN, tags=["text", "dedup", "substring"])
+def q_dup_span_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring pressure per document: count of word-8-gram
+    positions whose gram also occurs in ≥1 OTHER document, plus a keep
+    flag (shared fraction ≤ 0.3, integer cross-multiplied) — the n-gram
+    approximation of suffix-array substring dedup (Lee et al. 2021).
+
+    Scale: one explode to (doc, position-gram), one hash agg for
+    cross-document gram frequencies, one equi-join back on the gram.
+    The join key is the gram string; hashing it to a 64-bit key is the
+    standard shuffle-width optimization at corpus scale (kept as the
+    string here so the oracle shares the exact key)."""
+    from ..operators.dedup import tokens
+    from ..sources.registry import widen_partitions
+
+    docs = widen_partitions(load_table(spark, "documents", sf_dir))
+    toks = F.filter(tokens(F.col("text")), lambda w: w != F.lit(""))
+    t = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= _SPAN_N
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - (_SPAN_N - 1))
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", F.col("i"), _SPAN_N)).alias("gram"),
+    )
+    gd = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        g.join(gd, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("nd") > 1).cast("long"))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        (F.col("n_shared") * 10 <= F.col("n_grams") * 3)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_dedup_stream
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_dedup_stream",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    tags=["streaming", "dedup", "watermark"],
+)
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark as a REAL streaming run over the
+    events parquet, projected to the key columns — with the watermark
+    wider than the replayed span no key can expire mid-replay, so the
+    emitted key set equals batch SELECT DISTINCT and the streaming
+    operator gets a full value-level oracle (rare for streaming ops).
+
+    Scale: state is one entry per key inside the watermark horizon,
+    hash-partitioned — the streaming analogue of dedup_exact's single
+    shuffle."""
+    from ..streaming.dedup import dedup_within_watermark
+    from ..streaming.windows import run_stream_on_parquet
+
+    qname = "dedupwm_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return run_stream_on_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        dedup_within_watermark,
+        query_name=qname,
+        output_mode="append",
+    )

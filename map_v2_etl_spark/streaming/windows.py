@@ -109,6 +109,14 @@ def run_stream_on_parquet(
             stream = stream.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            # withWatermark requires TIMESTAMP (LTZ); parquet written with
+            # isAdjustedToUTC=false arrives NTZ. The cast interprets the
+            # wall-clock in the session timezone — identical instants under
+            # the engine session (UTC), and watermark/window arithmetic is
+            # timezone-shift-invariant, so results are stable even under a
+            # bare session in a non-UTC zone.
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         transform(stream)
         .writeStream.outputMode(output_mode)
