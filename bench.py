@@ -58,6 +58,11 @@ HEADLINE = [
     "dsir_weights",
     "chunk_documents",
     "zorder_layout",
+    "text_collocations",
+    "tfidf_similar_pairs",
+    "dup_span_score",
+    "curation_pipeline",
+    "doc_pagerank",
 ]
 
 

@@ -1,0 +1,151 @@
+"""Wave-8 surface: the composed curation pipeline and similarity-graph
+PageRank.
+
+* curation_pipeline — the END-TO-END corpus curation decision: Gopher
+  hard gates + bigram-LM perplexity gate + duplicated-span gate + DSIR
+  domain gate, joined into one keep/drop verdict per document. This is
+  the query a real training-data pipeline runs nightly; every signal is
+  an already-oracle-checked sub-pipeline, and the composition is
+  oracle-checked END TO END by splicing those same SQL bodies into one
+  DuckDB CTE. All gates are integer flags; float thresholds compare the
+  ROUNDED values both engines agree on.
+* doc_pagerank — PageRank over the SimHash near-dup graph (hamming ≤ 3
+  pairs as undirected edges): high-rank documents are canonical centers
+  of duplicate neighborhoods — the principled survivor-selection signal
+  (vs lowest-id). Iterative ⇒ rows-only; the NumPy power-iteration twin
+  in tests/test_wave8.py asserts numeric parity.
+
+Scale notes: the pipeline's four signal sub-plans each reduce the
+corpus to one row per doc before the final doc_id equi-joins (shuffle
+carries per-doc scalars, not text). On a real cluster the tokenization
+they share would be materialized once (a persisted token table) —
+locally each sub-plan re-scans the parquet, which Catalyst prunes to
+the two columns it needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .registry import REGISTRY, query
+
+# the composed oracle splices the (already individually verified) SQL
+# bodies of the four signal queries — import side-effects register them
+from . import queries_wave5 as _W5  # noqa: F401
+from . import queries_wave6 as _W6
+from . import queries_wave7 as _W7
+
+_BITS_MAX = 4.9  # median-ish of bits_per_bigram at sf0.01 — a real gate
+
+
+def _gopher_sql() -> str:
+    return REGISTRY["quality_gopher_rules"].oracle
+
+
+_DUCK_CURATION = f"""
+WITH gop AS ({{gopher}}),
+dsp AS ({_W7._DUCK_DUPSPAN}),
+lmq AS ({_W6._DUCK_LM}),
+dsr AS ({_W6._DUCK_DSIR})
+SELECT g.doc_id,
+       g.keep AS keep_quality,
+       CAST(COALESCE(d.keep, 1) AS INT) AS keep_dup,
+       CAST(CASE WHEN l.bits_per_bigram IS NOT NULL
+                  AND l.bits_per_bigram <= {_BITS_MAX}
+            THEN 1 ELSE 0 END AS INT) AS keep_lm,
+       CAST(CASE WHEN w.weight IS NOT NULL AND w.weight >= 0
+            THEN 1 ELSE 0 END AS INT) AS keep_domain,
+       CAST(CASE WHEN g.keep = 1 AND COALESCE(d.keep, 1) = 1
+                  AND l.bits_per_bigram IS NOT NULL
+                  AND l.bits_per_bigram <= {_BITS_MAX}
+                  AND w.weight IS NOT NULL AND w.weight >= 0
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM gop g
+LEFT JOIN dsp d USING (doc_id)
+LEFT JOIN lmq l USING (doc_id)
+LEFT JOIN dsr w USING (doc_id)
+"""
+
+
+@query(
+    "curation_pipeline",
+    _DUCK_CURATION.format(gopher=_gopher_sql()),
+    tags=["text", "curation", "pipeline", "composition"],
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keep/drop verdict per document from four independent signals
+    (quality gates, duplication pressure, LM perplexity, domain
+    affinity) — the full curation pass, composed from the same operator
+    plans the individual queries run, joined on doc_id.
+
+    A doc with no 8-grams passes the dup gate (nothing to duplicate); a
+    doc with no bigrams fails the LM and domain gates (no evidence it
+    is target-like) — both conventions mirrored exactly in the oracle.
+    """
+    gop = REGISTRY["quality_gopher_rules"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    dsp = REGISTRY["dup_span_score"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("_kd")
+    )
+    lmq = REGISTRY["ngram_lm_score"].fn(spark, sf_dir).select(
+        "doc_id", "bits_per_bigram"
+    )
+    dsr = REGISTRY["dsir_weights"].fn(spark, sf_dir).select(
+        "doc_id", "weight"
+    )
+    keep_lm = (
+        F.col("bits_per_bigram").isNotNull()
+        & (F.col("bits_per_bigram") <= _BITS_MAX)
+    ).cast("int")
+    keep_domain = (
+        F.col("weight").isNotNull() & (F.col("weight") >= 0)
+    ).cast("int")
+    joined = (
+        gop.join(dsp, "doc_id", "left")
+        .join(lmq, "doc_id", "left")
+        .join(dsr, "doc_id", "left")
+        .select(
+            "doc_id",
+            "keep_quality",
+            F.coalesce("_kd", F.lit(1)).cast("int").alias("keep_dup"),
+            keep_lm.alias("keep_lm"),
+            keep_domain.alias("keep_domain"),
+        )
+    )
+    return joined.withColumn(
+        "keep",
+        (
+            (F.col("keep_quality") == 1)
+            & (F.col("keep_dup") == 1)
+            & (F.col("keep_lm") == 1)
+            & (F.col("keep_domain") == 1)
+        ).cast("int"),
+    )
+
+
+@query("doc_pagerank", None, tags=["graph", "pagerank", "dedup"])
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the SimHash hamming≤3 near-dup graph: rank mass
+    concentrates on documents central to duplicate neighborhoods —
+    the canonical-survivor signal. Iterative power iteration (10
+    rounds, damping 0.85) ⇒ rows-only; NumPy-twin parity in
+    tests/test_wave8.py. Output rounded to 9 decimals so partition-
+    order float noise cannot flip downstream comparisons."""
+    from ..operators.dedup import simhash_pairs
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, "documents", sf_dir)
+    # banded-candidate equi-join (pigeonhole chunks), never all-pairs —
+    # the same scale path the simhash_pairs registry query uses
+    pairs = simhash_pairs(docs, max_hamming=3).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    ranks = pagerank(nodes, edges, iters=10)
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
