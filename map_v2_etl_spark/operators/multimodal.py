@@ -4,10 +4,13 @@ The engine's charter (training-data pipeline at 100 TB) treats media as
 first-class table columns: ``payload BINARY`` beside typed metadata, with
 decode / feature-extract / resize / frame-sample as Arrow-batched
 ``mapInPandas`` stages. The Spark-side plumbing — schema, batch shape,
-partition sizing — is real and tested; the codec step itself is stubbed
-(image/audio libraries are not in this container) behind
-``NotImplementedError`` plus a deterministic fake used by tests, so
-swapping in Pillow/torchaudio later only replaces ``_decode_payload``.
+partition sizing — is real and tested. The codec boundary
+(``_decode_payload``) is REAL for uncompressed containers the stdlib
+can parse — RIFF/WAVE PCM audio and 24-bit BMP images, decoded with
+``wave`` + numpy (see decode_stats / resize_images / synth_real_media)
+— and stubbed behind ``NotImplementedError`` only for compressed codecs
+(JPEG/PNG/MP3/H.264), whose libraries are not in this container;
+swapping in Pillow/soundfile/pyav later only extends ``_decode_payload``.
 
 Scale posture: payloads never pass through Python row-at-a-time — Arrow
 moves binary batches; ``spark.sql.files.maxPartitionBytes`` bounds batch
@@ -69,16 +72,90 @@ def synth_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_payload(kind: str, payload: bytes):
-    """THE codec boundary — intentionally stubbed.
+def _decode_wav(payload: bytes):
+    """REAL decode for RIFF/WAVE PCM: (sample_rate, int16 numpy array).
+    Pure stdlib `wave` + numpy — no external codec needed for the
+    uncompressed container."""
+    import io
+    import wave
 
-    A production deployment replaces this with Pillow (image), soundfile
-    (audio), or pyav (video) decodes. Nothing else in the module changes.
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        sr = w.getframerate()
+        data = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    return sr, data
+
+
+def _decode_bmp(payload: bytes):
+    """REAL decode for uncompressed 24-bit BMP: (H, W, 3) uint8 array
+    (BGR order, bottom-up rows flipped to top-down). Header parsing +
+    numpy reshape — no external codec needed."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * abs(height), offset=off
+    ).reshape(abs(height), stride)[:, : width * 3]
+    img = rows.reshape(abs(height), width, 3)
+    return img[::-1] if height > 0 else img  # positive height = bottom-up
+
+
+def _encode_bmp(img) -> bytes:
+    """Inverse of _decode_bmp (top-down input, writes bottom-up)."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x13\x0b\x00\x00\x13\x0b\x00\x00"
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return header + body
+
+
+def _decode_payload(kind: str, payload: bytes):
+    """THE codec boundary. REAL for uncompressed containers the stdlib
+    can parse — RIFF/WAVE PCM audio and 24-bit BMP images (magic-byte
+    sniffed). Compressed codecs (JPEG/PNG/MP3/H.264) stay stubbed: those
+    decoders are not in this container; a production deployment swaps in
+    Pillow / soundfile / pyav HERE and nothing else in the module
+    changes.
     """
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        f"media decode for kind={kind!r} requires codec libraries not "
-        "present in this environment; see _fake_decode for the "
-        "deterministic test double"
+        f"media decode for kind={kind!r}: compressed codecs require "
+        "libraries not present in this environment; see _fake_decode "
+        "for the deterministic test double"
     )
 
 
@@ -127,17 +204,136 @@ def extract_features(media: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage — stub: plumbing declared, codec not present."""
+def synth_real_media(docs: DataFrame) -> DataFrame:
+    """Media table whose payloads are REAL encoded containers, derived
+    deterministically from doc_id: even ids get a 16-bit PCM WAV (8 kHz
+    sine, frequency = 200 + (id % 800) Hz, 400 samples), odd ids get a
+    24-bit BMP (8×8 gradient keyed on id). Generated inside an
+    Arrow-batched mapInPandas — the same plumbing a crawl-ingest stage
+    uses, with genuine bytes for the decoder to chew on."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    t = np.arange(400) / 8000.0
+                    wave_i16 = (
+                        np.sin(2 * np.pi * (200 + i % 800) * t) * 20000
+                    ).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(8000)
+                        w.writeframes(wave_i16.tobytes())
+                    out.append(("audio", buf.getvalue()))
+                else:
+                    yx = np.indices((8, 8)).sum(0)
+                    img = np.stack(
+                        [
+                            (yx * 4 + i) % 256,
+                            (yx * 8 + i * 3) % 256,
+                            (yx * 16 + i * 7) % 256,
+                        ],
+                        axis=-1,
+                    ).astype("uint8")
+                    out.append(("image", _encode_bmp(img)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": [k for k, _ in out],
+                    "payload": [p for _, p in out],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen,
+        "media_id long, kind string, payload binary",
+    )
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        # audio: sample count / rate / peak ; image: w*h / channels / max
+        T.StructField("n_units", T.LongType(), True),
+        T.StructField("rate_or_width", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+    ]
+)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """REAL decode pass: WAV payloads report (n_samples, sample_rate,
+    int16 peak), BMP payloads (n_pixels, width, max channel value) —
+    integer outputs only, so the result is bit-stable across engines
+    and partition schedules."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            pdf["payload"] = pdf.apply(
-                lambda r: _decode_payload(r["kind"], r["payload"]), axis=1
+            rows = []
+            for r in pdf.itertuples(index=False):
+                decoded = _decode_payload(r.kind, r.payload)
+                if r.kind == "audio":
+                    sr, data = decoded
+                    rows.append(
+                        (r.media_id, r.kind, len(r.payload), len(data),
+                         sr, int(np.abs(data.astype(np.int32)).max()))
+                    )
+                else:
+                    img = decoded
+                    h, w, _ = img.shape
+                    rows.append(
+                        (r.media_id, r.kind, len(r.payload), h * w,
+                         w, int(img.max()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "n_bytes",
+                    "n_units", "rate_or_width", "peak",
+                ],
             )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, DECODE_STATS_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize — REAL for BMP payloads (nearest-neighbor via numpy
+    index striding, re-encoded as BMP); compressed formats raise at the
+    _decode_payload boundary like every other codec path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            def rz(r):
+                img = _decode_payload(r["kind"], r["payload"])
+                h, w, _ = img.shape
+                yi = (np.arange(height) * h // height).clip(0, h - 1)
+                xi = (np.arange(width) * w // width).clip(0, w - 1)
+                return _encode_bmp(img[yi][:, xi])
+
+            pdf = pdf.copy()
+            pdf["payload"] = pdf.apply(rz, axis=1)
             yield pdf
 
-    return media.mapInPandas(run, media.schema)
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, media.schema
+    )
 
 
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:

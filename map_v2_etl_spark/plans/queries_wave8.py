@@ -126,6 +126,22 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("media_decode_stats", None, tags=["multimodal", "decode"])
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode: deterministic WAV (16-bit PCM sine) and BMP
+    (24-bit gradient) payloads synthesized per doc_id inside Arrow
+    batches, then decoded back by the codec boundary — audio rows
+    report (n_samples, sample_rate, int16 peak), image rows (n_pixels,
+    width, max channel). Integer-only output; decode correctness (sine
+    peak, gradient values, round-trips) is pinned in
+    tests/test_multimodal.py. Python-side by necessity (codec work) ⇒
+    rows-only check."""
+    from ..operators.multimodal import decode_stats, synth_real_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_stats(synth_real_media(docs))
+
+
 @query("doc_pagerank", None, tags=["graph", "pagerank", "dedup"])
 def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the SimHash hamming≤3 near-dup graph: rank mass

@@ -56,3 +56,77 @@ def test_resize_stage_surfaces_codec_stub(spark, sf_dir):
     assert plan.schema == synth_media(docs).schema
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         plan.collect()
+
+
+# ---------------------------------------------------------------------------
+# real codec paths: WAV / BMP (wave stdlib + numpy, no external libs)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_decode():
+    import io
+    import wave as wavelib
+
+    import numpy as np
+
+    from map_v2_etl_spark.operators.multimodal import _decode_wav
+
+    t = np.arange(800) / 8000.0
+    sig = (np.sin(2 * np.pi * 440 * t) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wavelib.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sig.tobytes())
+    sr, data = _decode_wav(buf.getvalue())
+    assert sr == 8000
+    np.testing.assert_array_equal(data, sig)
+
+
+def test_bmp_roundtrip_and_resize():
+    import numpy as np
+
+    from map_v2_etl_spark.operators.multimodal import _decode_bmp, _encode_bmp
+
+    img = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
+    out = _decode_bmp(_encode_bmp(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_media_decode_stats_real_payloads(spark, sf_dir):
+    import math
+
+    from map_v2_etl_spark.plans.queries_wave8 import q_media_decode_stats
+
+    rows = {r["media_id"]: r for r in q_media_decode_stats(spark, sf_dir).collect()}
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs_n
+    for mid, r in rows.items():
+        if mid % 2 == 0:
+            assert r["kind"] == "audio"
+            assert r["n_units"] == 400 and r["rate_or_width"] == 8000
+            # sine peak ~20000 (sampling may just miss the crest)
+            assert 18000 <= r["peak"] <= 20000
+        else:
+            assert r["kind"] == "image"
+            assert r["n_units"] == 64 and r["rate_or_width"] == 8
+            assert 0 <= r["peak"] <= 255
+
+
+def test_resize_images_real_bmp(spark, sf_dir):
+    from map_v2_etl_spark.operators.multimodal import (
+        _decode_bmp,
+        decode_stats,
+        resize_images,
+        synth_real_media,
+    )
+    from map_v2_etl_spark.sources.registry import load_table as lt
+
+    docs = lt(spark, "documents", sf_dir).limit(10)
+    media = synth_real_media(docs)
+    resized = resize_images(media, 4, 4).collect()
+    assert resized  # odd ids -> images
+    for r in resized:
+        img = _decode_bmp(bytes(r["payload"]))
+        assert img.shape == (4, 4, 3)
