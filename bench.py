@@ -63,6 +63,8 @@ HEADLINE = [
     "dup_span_score",
     "curation_pipeline",
     "doc_pagerank",
+    "dup_spans",
+    "events_sliding_window",
 ]
 
 
