@@ -40,6 +40,8 @@ def pagerank(
     broadcast aggregate, so total rank mass stays 1 (up to float) and
     the result matches the textbook power-iteration twin exactly.
     """
+    from pyspark import StorageLevel
+
     n_nodes = nodes.count()  # bounded driver scalar, also sizes teleport
     if n_nodes == 0:
         return nodes.select(
@@ -48,13 +50,25 @@ def pagerank(
     teleport = (1.0 - damping) / n_nodes
 
     deg = edges.groupBy(src_col).agg(F.count("*").alias("deg"))
-    out = edges.join(deg, src_col).select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), "deg"
+    # load-bearing persist: the edge table (and its degree join) feeds
+    # EVERY iteration — without it the upstream edge derivation (e.g.
+    # the banded SimHash candidate join in doc_pagerank) re-executes
+    # per round (measured 10x the iteration cost at sf0.1)
+    out = (
+        edges.join(deg, src_col)
+        .select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), "deg"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = nodes.select(
         F.col(id_col).alias("id"), F.lit(1.0 / n_nodes).alias("rank")
     )
-    has_out = deg.select(F.col(src_col).alias("id")).distinct()
+    has_out = (
+        deg.select(F.col(src_col).alias("id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     for _ in range(iters):
         contribs = (
             ranks.join(out, ranks["id"] == out["src"])
@@ -81,6 +95,12 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            # eager: ranks is referenced 3x per iteration (contribs,
+            # dangling mass, next-state join); a lazy checkpoint would
+            # let the plan re-expand 3^iters ways before the final
+            # action materializes anything
+            .localCheckpoint(eager=True)
         )
+    out.unpersist()
+    has_out.unpersist()
     return ranks

@@ -37,6 +37,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..operators.lm import doc_bigrams
 from ..sources.registry import load_table
@@ -179,6 +180,85 @@ def q_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
         )
     )
+    # Vocabulary size decides the physical strategy (bounded driver
+    # scalar). Natural corpora are Zipfian: posting lists have a tiny
+    # hot head and a long cold tail, and the inverted-index join below
+    # is the scale path. A DEGENERATE vocabulary (every term in nearly
+    # every doc — this synthetic testdata has ~40 terms) turns every
+    # posting list hot and the index join into |D|²·|V| intermediate
+    # rows (measured 120 s at sf0.1); there the right plan is a dense
+    # unit-vector per doc and one broadcast nested-loop pass computing
+    # each pair's cosine INSIDE the row: |D|²/2 rows total, no
+    # re-aggregation. Same rounded-cosine decision in both paths.
+    vocab_n = dfq.count()
+    if vocab_n <= 1024:
+        idx = dfq.select(
+            "w",
+            (F.row_number().over(W.orderBy("w")) - 1).alias("i"),
+        )
+        vecs = (
+            wts.join(F.broadcast(idx), "w")
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("i", "wt"))
+                ).alias("m")
+            )
+            .select(
+                "doc_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(vocab_n - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("m"), i), F.lit(0.0)
+                    ),
+                ).alias("v"),
+            )
+            .select(
+                "doc_id",
+                "v",
+                # same dot-then-divide association as the oracle, so the
+                # rounded value agrees (pre-normalizing would reorder
+                # the float ops)
+                F.sqrt(
+                    F.aggregate("v", F.lit(0.0), lambda a, y: a + y * y)
+                ).alias("nm"),
+            )
+        )
+        # load-bearing persist: both join sides (stream + broadcast)
+        # read vecs; un-persisted, the tokenize/agg/map-build pipeline
+        # re-executes per side (measured 165 s vs 27 s at sf0.1). Size
+        # is |docs| × vocab doubles, vocab gated ≤ 1024 here.
+        from pyspark import StorageLevel
+
+        vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+        a = vecs.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nm").alias("na"),
+        )
+        b = vecs.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nm").alias("nb"),
+        )
+        # dot product UNROLLED to vocab_n static multiply-adds: array
+        # HOFs (zip_with/aggregate) run on the interpreted expression
+        # path — measured ~90 s for 12.5M pairs × 31 terms — while the
+        # unrolled form whole-stage-codegens (seconds). Bounded by the
+        # dense-path vocab gate, so the plan stays small.
+        import functools
+        import operator
+
+        dot = functools.reduce(
+            operator.add,
+            [F.col("va")[i] * F.col("vb")[i] for i in range(vocab_n)],
+        )
+        cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+        return (
+            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= _COS_MIN)
+        )
     nrm = wts.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nm")
     )
