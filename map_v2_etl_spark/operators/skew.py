@@ -56,3 +56,36 @@ def salted_agg(
         *keys, "__salt"
     ).agg(*phase1_aggs)
     return phase1.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resilient equi-join: replicate-broadcast salting.
+
+    A shuffled hash join on a skewed key sends every row of the hot key
+    to ONE reducer. Salting splits each fact row into one of
+    ``salt_buckets`` sub-keys (deterministic hash of the whole row) and
+    REPLICATES each dim row across all buckets, so a hot key's rows
+    spread over ``salt_buckets`` reducers. Cost: the dim side shuffles
+    ×buckets — which is why the pattern applies when the dim side is
+    small-ish but too big (or too skew-prone) to broadcast outright.
+
+    AQE's skew-join handles this automatically for sort-merge joins
+    (session.py enables it); this explicit form is for when you must
+    pin the strategy — and is plan-contract-tested so the salt columns
+    never leak into the output.
+    """
+    fact_salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in facts.columns]),
+        F.lit(salt_buckets),
+    )
+    f = facts.withColumn("__salt", fact_salt)
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return f.join(d, on=[key, "__salt"]).drop("__salt")
