@@ -101,6 +101,10 @@ def run_stream_join_on_parquet(
                 s = s.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
                 )
+            elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+                # withWatermark requires TIMESTAMP (LTZ); see
+                # windows.run_stream_on_parquet for the semantics argument
+                s = s.withColumn("ts", F.col("ts").cast("timestamp"))
         return s
 
     purchases = source().filter(F.col("event_type") == "purchase")

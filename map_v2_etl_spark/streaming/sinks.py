@@ -111,6 +111,18 @@ def run_stream_upsert_on_parquet(
         .option("maxFilesPerTrigger", 1)
         .parquet(parquet_dir)
     )
+    # same event-time normalization as windows.run_stream_on_parquet so a
+    # watermarked transform layered on this sink never sees NTZ/long ts
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for f in batch_df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     sink = IncrementalParquetUpsert(spark, target, key_cols, order_cols)
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -162,6 +162,9 @@ def stream_to_parquet(
             stream = stream.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            # withWatermark requires TIMESTAMP (LTZ); see run_stream_on_parquet
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         transform(stream)
         .writeStream.outputMode(output_mode)
