@@ -65,6 +65,11 @@ HEADLINE = [
     "doc_pagerank",
     "dup_spans",
     "events_sliding_window",
+    # wave 10/11 additions (round-2 verdict #9)
+    "vocab_induction",
+    "doc_oov_rate",
+    "grouped_geomean",
+    "events_enriched_stream",
 ]
 
 

@@ -49,43 +49,66 @@ def pagerank(
         )
     teleport = (1.0 - damping) / n_nodes
 
+    import math
+
+    # partitioning for the iteration state: the session's shuffle
+    # parallelism, sized DOWN when the graph is small — a 5k-vertex
+    # state over 32 partitions pays 10 rounds of near-empty-task
+    # scheduling for nothing. ~50k vertices per partition, floor 4.
+    conf_part = int(
+        nodes.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    n_part = min(conf_part, max(4, math.ceil(n_nodes / 50_000)))
     deg = edges.groupBy(src_col).agg(F.count("*").alias("deg"))
     # load-bearing persist: the edge table (and its degree join) feeds
     # EVERY iteration — without it the upstream edge derivation (e.g.
     # the banded SimHash candidate join in doc_pagerank) re-executes
-    # per round (measured 10x the iteration cost at sf0.1)
+    # per round (measured 10x the iteration cost at sf0.1).
+    # Explicit repartition on src CO-PARTITIONS the persisted edges with
+    # the per-iteration ranks⋈edges join key: the edge side's exchange
+    # is paid once here, and every iteration shuffles only the
+    # vertex-sized ranks (the fixed numPartitions keeps AQE from
+    # coalescing the persisted side into a mismatched partitioning).
     out = (
         edges.join(deg, src_col)
         .select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), "deg"
         )
+        .repartition(n_part, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ranks = nodes.select(
-        F.col(id_col).alias("id"), F.lit(1.0 / n_nodes).alias("rank")
-    )
-    has_out = (
-        deg.select(F.col(src_col).alias("id"))
-        .distinct()
+    # vertex table with a constant is-dangling flag, joined ONCE here and
+    # carried through the rank state — the per-iteration dangling mass is
+    # then a scalar aggregate over ranks (no left_anti join per round)
+    has_out = deg.select(F.col(src_col).alias("id")).distinct()
+    verts = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(has_out.withColumn("_ho", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_ho").isNull(), 1.0).otherwise(0.0).alias("dang"),
+        )
+        .repartition(n_part, "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(iters):
+    ranks = verts.select("id", "dang", F.lit(1.0 / n_nodes).alias("rank"))
+    for it in range(iters):
         contribs = (
             ranks.join(out, ranks["id"] == out["src"])
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        dangling = (
-            ranks.join(has_out, "id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.agg(
+            F.coalesce(F.sum(F.col("rank") * F.col("dang")), F.lit(0.0))
+            .alias("dm")
         )
         ranks = (
-            ranks.select("id")
-            .join(contribs, ranks["id"] == contribs["dst"], "left")
+            verts.join(contribs, verts["id"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
+                "dang",
                 (
                     F.lit(teleport)
                     + F.lit(damping)
@@ -95,12 +118,14 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            # eager: ranks is referenced 3x per iteration (contribs,
-            # dangling mass, next-state join); a lazy checkpoint would
-            # let the plan re-expand 3^iters ways before the final
-            # action materializes anything
+            # eager: ranks is referenced twice per iteration (contribs,
+            # dangling mass); a lazy checkpoint would let the plan
+            # re-expand 2^iters ways before the final action. (Tried:
+            # checkpoint-every-2 — ReuseExchange does NOT dedupe the
+            # repeated subplan across the broadcast boundary; measured
+            # slower.)
             .localCheckpoint(eager=True)
         )
     out.unpersist()
-    has_out.unpersist()
-    return ranks
+    verts.unpersist()
+    return ranks.select("id", "rank")

@@ -41,6 +41,36 @@ from .dedup import tokens
 LN2 = 0.6931471805599453
 
 
+def toks_col(text_col: str = "text") -> Column:
+    """The canonical non-empty token array every text operator shares."""
+    return F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
+
+
+def doc_bigrams_from_toks(
+    t: DataFrame, id_col: str = "doc_id", carry: list[str] | None = None
+) -> DataFrame:
+    """(id, w1, w2[, *carry]) from a (id, toks[, ...]) frame — the
+    shared-tokenization entry point: callers that already materialized
+    the token table (e.g. the curation pipeline) pay no re-tokenize.
+    Docs with < 2 tokens emit no rows."""
+    carry = list(carry or [])
+    toks = F.col("toks")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        t.select(F.col(id_col), *carry, F.explode(pairs).alias("bg"))
+        .select(
+            id_col,
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+            *carry,
+        )
+    )
+
+
 def doc_bigrams(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text",
                 extra_cols: dict | None = None) -> DataFrame:
@@ -48,35 +78,14 @@ def doc_bigrams(df: DataFrame, id_col: str = "doc_id",
     in order. ``extra_cols`` maps output name -> Column expression
     carried through the explode (e.g. a target-domain flag), saving a
     corpus-sized join back to the source.
-
-    The token array binds once per row (transform-over-singleton, see
-    dedup.word_shingles); bigram i pairs toks[i] with toks[i+1] via an
-    index-aware transform, then explodes. Docs with < 2 tokens emit no
-    rows.
     """
-    toks = F.filter(tokens(F.col(text_col)), lambda w: w != F.lit(""))
-    # zip the token array with its own tail; the array binds once per row
-    # (transform-over-singleton, see dedup.word_shingles)
-    bound = F.transform(F.array(F.lit(1)), lambda _: toks)[0]
-    pairs = F.zip_with(
-        F.slice(bound, 1, F.greatest(F.size(bound) - 1, F.lit(0))),
-        F.slice(bound, 2, F.greatest(F.size(bound) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
     extra = dict(extra_cols or {})
-    return (
-        df.select(
-            F.col(id_col),
-            *[c.alias(name) for name, c in extra.items()],
-            F.explode(pairs).alias("bg"),
-        )
-        .select(
-            id_col,
-            F.col("bg.w1").alias("w1"),
-            F.col("bg.w2").alias("w2"),
-            *extra.keys(),
-        )
+    t = df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in extra.items()],
+        toks_col(text_col).alias("toks"),
     )
+    return doc_bigrams_from_toks(t, id_col, carry=list(extra.keys()))
 
 
 def bigram_ll(
@@ -89,17 +98,22 @@ def bigram_ll(
     = -mean log2 P, rounded to 6 decimals. Docs with < 2 tokens appear
     with n_bigrams = 0 and NULL bits (left join from the input), so the
     output covers every input row.
+    """
+    t = df.select(F.col(id_col), toks_col(text_col).alias("toks"))
+    return bigram_ll_from_toks(t, id_col)
+
+
+def bigram_ll_from_toks(t: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """bigram_ll over a pre-tokenized (id, toks) frame.
 
     The vocabulary size joins in as a broadcast one-row aggregate — the
     whole plan is aggregations plus equi-joins, no driver-side state.
     """
-    bg = doc_bigrams(df, id_col, text_col)
+    bg = doc_bigrams_from_toks(t, id_col)
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .filter(F.col("w") != "")
-        .agg(F.countDistinct("w").alias("v"))
+    vocab = t.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
     )
     scored = (
         bg.join(bc, ["w1", "w2"])
@@ -114,7 +128,7 @@ def bigram_ll(
         )
     )
     return (
-        df.select(id_col)
+        t.select(id_col)
         .join(scored, id_col, "left")
         .select(
             id_col,
@@ -158,12 +172,21 @@ def dsir_weights(
     twice. Output: (id, n_feats, round(w, 6)); docs with no bigrams
     carry n_feats = 0 / NULL weight.
     """
+    t = df.select(
+        F.col(id_col),
+        target_filter.cast("int").alias("is_t"),
+        toks_col(text_col).alias("toks"),
+    )
+    return dsir_weights_from_toks(t, id_col, buckets)
+
+
+def dsir_weights_from_toks(
+    t: DataFrame, id_col: str = "doc_id", buckets: int = 256
+) -> DataFrame:
+    """dsir_weights over a pre-tokenized (id, is_t, toks) frame."""
     from pyspark import StorageLevel
 
-    bg = doc_bigrams(
-        df, id_col, text_col,
-        extra_cols={"is_t": target_filter.cast("int")},
-    )
+    bg = doc_bigrams_from_toks(t, id_col, carry=["is_t"])
     feats = bg.select(
         id_col,
         hashed_bigram_bucket(F.col("w1"), F.col("w2"), buckets).alias("b"),
@@ -189,7 +212,7 @@ def dsir_weights(
         .agg(F.count("*").alias("n_feats"), F.sum("lw").alias("w"))
     )
     return (
-        df.select(id_col)
+        t.select(id_col)
         .join(scored, id_col, "left")
         .select(
             id_col,

@@ -567,9 +567,18 @@ def pq_train(
     spark = corpus.sparkSession
     if train_sample_mod and train_sample_mod > 1:
         # codebooks are always trained on a sample at corpus scale (the
-        # Faiss practice); a deterministic id-modulus sample keeps the
-        # books — and therefore codes and results — reproducible
-        corpus = corpus.filter(F.col(id_col) % train_sample_mod == 0)
+        # Faiss practice); a deterministic HASH-modulus sample keeps the
+        # books — and therefore codes and results — reproducible, and
+        # works for any id type / sparse id space (round-2 advice:
+        # `id % mod` returns NULL on string ids — silently empty
+        # training set — and skews on offset/strided numeric ids)
+        sample = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
+        )
+        # guard: degenerate sample (< ksub vectors) would collapse the
+        # codebooks; fall back to the full corpus rather than mistrain
+        if sample.limit(ksub).count() >= ksub:
+            corpus = sample
     unit = corpus.select(F.col(id_col), _unit(F.col(vec_col)).alias("uvec"))
     subs = unit.select(
         id_col,

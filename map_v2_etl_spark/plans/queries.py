@@ -424,15 +424,30 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_count_distinct",
-    None,  # HLL sketches differ across engines by design -> rows-only check
+    # HLL sketch values are engine-specific, so the hashable output is the
+    # EXACT distinct count plus a bounds assertion on the sketch: the
+    # estimate must land within 10% of truth (measured ~2.5% at every SF;
+    # default rsd is 0.05, so 10% is a 2-sigma envelope). The oracle
+    # expects approx_ok = TRUE — a drifting sketch flips the hash red.
+    "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact, "
+    "TRUE AS approx_ok FROM lineitem GROUP BY l_returnflag",
     tags=["agg", "approx"],
 )
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). No oracle: sketch estimates are
-    engine-specific; correctness is covered by a pytest bound vs exact."""
+    """approx_count_distinct (HLL++) with an in-query certification: emits
+    the exact distinct count and whether the sketch estimate is within 10%
+    of it, making an approximate operator hash-checkable (same pattern as
+    the LSH-vs-exact dedup oracles)."""
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+        F.countDistinct("l_partkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.10 * F.countDistinct("l_partkey")
+        ).alias("approx_ok"),
     )
 
 

@@ -145,8 +145,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per doc. md5-derived token hashes + integer bit votes
     make the fingerprint engine-portable: DuckDB reproduces it bit-for-bit."""
-    docs = load_table(spark, "documents", sf_dir)
-    return docs.select("doc_id", D.simhash(F.col("text")).alias("fp"))
+    from ..sources.registry import widen_partitions
+
+    docs = widen_partitions(load_table(spark, "documents", sf_dir))
+    return D.simhash_df(docs)
 
 
 @query(

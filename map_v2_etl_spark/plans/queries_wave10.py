@@ -44,6 +44,26 @@ _DUCK_TOK = (
 
 _VOCAB_V = 24
 
+
+def _topv_pretrim(cnt: DataFrame, v: int) -> DataFrame:
+    """Lossless heavy-hitters pre-trim before a global top-V ranking.
+
+    Salt tokens into 64 groups (deterministic xxhash64), rank within
+    each group in parallel, keep the per-group top-V: any global top-V
+    row is necessarily top-V inside its own salt group, so the global
+    window that follows sees ≤ 64·V rows instead of the full
+    vocabulary — on a web-scale corpus (billions of distinct tokens)
+    the single-reducer sort this replaces is the bottleneck."""
+    salted = cnt.withColumn("_s", F.pmod(F.xxhash64("w"), F.lit(64)))
+    pr = F.row_number().over(
+        W.partitionBy("_s").orderBy(F.desc("c"), "w")
+    )
+    return (
+        salted.withColumn("_pr", pr)
+        .filter(F.col("_pr") <= v)
+        .drop("_s", "_pr")
+    )
+
 # ---------------------------------------------------------------------------
 # vocab_induction
 # ---------------------------------------------------------------------------
@@ -70,9 +90,9 @@ def q_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, token) so the cut is engine-deterministic; coverage is
     an integer running sum (consumers divide by corpus_tokens).
 
-    Scale: one token hash agg; the ranking window runs over the
-    vocab-sized aggregate, not the corpus. At web scale you'd pre-trim
-    with an approximate heavy-hitters pass; exact-by-construction here."""
+    Scale: one token hash agg, then a salted per-group top-V pre-trim
+    (_topv_pretrim, lossless) so the final ranking window sorts ≤ 64·V
+    rows on one reducer — never the full vocabulary."""
     from ..operators.dedup import tokens
 
     docs = load_table(spark, "documents", sf_dir)
@@ -81,7 +101,7 @@ def q_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
     tot = cnt.agg(F.sum("c").cast("long").alias("n"))
-    rk = cnt.select(
+    rk = _topv_pretrim(cnt, _VOCAB_V).select(
         "w", "c",
         F.row_number().over(W.orderBy(F.desc("c"), "w")).alias("r"),
     )
@@ -129,7 +149,8 @@ def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
     voc = (
-        cnt.select(
+        _topv_pretrim(cnt, _VOCAB_V)
+        .select(
             "w",
             F.row_number().over(W.orderBy(F.desc("c"), "w")).alias("r"),
         )

@@ -96,12 +96,17 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew (documents bound word multiplicity), no broadcast needed. The
     reference has no text operators (SURVEY.md §2.11 extension).
     """
-    from ..operators.dedup import tokens
+    from ..operators.lm import toks_col
 
     docs = load_table(spark, "documents", sf_dir)
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
-    ).filter(F.col("w") != "")
+    t = docs.select("doc_id", toks_col("text").alias("toks"))
+    return gopher_rules_from_toks(t)
+
+
+def gopher_rules_from_toks(t: DataFrame) -> DataFrame:
+    """Gopher gates over a pre-tokenized (doc_id, toks) frame — the
+    shared-tokenization entry point the curation pipeline uses."""
+    tok = t.select("doc_id", F.explode("toks").alias("w"))
     tw = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
     agg = tw.groupBy("doc_id").agg(
         F.sum("c").alias("n_words"),
@@ -118,7 +123,7 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.max_word_count") * 10 <= 3 * F.col("a.n_words"))
     )
     return (
-        docs.alias("d")
+        t.alias("d")
         .join(a, "doc_id", "left")
         .select(
             "doc_id",

@@ -404,14 +404,18 @@ def q_dup_span_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join key is the gram string; hashing it to a 64-bit key is the
     standard shuffle-width optimization at corpus scale (kept as the
     string here so the oracle shares the exact key)."""
-    from ..operators.dedup import tokens
+    from ..operators.lm import toks_col
     from ..sources.registry import widen_partitions
 
     docs = widen_partitions(load_table(spark, "documents", sf_dir))
-    toks = F.filter(tokens(F.col("text")), lambda w: w != F.lit(""))
-    t = docs.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") >= _SPAN_N
-    )
+    t = docs.select("doc_id", toks_col("text").alias("toks"))
+    return dup_span_from_toks(t)
+
+
+def dup_span_from_toks(t: DataFrame) -> DataFrame:
+    """Duplicated-span pressure over a pre-tokenized (doc_id, toks)
+    frame — the shared-tokenization entry point for the pipeline."""
+    t = t.filter(F.size("toks") >= _SPAN_N)
     g = t.select(
         "doc_id",
         F.explode(

@@ -17,10 +17,9 @@ PageRank.
 
 Scale notes: the pipeline's four signal sub-plans each reduce the
 corpus to one row per doc before the final doc_id equi-joins (shuffle
-carries per-doc scalars, not text). On a real cluster the tokenization
-they share would be materialized once (a persisted token table) —
-locally each sub-plan re-scans the parquet, which Catalyst prunes to
-the two columns it needs.
+carries per-doc scalars, not text), and they all consume ONE persisted
+(doc_id, is_t, toks) token table — the corpus is scanned and
+tokenized exactly once (on a cluster: a materialized parquet).
 """
 
 from __future__ import annotations
@@ -83,19 +82,38 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     A doc with no 8-grams passes the dup gate (nothing to duplicate); a
     doc with no bigrams fails the LM and domain gates (no evidence it
     is target-like) — both conventions mirrored exactly in the oracle.
+
+    Tokenization is shared: the corpus is scanned and tokenized ONCE
+    into a persisted (doc_id, is_t, toks) table that all four signal
+    sub-plans consume (round-2 advice: the previous composition
+    re-scanned and re-tokenized per signal — 4x the scan cost at
+    100 TB; on a cluster this table would be a materialized parquet).
     """
-    gop = REGISTRY["quality_gopher_rules"].fn(spark, sf_dir).select(
+    from pyspark import StorageLevel
+
+    from ..operators.lm import (
+        bigram_ll_from_toks,
+        dsir_weights_from_toks,
+        toks_col,
+    )
+    from ..sources.registry import widen_partitions
+    from .queries_wave5 import gopher_rules_from_toks
+    from .queries_wave7 import dup_span_from_toks
+
+    docs = widen_partitions(load_table(spark, "documents", sf_dir))
+    t = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_t"),
+        toks_col("text").alias("toks"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    gop = gopher_rules_from_toks(t).select(
         "doc_id", F.col("keep").alias("keep_quality")
     )
-    dsp = REGISTRY["dup_span_score"].fn(spark, sf_dir).select(
+    dsp = dup_span_from_toks(t).select(
         "doc_id", F.col("keep").alias("_kd")
     )
-    lmq = REGISTRY["ngram_lm_score"].fn(spark, sf_dir).select(
-        "doc_id", "bits_per_bigram"
-    )
-    dsr = REGISTRY["dsir_weights"].fn(spark, sf_dir).select(
-        "doc_id", "weight"
-    )
+    lmq = bigram_ll_from_toks(t).select("doc_id", "bits_per_bigram")
+    dsr = dsir_weights_from_toks(t).select("doc_id", "weight")
     keep_lm = (
         F.col("bits_per_bigram").isNotNull()
         & (F.col("bits_per_bigram") <= _BITS_MAX)

@@ -143,14 +143,17 @@ _DUCK_FINGERPRINT = (
 
 _DUCK_KEEP_BEST = f"""
 WITH k AS (SELECT doc_id, n_chars, {_DUCK_FINGERPRINT} AS fp
-           FROM documents)
+           FROM documents),
+r AS (SELECT fp, doc_id, n_chars,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM k)
 SELECT fp,
        CAST(count(*) AS BIGINT) AS n_dups,
        CAST(min(doc_id) AS BIGINT) AS min_id,
-       CAST(max_by(doc_id, n_chars * 100000000 - doc_id) AS BIGINT)
-         AS best_id,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS best_id,
        CAST(max(n_chars) AS BIGINT) AS best_n_chars
-FROM k GROUP BY fp
+FROM r GROUP BY fp
 """
 
 
@@ -159,9 +162,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-priority survivor selection per exact-duplicate group
     (canonical fingerprint key): keep the LONGEST member, ties to the
     lowest id — vs dedup_exact's lowest-id-always. One hash shuffle on
-    the fingerprint; max_by carries the argmax without a second pass
-    or a join back. The (n_chars, −doc_id) ordering struct makes the
-    tie-break deterministic and engine-portable."""
+    the fingerprint; max_by with a STRUCT ordering key (n_chars,
+    −doc_id) carries the argmax without a second pass or a join back,
+    and is exact at any id magnitude (round-2 advice: the previous
+    n_chars*1e8−doc_id fold silently corrupts the ordering once
+    doc_id ≥ 1e8; DuckDB's max_by lacks struct keys, so the oracle
+    states the same ordering as a row_number window instead)."""
     from ..operators.text import fingerprint
 
     docs = load_table(spark, "documents", sf_dir)
@@ -173,13 +179,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_dups"),
             F.min("doc_id").cast("long").alias("min_id"),
-            # composite ordering folded to one BIGINT key (longest text,
-            # then lowest id) — the same arithmetic the oracle runs, and
-            # portable to engines whose max_by lacks struct keys
             F.max_by(
                 F.col("doc_id"),
-                F.col("n_chars").cast("long") * F.lit(100000000)
-                - F.col("doc_id"),
+                F.struct(
+                    F.col("n_chars").cast("long").alias("a"),
+                    (-F.col("doc_id")).cast("long").alias("b"),
+                ),
             )
             .cast("long")
             .alias("best_id"),

@@ -260,6 +260,80 @@ def upload_manifest(
     return entries
 
 
+def execute_manifest(manifest: list[dict], client) -> int:
+    """Execute the upload plan against an S3 client.
+
+    ``client`` is anything with boto3's ``put_object(Bucket=, Key=,
+    Body=, ContentType=, ContentEncoding=)`` — a real boto3 client, a
+    moto/minio mock, or the ``LocalObjectStore`` fake below (this
+    sandbox carries no boto3, so the fake is what CI exercises; the
+    call-site contract is identical either way). Returns the object
+    count."""
+    n = 0
+    for e in manifest:
+        bucket, key = e["s3_uri"][len("s3://"):].split("/", 1)
+        with open(e["local"], "rb") as fh:
+            body = fh.read()
+        kwargs = {"Bucket": bucket, "Key": key, "Body": body}
+        if e["content_type"]:
+            kwargs["ContentType"] = e["content_type"]
+        if e["content_encoding"]:
+            kwargs["ContentEncoding"] = e["content_encoding"]
+        client.put_object(**kwargs)
+        n += 1
+    return n
+
+
+class LocalObjectStore:
+    """Filesystem-backed, boto3-shaped object store: the S3 test double
+    for environments without boto3/moto, and an airgapped dry-run
+    deploy target. Objects land at root/bucket/key with a JSON metadata
+    sidecar, so round-trip tests assert bytes AND the content-type /
+    content-encoding decisions deploy-source.sh makes (reference
+    deploy-source.sh:38-45, build.sh:222-227)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _p(self, bucket: str, key: str) -> str:
+        return os.path.join(self.root, bucket, key)
+
+    def put_object(self, *, Bucket: str, Key: str, Body: bytes,
+                   ContentType: str | None = None,
+                   ContentEncoding: str | None = None) -> dict:
+        import json
+
+        p = self._p(Bucket, Key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as fh:
+            fh.write(Body if isinstance(Body, bytes) else Body.read())
+        meta = {"ContentType": ContentType, "ContentEncoding": ContentEncoding}
+        with open(p + ".meta.json", "w") as fh:
+            json.dump(meta, fh)
+        return {"ETag": Key}
+
+    def get_object(self, *, Bucket: str, Key: str) -> dict:
+        import io
+        import json
+
+        p = self._p(Bucket, Key)
+        with open(p, "rb") as fh:
+            body = fh.read()
+        with open(p + ".meta.json") as fh:
+            meta = json.load(fh)
+        return {"Body": io.BytesIO(body), **meta}
+
+    def list_objects(self, *, Bucket: str, Prefix: str = "") -> list[str]:
+        base = os.path.join(self.root, Bucket)
+        keys = []
+        for root, _, files in os.walk(base):
+            for f in files:
+                if f.endswith(".meta.json"):
+                    continue
+                keys.append(os.path.relpath(os.path.join(root, f), base))
+        return sorted(k for k in keys if k.startswith(Prefix))
+
+
 def manifest_to_aws_cli(manifest: list[dict]) -> list[str]:
     """Render the manifest as copy-pasteable ``aws s3 cp`` commands."""
     out = []

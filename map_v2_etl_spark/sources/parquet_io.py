@@ -78,12 +78,21 @@ def compact_parquet(
     Reads the directory, sizes the target file count from the CURRENT
     on-disk bytes (`inputFiles` + filesystem stat — metadata only, no
     data pass), rewrites with coalesce (narrow — no shuffle; compaction
-    must not pay a network pass just to concatenate), and atomically
-    swaps via a temp directory + rename. Returns the new file count.
+    must not pay a network pass just to concatenate), then swaps the
+    new directory in through rename-aside: old -> *.old, tmp -> path,
+    delete *.old. Every intermediate state leaves a readable directory
+    at SOME path (a crash can strand *.old / *.tmp, never lose data),
+    unlike delete-then-rename which has a window with no data at all.
+
+    LOCAL-FILESYSTEM, OFFLINE maintenance only: the swap relies on
+    POSIX rename atomicity and `os.path.getsize`, and a concurrent
+    reader that resolved file paths before the swap will still miss
+    them after it. On object storage / live tables this job belongs to
+    a table format's OPTIMIZE (Iceberg/Delta), which swaps snapshots
+    in metadata instead of renaming directories.
 
     At cluster scale the same routine runs per partition directory
-    (compact the partitions whose file count exceeds a threshold), which
-    is exactly what table formats' OPTIMIZE does.
+    (compact the partitions whose file count exceeds a threshold).
     """
     import glob
     import os
@@ -93,15 +102,20 @@ def compact_parquet(
     files = [f.replace("file:", "") for f in df.inputFiles()]
     total = sum(os.path.getsize(f) for f in files)
     n_target = max(1, (total + target_file_bytes - 1) // target_file_bytes)
-    tmp = path.rstrip("/") + ".compact.tmp"
+    norm = path.rstrip("/")
+    tmp = norm + ".compact.tmp"
+    old = norm + ".compact.old"
     (
         df.coalesce(int(n_target))
         .write.mode("overwrite")
         .option("compression", compression)
         .parquet(tmp)
     )
-    shutil.rmtree(path)
+    if os.path.exists(old):  # stranded by an earlier crash
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "part-*.parquet")))
 
 

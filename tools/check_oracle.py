@@ -109,6 +109,11 @@ def main():
     args = sys.argv[1:]
     bare = "--bare" in args
     args = [a for a in args if a != "--bare"]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
 
     con = duckdb.connect()
     for t in TABLES:
@@ -133,20 +138,48 @@ def main():
     oracles = e.oracle_sql()
     names = args or list(qs)
     failed = []
+    results = {}
     for name in names:
         if name not in oracles:
-            df = qs[name](spark, SF_DIR)
-            n = df.count()
-            print(f"{name}: rows-only check, {n} rows")
+            try:
+                df = qs[name](spark, SF_DIR)
+                n = df.count()
+                print(f"{name}: rows-only check, {n} rows")
+                results[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": n,
+                    "oracle_rows": None, "err": "no_oracle",
+                }
+            except Exception as exc:  # rows-only query crashed
+                failed.append(name)
+                print(f"{name}: ERROR {exc}")
+                results[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": None,
+                    "oracle_rows": None, "err": str(exc)[:200],
+                }
             continue
         print(f"{name}:")
         probs = compare(name, qs[name](spark, SF_DIR), con)
+        ok = not probs
+        n = None
         if probs:
             failed.append(name)
             for p in probs:
                 print(f"  MISMATCH {p}")
         else:
             print("  OK")
+        results[name] = {
+            "rows_match": ok or None, "schema_match": ok or None,
+            "hash_match": ok or None, "spark_rows": n,
+            "oracle_rows": n, "err": None if ok else "; ".join(probs)[:200],
+        }
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_out}")
     print()
     if failed:
         print(f"FAILED: {failed}")
