@@ -70,6 +70,11 @@ HEADLINE = [
     "doc_oov_rate",
     "grouped_geomean",
     "events_enriched_stream",
+    # wave 12
+    "decontaminate_bloom",
+    "ngram_containment",
+    "block_dedup",
+    "source_caps",
 ]
 
 
