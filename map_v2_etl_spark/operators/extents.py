@@ -59,7 +59,25 @@ def column_extents(
 
     metric_cols = [c for c in wide_df.columns if c not in exclude]
     if layout == "auto":
-        layout = "wide" if len(metric_cols) <= WIDE_AGG_MAX_COLS else "melt"
+        if len(metric_cols) <= WIDE_AGG_MAX_COLS:
+            layout = "wide"
+        else:
+            # many columns: the Arrow two-pass path (arrow_extents) wins
+            # by ~3x over melt, but its pandas numeric coercion is only
+            # guaranteed equivalent to try_cast on ALREADY-NUMERIC
+            # columns — string columns keep the melt layout
+            from pyspark.sql import types as T
+
+            numeric = all(
+                isinstance(f.dataType, T.NumericType)
+                for f in wide_df.schema.fields
+                if f.name in set(metric_cols)
+            )
+            layout = "arrow" if (numeric and exact) else "melt"
+    if layout == "arrow":
+        return arrow_extents(
+            wide_df, exclude=exclude, q_low=q_low, q_high=q_high
+        )
     # percentile partials buffer every value — parallelize the map side
     # when the input is a narrow local scan (no-op for non-scan inputs)
     wide_df = widen_partitions(wide_df)
@@ -305,5 +323,208 @@ def sketch_extents(
         q1, q9 = solved[c]
         rows.append((c, mn, mx, q1, q9))
     return wide_df.sparkSession.createDataFrame(
+        rows, "id string, min double, max double, q1 double, q99 double"
+    )
+
+
+def arrow_extents(
+    wide_df: DataFrame,
+    exclude: tuple[str, ...] = ("GEOID", "n", "pl"),
+    q_low: float = 0.01,
+    q_high: float = 0.99,
+    delta: float = 0.002,
+) -> DataFrame:
+    """Bit-identical extents via Arrow-vectorized two-pass selection —
+    the fastest exact path for WIDE tables (hundreds of columns).
+
+    The melt layouts pay a per-CELL row expansion (|rows| x |cols| JVM
+    rows through unpivot + aggregation); at 240k x 570 that is 137M rows
+    of expression-interpreter work per pass. This path never melts:
+
+      pass A (mapInPandas): per Arrow batch, NumPy computes per-column
+              count / min / max and CANDIDATE brackets at p +/- delta
+              (np.quantile on the batch). Only (batch x column) summary
+              rows leave the workers.
+      driver: merge — global count/min/max are exact (sum/min/max of
+              batch values); the global bracket is the min/max envelope
+              of the batch candidates. The envelope is heuristic, NOT
+              assumed correct: pass B verifies it.
+      pass B (mapInPandas): per batch per column, count of values
+              strictly below each bracket lo + the values inside the
+              bracket. Driver merges, sorts the in-bracket values, and
+              checks the needed order statistics (floor(h), ceil(h),
+              h = (n-1)p) actually landed inside; any column whose
+              bracket missed — and any all-null/tiny column — falls
+              back to the exact percentile aggregate. Interpolation is
+              the same IEEE arithmetic as Catalyst's Percentile
+              (lower*(k+1-h) + higher*(h-k)), so values hash-match the
+              melt/wide layouts and the DuckDB oracle.
+
+    Scale: both passes shuffle NOTHING — summaries stream back to the
+    driver sized |cols| x |batches|. Driver holds in-bracket values:
+    ~2*delta*n per column by construction when the envelope is tight
+    (0.4% of the column at the default delta); a pathological column
+    blows past that only by also failing verification, where it pays
+    the exact aggregate instead. Python cost is one vectorized NumPy
+    pass per batch — no per-row Python anywhere.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.registry import widen_partitions
+
+    metric_cols = [c for c in wide_df.columns if c not in exclude]
+    ncols = len(metric_cols)
+    wide_df = widen_partitions(wide_df.select(*metric_cols))
+    spark = wide_df.sparkSession
+
+    p_lo_lo = max(0.0, q_low - delta)
+    p_lo_hi = min(1.0, q_low + delta)
+    p_hi_lo = max(0.0, q_high - delta)
+    p_hi_hi = min(1.0, q_high + delta)
+
+    def pass_a(batches):
+        for pdf in batches:
+            out = {"i": [], "n": [], "mn": [], "mx": [],
+                   "lo1": [], "hi1": [], "lo9": [], "hi9": []}
+            for i, c in enumerate(metric_cols):
+                v = pd.to_numeric(pdf[c], errors="coerce").to_numpy(
+                    dtype="float64", copy=False
+                )
+                v = v[~np.isnan(v)]
+                out["i"].append(i)
+                out["n"].append(len(v))
+                if len(v) == 0:
+                    out["mn"].append(None)
+                    out["mx"].append(None)
+                    out["lo1"].append(None)
+                    out["hi1"].append(None)
+                    out["lo9"].append(None)
+                    out["hi9"].append(None)
+                    continue
+                qs = np.quantile(v, [p_lo_lo, p_lo_hi, p_hi_lo, p_hi_hi])
+                out["mn"].append(float(v.min()))
+                out["mx"].append(float(v.max()))
+                out["lo1"].append(float(qs[0]))
+                out["hi1"].append(float(qs[1]))
+                out["lo9"].append(float(qs[2]))
+                out["hi9"].append(float(qs[3]))
+            yield pd.DataFrame(out)
+
+    a_rows = wide_df.mapInPandas(
+        pass_a,
+        "i int, n long, mn double, mx double, "
+        "lo1 double, hi1 double, lo9 double, hi9 double",
+    ).collect()
+
+    n = [0] * ncols
+    mn = [None] * ncols
+    mx = [None] * ncols
+    br = [[None, None, None, None] for _ in range(ncols)]
+    for r in a_rows:
+        i = r["i"]
+        n[i] += r["n"]
+        if r["mn"] is not None:
+            mn[i] = r["mn"] if mn[i] is None else min(mn[i], r["mn"])
+            mx[i] = r["mx"] if mx[i] is None else max(mx[i], r["mx"])
+            cand = (r["lo1"], r["hi1"], r["lo9"], r["hi9"])
+            b = br[i]
+            b[0] = cand[0] if b[0] is None else min(b[0], cand[0])
+            b[1] = cand[1] if b[1] is None else max(b[1], cand[1])
+            b[2] = cand[2] if b[2] is None else min(b[2], cand[2])
+            b[3] = cand[3] if b[3] is None else max(b[3], cand[3])
+
+    def interp(lower, higher, nn, p):
+        h = (nn - 1) * p
+        k = math.floor(h)
+        if k == math.ceil(h) or lower == higher:
+            return lower
+        return lower * (k + 1 - h) + higher * (h - k)
+
+    probe = {
+        i: tuple(br[i]) for i in range(ncols) if n[i] > 0
+    }
+    solved: dict[int, tuple] = {
+        i: (None, None) for i in range(ncols) if n[i] == 0
+    }
+
+    def pass_b(batches):
+        for pdf in batches:
+            out = {"i": [], "below1": [], "below9": [], "b1": [], "b9": []}
+            for i, c in enumerate(metric_cols):
+                pb = probe.get(i)
+                if pb is None:
+                    continue
+                v = pd.to_numeric(pdf[c], errors="coerce").to_numpy(
+                    dtype="float64", copy=False
+                )
+                v = v[~np.isnan(v)]
+                lo1, hi1, lo9, hi9 = pb
+                out["i"].append(i)
+                out["below1"].append(int((v < lo1).sum()))
+                out["below9"].append(int((v < lo9).sum()))
+                out["b1"].append(v[(v >= lo1) & (v <= hi1)])
+                out["b9"].append(v[(v >= lo9) & (v <= hi9)])
+            yield pd.DataFrame(out)
+
+    fallback: list[str] = []
+    if probe:
+        b_rows = wide_df.mapInPandas(
+            pass_b,
+            "i int, below1 long, below9 long, "
+            "b1 array<double>, b9 array<double>",
+        ).collect()
+        acc = {i: [0, 0, [], []] for i in probe}
+        for r in b_rows:
+            a = acc[r["i"]]
+            a[0] += r["below1"]
+            a[1] += r["below9"]
+            a[2].append(np.asarray(r["b1"], dtype="float64"))
+            a[3].append(np.asarray(r["b9"], dtype="float64"))
+        for i, (below1, below9, c1, c2) in acc.items():
+            nn = n[i]
+            vals1 = np.sort(np.concatenate(c1)) if c1 else np.array([])
+            vals9 = np.sort(np.concatenate(c2)) if c2 else np.array([])
+            res = []
+            for p, below, vals in (
+                (q_low, below1, vals1), (q_high, below9, vals9)
+            ):
+                h = (nn - 1) * p
+                k = math.floor(h)
+                k1 = min(math.ceil(h), nn - 1)
+                ii, jj = k - below, k1 - below
+                if ii < 0 or jj >= len(vals):
+                    res.append(None)  # envelope missed -> exact fallback
+                else:
+                    res.append(interp(float(vals[ii]), float(vals[jj]), nn, p))
+            if res[0] is None or res[1] is None:
+                fallback.append(metric_cols[i])
+            else:
+                solved[i] = tuple(res)
+
+    if fallback:
+        ps = F.array(F.lit(q_low), F.lit(q_high))
+        melted = wide_df.select(
+            [
+                F.when(
+                    ~F.isnan(F.col(c).try_cast("double")),
+                    F.col(c).try_cast("double"),
+                ).alias(c)
+                for c in fallback
+            ]
+        ).unpivot([], fallback, "id", "value")
+        for r in (
+            melted.groupBy("id")
+            .agg(F.percentile("value", ps).alias("q"))
+            .collect()
+        ):
+            solved[metric_cols.index(r["id"])] = (r["q"][0], r["q"][1])
+
+    rows = [
+        (metric_cols[i], mn[i], mx[i], *solved[i]) for i in range(ncols)
+    ]
+    return spark.createDataFrame(
         rows, "id string, min double, max double, q1 double, q99 double"
     )

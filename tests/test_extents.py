@@ -99,3 +99,36 @@ def test_sketch_extents_edge_columns(spark):
     sk = [tuple(r) for r in sketch_extents(df).collect()]
     assert sk == exact
     assert sk[0][1] is None  # all-null column: min is null
+
+
+def test_arrow_extents_matches_melt_bit_for_bit(spark):
+    """The Arrow two-pass path must reproduce the melt layout exactly,
+    including NaN-drop, all-null columns, constant columns (zero-width
+    brackets), and fractional-rank interpolation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from map_v2_etl_spark.operators.extents import (
+        arrow_extents,
+        column_extents,
+    )
+
+    rows = []
+    for i in range(997):
+        rows.append(
+            (
+                str(i),
+                float(i) * 1.7 - 100.0,          # spread values
+                5.0,                              # constant column
+                float("nan") if i % 7 == 0 else math.sin(i) * 1e6,
+                None,                             # all-null column
+                float(i % 13),                    # heavy ties
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "GEOID string, a double, b double, c double, d double, e double"
+    )
+    melt = column_extents(df, layout="melt").collect()
+    arrow = arrow_extents(df).collect()
+    assert [tuple(r) for r in melt] == [tuple(r) for r in arrow]
