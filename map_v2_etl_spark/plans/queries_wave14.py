@@ -1,0 +1,193 @@
+"""Wave-14 surface: event-analytics patterns every product pipeline runs
+(SURVEY.md §2.11 extension; the reference has no event operators).
+
+* event_funnel      — strictly-ordered view → click → purchase funnel
+                      per user: each stage's first timestamp must follow
+                      the previous stage's (not merely exist), the
+                      correct funnel semantics naive per-type MINs get
+                      wrong when a purchase precedes the first view.
+* cohort_retention  — first-event-day cohorts x day-offset activity
+                      matrix, THE retention report, integers end to end.
+* event_top_k_certified — approx_top_k (Spark 4 sketch) certified
+                      in-query against the exact ordered top-k (the
+                      certified-sketch pattern: hashable output is the
+                      exact ranking + the agreement boolean).
+
+Scale: funnel is three chained per-user aggregates (each one hash
+shuffle on user_id — and after the first, co-partitioned so AQE reuses
+the exchange); cohorts are two aggregates (first-event, then matrix);
+top-k is one pass + a V-sized ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .registry import query
+
+_DUCK_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS reached_view,
+       CAST(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS reached_click,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS reached_purchase
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+@query("event_funnel", _DUCK_FUNNEL, tags=["events", "funnel", "analytics"])
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: the first click must FOLLOW the first
+    view, the first purchase must follow that click — three chained
+    per-user aggregates. A naive per-type MIN comparison would count a
+    user whose only purchase happened before they ever viewed.
+
+    Scale: every stage keys on user_id, so after the first shuffle the
+    stage joins and aggregates are co-partitioned; no windows over the
+    raw event stream, no per-user sort."""
+    ev = load_table(spark, "events", sf_dir)
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        users.join(v.select("user_id", F.lit(1).alias("_v")), "user_id", "left")
+        .join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("_p")), "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("_v", F.lit(0)).cast("int").alias("reached_view"),
+            F.coalesce("_c", F.lit(0)).cast("int").alias("reached_click"),
+            F.coalesce("_p", F.lit(0)).cast("int").alias("reached_purchase"),
+        )
+    )
+
+
+_DUCK_COHORT = """
+WITH first AS (
+  SELECT user_id, CAST(min(ts)::DATE AS DATE) AS cohort_day FROM events
+  GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, e.ts::DATE) AS day_offset
+  FROM events e JOIN first f ON e.user_id = f.user_id)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM act GROUP BY cohort_day, day_offset
+"""
+
+
+@query("cohort_retention", _DUCK_COHORT, tags=["events", "cohort", "analytics"])
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: users cohorted by first-event day, counted as
+    active per (cohort, day-offset). Two aggregates; the first-event
+    table is user-sized and broadcastable at any realistic cohort
+    cardinality. Date output serialized as string for the cross-engine
+    hash."""
+    ev = load_table(spark, "events", sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    act = (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").cast("long").alias("n_active")
+    ).select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_active",
+    )
+
+
+_TOPK = 3
+
+_DUCK_TOPK_CERT = f"""
+WITH cnt AS (SELECT event_type, count(*) AS c FROM events GROUP BY event_type),
+rk AS (SELECT event_type, c,
+              row_number() OVER (ORDER BY c DESC, event_type) AS r FROM cnt)
+SELECT event_type, CAST(c AS BIGINT) AS n_events,
+       CAST(r AS BIGINT) AS rank, TRUE AS sketch_ok
+FROM rk WHERE r <= {_TOPK}
+"""
+
+
+@query(
+    "event_top_k_certified",
+    _DUCK_TOPK_CERT,
+    tags=["events", "approx", "topk", "spark4"],
+)
+def q_event_top_k_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered top-{k} event types, certified against Spark 4's
+    approx_top_k sketch: sketch_ok asserts the sketch returned the same
+    item set with the same counts (exactly computable here because the
+    type cardinality is far under the sketch capacity — the certificate
+    DOCUMENTS that regime; at true heavy-hitter scale the sketch is the
+    only option and the exact ranking becomes the spot-check)."""
+    ev = load_table(spark, "events", sf_dir)
+    cnt = ev.groupBy("event_type").agg(F.count("*").alias("c"))
+    from pyspark.sql.window import Window as W
+
+    rk = cnt.select(
+        "event_type",
+        "c",
+        F.row_number().over(W.orderBy(F.desc("c"), "event_type")).alias("r"),
+    ).filter(F.col("r") <= _TOPK)
+    sk = ev.agg(
+        F.expr(f"approx_top_k(event_type, {_TOPK})").alias("tk")
+    ).select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").alias("sk_count"),
+    )
+    return (
+        rk.join(F.broadcast(sk), "event_type", "left")
+        .select(
+            "event_type",
+            F.col("c").cast("long").alias("n_events"),
+            F.col("r").cast("long").alias("rank"),
+            (
+                F.col("sk_count").isNotNull()
+                & (F.col("sk_count") == F.col("c"))
+            ).alias("sketch_ok"),
+        )
+    )
