@@ -75,6 +75,11 @@ HEADLINE = [
     "ngram_containment",
     "block_dedup",
     "source_caps",
+    # waves 13-14
+    "containment_closure",
+    "events_props_variant",
+    "event_funnel",
+    "cohort_retention",
 ]
 
 

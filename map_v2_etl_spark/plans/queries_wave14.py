@@ -191,3 +191,117 @@ def q_event_top_k_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# nb_lang_classifier — a classifier TRAINED in-engine, as pure aggregations
+# ---------------------------------------------------------------------------
+
+_DUCK_NB = r"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(list_filter(
+    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+  FROM documents),
+langs AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM tok GROUP BY lang),
+tot AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+jc AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY lang, w),
+lt AS (SELECT lang, sum(c) AS ct FROM jc GROUP BY lang),
+voc AS (SELECT count(DISTINCT w) AS v FROM tok),
+sc AS (
+  SELECT t.doc_id, l.lang,
+         round(
+           ln(l.n_docs * 1.0 / tot.n)
+           + sum(ln((COALESCE(j.c, 0) + 1.0) / (lt.ct + voc.v))), 6
+         ) AS ll
+  FROM tok t
+  CROSS JOIN langs l
+  LEFT JOIN jc j ON j.lang = l.lang AND j.w = t.w
+  JOIN lt ON lt.lang = l.lang
+  CROSS JOIN tot CROSS JOIN voc
+  GROUP BY t.doc_id, l.lang, l.n_docs, lt.ct, voc.v, tot.n),
+best AS (
+  SELECT doc_id, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ll DESC, lang) AS r
+  FROM sc)
+SELECT d.doc_id, b.pred_lang,
+       CAST(CASE WHEN b.pred_lang = d.lang THEN 1 ELSE 0 END AS INT)
+         AS is_correct
+FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.r = 1
+"""
+
+
+@query("nb_lang_classifier", _DUCK_NB, tags=["text", "classifier", "ml"])
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND applied
+    in-engine, entirely as aggregations + joins: add-1-smoothed token
+    likelihoods per language, document-frequency priors, argmax by
+    per-doc log-likelihood (rounded to 6 decimals before the argmax so
+    both engines break near-ties identically, ties then by language).
+
+    The point: classical-ML "training" (NB, and by the same shape
+    logistic-regression scoring, TF-IDF centroids, etc.) needs no
+    driver-side state — the model IS a pair of aggregate tables, and
+    scoring is a join. Scale: the (lang, token) likelihood table is
+    vocab x |langs| rows (broadcastable); the corpus shuffles once for
+    tokenize-count and once per-doc for the score sum."""
+    from ..operators.lm import toks_col
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "lang", F.explode(toks_col("text")).alias("w")
+    )
+    langs = tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    tot = tok.agg(F.countDistinct("doc_id").alias("n"))
+    jc = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    lt = jc.groupBy("lang").agg(F.sum("c").alias("ct"))
+    voc = tok.agg(F.countDistinct("w").alias("v"))
+    model = (
+        langs.withColumnRenamed("lang", "m_lang")
+        .join(lt.withColumnRenamed("lang", "m_lang"), "m_lang")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(voc))
+    )
+    sc = (
+        tok.crossJoin(F.broadcast(model))
+        .join(
+            F.broadcast(jc).withColumnsRenamed({"lang": "m_lang"}),
+            ["m_lang", "w"],
+            "left",
+        )
+        .groupBy("doc_id", "m_lang")
+        .agg(
+            F.round(
+                F.first(F.log(F.col("n_docs") / F.col("n")))
+                + F.sum(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                        / (F.col("ct") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("ll")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    best = sc.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("ll"), "m_lang")
+        ),
+    ).filter(F.col("r") == 1)
+    return (
+        docs.select("doc_id", "lang")
+        .join(best.select("doc_id", F.col("m_lang").alias("pred_lang")),
+              "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            (F.col("pred_lang") == F.col("lang")).cast("int").alias(
+                "is_correct"
+            ),
+        )
+    )

@@ -208,13 +208,17 @@ def q_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     tw = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     dfq = tw.groupBy("w").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n"))
+    # bounded driver scalar, needed anyway for the strategy gate below —
+    # used as a literal in the idf so no one-row crossJoin appears in
+    # the plan
+    n_docs = docs.count()
     wts = (
         tw.join(F.broadcast(dfq), "w")
-        .crossJoin(F.broadcast(n))
         .select(
             "doc_id", "w", "df",
-            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("wt"),
+            (
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("wt"),
         )
     )
     # load-bearing persist: wts feeds norms, the prefix index, the full
@@ -226,7 +230,6 @@ def q_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab_n = dfq.count()  # bounded driver scalar — picks the strategy
     if vocab_n <= 1024:
-        n_docs = docs.count()
         # per-tile dense block ~1500×V doubles (≤ 12 MB at the gate);
         # T(T+1)/2 groups give the parallelism
         n_tiles = max(8, min(256, math.ceil(n_docs / 1500)))

@@ -64,3 +64,19 @@ def test_top_k_sketch_certified(spark):
     assert len(rows) == 3
     assert all(r["sketch_ok"] for r in rows)
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_nb_classifier_beats_majority_class(spark):
+    """The in-engine NB classifier must at least beat predicting the
+    majority language everywhere (sanity that training worked)."""
+    rows = REGISTRY["nb_lang_classifier"].fn(spark, SF).collect()
+    assert rows
+    acc = sum(r["is_correct"] for r in rows) / len(rows)
+    from map_v2_etl_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", SF)
+    top = (
+        docs.groupBy("lang").count().orderBy(F.desc("count")).first()["count"]
+    )
+    majority = top / docs.count()
+    assert acc > majority
