@@ -1,0 +1,58 @@
+"""Wave-15: graph analytics + function breadth."""
+
+from pyspark.sql import functions as F
+
+from map_v2_etl_spark.plans.registry import REGISTRY, all_queries
+
+all_queries()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_triangle_counts_on_known_graph(spark):
+    """4-clique + pendant vertex: clique members sit in C(3,2)=3
+    triangles each, the pendant in none."""
+    import map_v2_etl_spark.operators.dedup as D
+
+    # build the count directly from an edge list through the same joins
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        ["a", "b"],
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    assert tri.count() == 4  # C(4,3) triangles in the clique
+    out = REGISTRY["triangle_count"].fn(spark, SF)
+    assert out.filter(F.col("n_triangles") <= 0).count() == 0
+
+
+def test_bfs_levels_monotone_and_rooted(spark):
+    rows = REGISTRY["bfs_levels"].fn(spark, SF).collect()
+    assert rows
+    lv = {r["doc_id"]: r["level"] for r in rows}
+    root = min(lv, key=lambda d: lv[d])
+    assert lv[root] == 0
+    # levels form a contiguous range from 0
+    assert sorted(set(lv.values())) == list(range(max(lv.values()) + 1))
+
+
+def test_window_funcs_full_invariants(spark):
+    rows = REGISTRY["window_funcs_full"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["tile4"] <= 4
+        assert 0.0 <= r["pct_rank"] <= 1.0
+        assert 0.0 < r["cume"] <= 1.0
+
+
+def test_null_safety_try_divide_no_error(spark):
+    rows = REGISTRY["null_safety_funcs"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["l_linenumber"] == 1:
+            assert r["line_or_null"] is None
+            assert r["nvl_line"] == -1
+            assert r["nvl2_line"] == 20
+            assert r["is_line1"] is True
