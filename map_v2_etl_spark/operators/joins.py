@@ -36,18 +36,26 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` per key (backward as-of, the pandas
-    ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics). Left rows with no
-    prior right row keep nulls.
+    """For each left row, attach the nearest right row per key:
+    ``direction="backward"`` (default) takes the latest right row with
+    ``right.ts <= left.ts`` (pandas ``merge_asof`` / DuckDB ``ASOF
+    JOIN`` semantics); ``direction="forward"`` the earliest right row
+    with ``right.ts >= left.ts``. Left rows with no match keep nulls;
+    ``tolerance`` (seconds) voids matches farther than that.
 
     Implementation: tag both sides, union, and take the running
     ``last(right_struct, ignorenulls)`` over a window ordered by
-    (ts, side) — right side sorts first at equal ts so ties match.
-    Right columns travel inside ONE struct: a right row whose payload
-    column is legitimately null must still win over an older row.
+    (ts, side) — backward frames preceding..current with right sorting
+    first at equal ts; forward frames current..following as a running
+    ``first`` with right sorting after left at equal ts, so ties match
+    in both directions. Right columns travel inside ONE struct: a right
+    row whose payload column is legitimately null must still win over
+    an older row.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
@@ -65,19 +73,29 @@ def asof_join(
     # missing columns null-fill on either side with the other side's types
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    w = (
-        W.partitionBy(*on)
-        .orderBy(F.col(ts), F.col(side))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    matched = unioned.withColumn(
-        pack, F.last(pack, ignorenulls=True).over(w)
-    ).filter(F.col(side) == 1)
+    if direction == "backward":
+        w = (
+            W.partitionBy(*on)
+            .orderBy(F.col(ts), F.col(side))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        picked = F.last(pack, ignorenulls=True).over(w)
+    else:
+        w = (
+            W.partitionBy(*on)
+            .orderBy(F.col(ts), F.desc(side))
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        picked = F.first(pack, ignorenulls=True).over(w)
+    matched = unioned.withColumn(pack, picked).filter(F.col(side) == 1)
 
     if tolerance is not None:
-        in_tol = F.col(ts).cast("double") - F.col(f"{pack}.{right_ts}").cast(
-            "double"
-        ) <= tolerance
+        # NTZ timestamps can't cast straight to double under ANSI; go
+        # through TIMESTAMP (instant) first — identical gap either way
+        gap = F.col(ts).cast("timestamp").cast("double") - F.col(
+            f"{pack}.{right_ts}"
+        ).cast("timestamp").cast("double")
+        in_tol = (gap if direction == "backward" else -gap) <= tolerance
         matched = matched.withColumn(
             pack, F.when(in_tol, F.col(pack))
         )

@@ -1,0 +1,143 @@
+"""Wave-16 surface: as-of join variants + exact equi-width histograms
+(SURVEY.md §2.3, §2.4 extensions).
+
+* asof_join_forward   — earliest right row AT-OR-AFTER each left row
+                        (the "next event" direction pandas merge_asof
+                        calls forward); same union + running-first
+                        composition, opposite frame.
+* asof_join_tolerance — backward as-of that VOIDS matches older than a
+                        tolerance horizon (stale-quote guard in market
+                        data, stale-click guard here).
+* column_histograms   — exact equi-width histograms over several metric
+                        columns in one pass: the distribution companion
+                        to extents (bin boundaries from global min/max,
+                        identical IEEE arithmetic in both engines so
+                        bin assignment is bit-deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join
+from ..sources.registry import load_table
+from .registry import query
+
+_DUCK_ASOF_FWD = (
+    "SELECT p.event_id, p.user_id, p.ts, c.ts AS ts_right, c.value AS value "
+    "FROM (SELECT event_id, user_id, ts FROM events "
+    "      WHERE event_type = 'purchase') p "
+    "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events "
+    "                WHERE event_type = 'click') c "
+    "ON p.user_id = c.user_id AND p.ts <= c.ts"
+)
+
+
+@query("asof_join_forward", _DUCK_ASOF_FWD, tags=["join", "asof", "forward"])
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the user's EARLIEST click
+    at-or-after it (follow-on behavior attribution). Same single-shuffle
+    union composition as the backward join, with a current..following
+    running-first frame."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"], direction="forward",
+    )
+
+
+_DUCK_ASOF_TOL = (
+    "SELECT p.event_id, p.user_id, p.ts, "
+    "CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.ts END AS ts_right, "
+    "CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN c.value END AS value "
+    "FROM (SELECT event_id, user_id, ts FROM events "
+    "      WHERE event_type = 'purchase') p "
+    "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events "
+    "                WHERE event_type = 'click') c "
+    "ON p.user_id = c.user_id AND p.ts >= c.ts"
+)
+
+
+@query(
+    "asof_join_tolerance",
+    _DUCK_ASOF_TOL,
+    tags=["join", "asof", "tolerance"],
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 1-hour staleness horizon: a prior click
+    older than the tolerance is no match at all (nulls), the
+    stale-quote guard of market-data as-of joins."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"], tolerance=F.lit(3600.0),
+    )
+
+
+_HIST_BINS = 16
+_HIST_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+_DUCK_HIST = f"""
+WITH v AS ({" UNION ALL ".join(
+    f"SELECT '{c}' AS id, CAST({c} AS DOUBLE) AS v FROM lineitem"
+    for c in _HIST_COLS)}),
+s AS (SELECT id, min(v) AS mn, max(v) AS mx FROM v GROUP BY id),
+b AS (SELECT v.id,
+             CAST(COALESCE(least(floor((v.v - s.mn)
+               / nullif((s.mx - s.mn) / {_HIST_BINS}, 0)),
+               {_HIST_BINS - 1}), 0) AS INT) AS bin
+      FROM v JOIN s USING (id))
+SELECT id, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY id, bin
+"""
+
+
+@query("column_histograms", _DUCK_HIST, tags=["agg", "histogram", "extents"])
+def q_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histograms ({bins} bins from global min/max) for
+    several metric columns in one melt pass — the distribution
+    companion to extents. Bin assignment computes the same IEEE double
+    expression in both engines, so boundary calls are bit-identical;
+    the top edge folds into the last bin (the d3.bin convention).
+
+    Scale: one stack + two hash aggregations; the (column → min/max)
+    table is |cols| rows and broadcasts into the binning projection —
+    cell values never shuffle, only (column, bin) partial counts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    stack_args = [F.lit(len(_HIST_COLS))]
+    for c in _HIST_COLS:
+        stack_args += [F.lit(c), F.col(c).cast("double")]
+    v = li.select(F.stack(*stack_args).alias("id", "v"))
+    s = v.groupBy("id").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    width = F.nullif((F.col("mx") - F.col("mn")) / _HIST_BINS, F.lit(0.0))
+    bin_ = F.coalesce(
+        F.least(
+            F.floor((F.col("v") - F.col("mn")) / width),
+            F.lit(_HIST_BINS - 1),
+        ),
+        F.lit(0),
+    ).cast("int")
+    return (
+        v.join(F.broadcast(s), "id")
+        .select("id", bin_.alias("bin"))
+        .groupBy("id", "bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "id",
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
