@@ -123,6 +123,10 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # queries that persist internal tables (tfidf wts, curation
+        # token table, bloom shingles) cannot unpersist before their
+        # lazy result executes; release stranded blocks between queries
+        spark.catalog.clearCache()
 
     sf_token = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

@@ -320,36 +320,30 @@ def connected_components(
     (Kiveris et al., "Connected Components in MapReduce and Beyond"),
     which squares the reach per round.
     """
-    import math
-
     from pyspark import StorageLevel
+
+    from .iteration import iteration_partitions
 
     # iteration partitioning sized to the actual vertex count (the
     # pagerank discipline): a 5k-vertex label table over 32 partitions
     # pays rounds of near-empty-task scheduling for nothing
     n_vertices = vertices.count()  # bounded driver scalar
-    conf_part = int(
-        vertices.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    n_part = min(conf_part, max(4, math.ceil(n_vertices / 50_000)))
+    n_part = iteration_partitions(vertices.sparkSession, n_vertices)
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).repartition(n_part, "id")
-    # Self-loops are dropped: they never change a label, and the round-1
-    # convergence-count skip below relies on "any edge changes a label in
-    # round 1" — a self-loop-only graph would violate that invariant
-    # (round-1 advice). The persisted repartition co-partitions the edge
-    # table with the per-round join key ONCE. Locally this is ~neutral
-    # (measured 3.5s vs 3.8s at sf0.1 — Spark's shuffle-file reuse was
-    # already absorbing most re-derivation), but it makes the edge
-    # materialization explicit instead of leaning on shuffle retention,
-    # which an external shuffle service or node loss can evict at scale.
+    # Self-loops are dropped (see _symmetrize): they never change a
+    # label, and the round-1 convergence-count skip below relies on
+    # "any edge changes a label in round 1" — a self-loop-only graph
+    # would violate that invariant (round-1 advice). The persisted
+    # repartition co-partitions the edge table with the per-round join
+    # key ONCE. Locally this is ~neutral (measured 3.5s vs 3.8s at
+    # sf0.1 — Spark's shuffle-file reuse was already absorbing most
+    # re-derivation), but it makes the edge materialization explicit
+    # instead of leaning on shuffle retention, which an external
+    # shuffle service or node loss can evict at scale.
     sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(
-            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-        )
-        .filter(F.col("a") != F.col("b"))
+        _symmetrize(edges, src_col, dst_col)
         .repartition(n_part, "a")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -49,16 +49,13 @@ def pagerank(
         )
     teleport = (1.0 - damping) / n_nodes
 
-    import math
+    from .iteration import iteration_partitions
 
     # partitioning for the iteration state: the session's shuffle
     # parallelism, sized DOWN when the graph is small — a 5k-vertex
     # state over 32 partitions pays 10 rounds of near-empty-task
-    # scheduling for nothing. ~50k vertices per partition, floor 4.
-    conf_part = int(
-        nodes.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    n_part = min(conf_part, max(4, math.ceil(n_nodes / 50_000)))
+    # scheduling for nothing (shared policy: operators/iteration.py)
+    n_part = iteration_partitions(nodes.sparkSession, n_nodes)
     deg = edges.groupBy(src_col).agg(F.count("*").alias("deg"))
     # load-bearing persist: the edge table (and its degree join) feeds
     # EVERY iteration — without it the upstream edge derivation (e.g.

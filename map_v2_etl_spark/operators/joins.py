@@ -90,11 +90,14 @@ def asof_join(
     matched = unioned.withColumn(pack, picked).filter(F.col(side) == 1)
 
     if tolerance is not None:
-        # NTZ timestamps can't cast straight to double under ANSI; go
-        # through TIMESTAMP (instant) first — identical gap either way
-        gap = F.col(ts).cast("timestamp").cast("double") - F.col(
-            f"{pack}.{right_ts}"
-        ).cast("timestamp").cast("double")
+        # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike with
+        # NO timezone conversion — an NTZ→LTZ cast here would warp the
+        # gap across DST transitions in non-UTC sessions (wall-clock
+        # 6300s reading as instant 2700s), silently accepting stale
+        # matches the oracle's wall-clock interval arithmetic rejects
+        gap = F.expr(
+            f"CAST(timestampdiff(SECOND, {pack}.{right_ts}, {ts}) AS DOUBLE)"
+        )
         in_tol = (gap if direction == "backward" else -gap) <= tolerance
         matched = matched.withColumn(
             pack, F.when(in_tol, F.col(pack))

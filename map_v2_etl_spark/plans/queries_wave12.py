@@ -191,11 +191,14 @@ FROM lineitem GROUP BY l_returnflag
     tags=["agg", "approx", "quantile"],
 )
 def q_approx_quantiles_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (Greenwald-Khanna) certified in-query: the
-    sketch's median must sit within rank error 5/accuracy of the true
-    0.5 rank (checked by counting rows ≤ the sketch value), and the
-    hashable outputs are the EXACT median + the boolean certificate —
-    the approx_count_distinct pattern for quantile sketches."""
+    """percentile_approx (Greenwald-Khanna) certified in-query against
+    the GK guarantee: SOME rank of the returned value must lie within
+    5/accuracy of the 0.5 target. With value ties the returned value
+    occupies the rank interval [n_lt, n_le) (rows strictly below /
+    at-or-below), so the certificate checks INTERVAL overlap with the
+    tolerance band — a single two-sided count would spuriously fail on
+    heavy tie mass at the median. Hashable outputs are the EXACT median
+    + the boolean certificate (the approx_count_distinct pattern)."""
     li = load_table(spark, "lineitem", sf_dir)
     g = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
@@ -208,20 +211,28 @@ def q_approx_quantiles_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(
             F.broadcast(g.select("l_returnflag", "ap")), "l_returnflag"
         )
-        .filter(F.col("l_extendedprice") <= F.col("ap"))
         .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_le"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") < F.col("ap")).cast("long")
+            ).alias("n_lt"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("ap")).cast("long")
+            ).alias("n_le"),
+        )
     )
     tol = 5.0 / _Q_ACC
+    # value's rank interval [n_lt, n_le] must intersect 0.5n ± tol·n
+    ok = (F.col("n_lt") / F.col("n_rows") <= 0.5 + tol) & (
+        F.col("n_le") / F.col("n_rows") >= 0.5 - tol
+    )
     return (
         g.join(rank, "l_returnflag")
         .select(
             "l_returnflag",
             F.col("n_rows").cast("long").alias("n_rows"),
             "exact_median",
-            (
-                F.abs(F.col("n_le") / F.col("n_rows") - 0.5) <= tol
-            ).alias("rank_ok"),
+            ok.alias("rank_ok"),
         )
     )
 
@@ -275,10 +286,15 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: fixed-size bits travel to every executor, and the shuffle
     into the exact join carries only bloom survivors (FP rate here
     ~(1-e^(-kn/m))^k ≈ 1e-3 at the sf0.1 benchmark size)."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, "documents", sf_dir)
+    # load-bearing persist: the shingle explode feeds the bitmap build
+    # (an eager collect), the exact-verify broadcast side, AND the
+    # corpus probe side — un-persisted it re-tokenizes the corpus 3x
     sh = widen_partitions(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(D.word_shingles(F.col("text"), 8)).alias("s")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bench = sh.filter(F.col("doc_id") % 10 == 0).select("s").distinct()
     # build phase: (word, mask) per bench-gram bit, bit_or per word
     word_bits = bench.select(

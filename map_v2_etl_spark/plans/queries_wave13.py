@@ -68,6 +68,10 @@ def q_containment_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = REGISTRY["ngram_containment"].fn(spark, sf_dir).select(
         "id_a", "id_b"
     )
+    # MATERIALIZE before the recursion: a temp view is a logical plan,
+    # and the recursive CTE would otherwise re-execute the shingle
+    # self-join at every level (anchor + each step)
+    pairs = pairs.localCheckpoint(eager=True)
     pairs.createOrReplaceTempView("w13_pairs")
     return spark.sql(
         """

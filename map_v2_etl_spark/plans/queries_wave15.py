@@ -178,11 +178,11 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST(lead(l_quantity, 2, -2) OVER w AS DOUBLE) AS next2_qty, "
     "CAST(first_value(l_quantity) OVER w AS DOUBLE) AS first_qty, "
     "CAST(last_value(l_quantity) OVER "
-    "(PARTITION BY l_orderkey ORDER BY l_linenumber "
+    "(PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity "
     " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) "
     "  AS last_qty "
     "FROM lineitem WHERE l_orderkey % 100 = 0 "
-    "WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)",
+    "WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity)",
     tags=["window", "functions"],
 )
 def q_window_funcs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,7 +192,11 @@ def q_window_funcs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).filter(
         F.col("l_orderkey") % 100 == 0
     )
-    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # (l_orderkey, l_linenumber) is NOT unique in this testdata (1217
+    # duplicate groups at sf0.1 with differing quantities) — l_quantity
+    # joins the ORDER BY so rows tying on the full key are identical in
+    # every emitted column and any tie order hashes the same
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
     wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return li.select(
         "l_orderkey",

@@ -326,9 +326,13 @@ def q_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # suffix unit-norm² at each position of the per-doc (df ASC, w ASC)
-    # walk; index while it is still ≥ t² (tiny float slack so a
-    # borderline term stays indexed — losing one breaks losslessness,
-    # keeping one extra only adds a candidate).
+    # walk; index while it is still ≥ t_eff². The EFFECTIVE threshold is
+    # below _COS_MIN by the HALF_UP rounding window (a raw cosine down
+    # to t − 5e-7 still rounds to t and must be kept — the final filter
+    # compares the ROUNDED value), plus float slack: a borderline term
+    # wrongly dropped breaks losslessness, one kept extra only adds a
+    # candidate.
+    t_eff = _COS_MIN - 1e-6
     suffix_sq = F.sum(F.col("u") * F.col("u")).over(
         W.partitionBy("doc_id")
         .orderBy(F.col("df").asc(), F.col("w").asc())
@@ -336,7 +340,7 @@ def q_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pref = (
         unit.withColumn("sfx", suffix_sq)
-        .filter(F.col("sfx") >= _COS_MIN * _COS_MIN - 1e-9)
+        .filter(F.col("sfx") >= t_eff * t_eff - 1e-9)
         .select(F.col("doc_id").alias("id_a"), "w")
     )
     cand = (

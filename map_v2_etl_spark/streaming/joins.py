@@ -92,20 +92,11 @@ def run_stream_join_on_parquet(
         parquet_path = staged
 
     def source() -> DataFrame:
-        s = spark.readStream.schema(schema).parquet(parquet_path)
-        from pyspark.sql import types as T
+        from .ts import normalize_event_time
 
-        for f in schema.fields:
-            if f.name == "ts" and isinstance(f.dataType, T.LongType):
-                # integer division — double `/` drifts at nano magnitudes
-                s = s.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-                )
-            elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
-                # withWatermark requires TIMESTAMP (LTZ); see
-                # windows.run_stream_on_parquet for the semantics argument
-                s = s.withColumn("ts", F.col("ts").cast("timestamp"))
-        return s
+        return normalize_event_time(
+            spark.readStream.schema(schema).parquet(parquet_path), schema
+        )
 
     purchases = source().filter(F.col("event_type") == "purchase")
     clicks = source().filter(F.col("event_type") == "click")

@@ -111,18 +111,11 @@ def run_stream_upsert_on_parquet(
         .option("maxFilesPerTrigger", 1)
         .parquet(parquet_dir)
     )
-    # same event-time normalization as windows.run_stream_on_parquet so a
+    # same event-time normalization as every stream stager, so a
     # watermarked transform layered on this sink never sees NTZ/long ts
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
+    from .ts import normalize_event_time
 
-    for f in batch_df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
-        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = normalize_event_time(stream, batch_df.schema)
     sink = IncrementalParquetUpsert(spark, target, key_cols, order_cols)
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -99,24 +99,9 @@ def run_stream_on_parquet(
         .option("maxFilesPerTrigger", 1)
         .parquet(parquet_path)
     )
-    # normalize nanos-as-long ts exactly like sources/registry.load_table
-    from pyspark.sql import types as T
+    from .ts import normalize_event_time
 
-    for f in schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            # integer division — double `/` drifts by 1 microsecond at
-            # nanosecond epoch magnitudes (see sources/registry.load_table)
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
-        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
-            # withWatermark requires TIMESTAMP (LTZ); parquet written with
-            # isAdjustedToUTC=false arrives NTZ. The cast interprets the
-            # wall-clock in the session timezone — identical instants under
-            # the engine session (UTC), and watermark/window arithmetic is
-            # timezone-shift-invariant, so results are stable even under a
-            # bare session in a non-UTC zone.
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = normalize_event_time(stream, schema)
     q = (
         transform(stream)
         .writeStream.outputMode(output_mode)
@@ -154,17 +139,11 @@ def stream_to_parquet(
             os.path.join(staged, os.path.basename(parquet_in)),
         )
         parquet_in = staged
-    stream = spark.readStream.schema(schema).parquet(parquet_in)
-    from pyspark.sql import types as T
+    from .ts import normalize_event_time
 
-    for f in schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
-        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
-            # withWatermark requires TIMESTAMP (LTZ); see run_stream_on_parquet
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = normalize_event_time(
+        spark.readStream.schema(schema).parquet(parquet_in), schema
+    )
     q = (
         transform(stream)
         .writeStream.outputMode(output_mode)

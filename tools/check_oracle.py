@@ -174,6 +174,8 @@ def main():
             "hash_match": ok or None, "spark_rows": n,
             "oracle_rows": n, "err": None if ok else "; ".join(probs)[:200],
         }
+        # release per-query persisted state (see bench.py note)
+        spark.catalog.clearCache()
     if json_out:
         import json
 
