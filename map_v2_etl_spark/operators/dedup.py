@@ -85,7 +85,13 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame
 # exact n-gram Jaccard (ground truth; quadratic only in shingle-sharing docs)
 # --------------------------------------------------------------------------
 
-def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingle_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    carry: list[str] | None = None,
+) -> DataFrame:
     """(id, shingle) rows: widen the scan, then explode the shingle
     expression INLINE.
 
@@ -101,8 +107,11 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
         drops empty arrays for free anyway."""
     from ..sources.registry import widen_partitions
 
-    return widen_partitions(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    carry = list(carry or [])
+    return widen_partitions(df.select(id_col, text_col, *carry)).select(
+        F.col(id_col),
+        *carry,
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     )
 
 
@@ -194,6 +203,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    new_side: Column | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified by exact Jaccard.
 
@@ -203,11 +213,29 @@ def minhash_lsh_pairs(
     by the exact verification. Only same-bucket docs are ever paired, so
     the shuffle is |docs| x bands rows, never all-pairs. Output == exact
     jaccard_pairs(threshold) whenever LSH recall holds (verified in tests).
+
+    ``new_side`` (boolean Column over ``df``) switches to INCREMENTAL
+    mode: candidates pair only across the split — id_a from the new
+    batch, id_b from the existing corpus — the shape of screening an
+    incoming crawl increment against the already-ingested corpus
+    (signatures on the existing side would be a precomputed table in
+    production; one pass computes both here).
     """
     rows_per_band = num_perm // bands
-    sigs = _minhash_columns(df, id_col, text_col, n, num_perm)
+    base = df
+    extra_group: list[str] = []
+    if new_side is not None:
+        base = df.withColumn("__is_new", new_side.cast("int"))
+        extra_group = ["__is_new"]
+    sh = _shingle_table(base, id_col, text_col, n, carry=extra_group)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = sh.groupBy(id_col, *extra_group).agg(*mins)
     banded = sigs.select(
         id_col,
+        *extra_group,
         F.explode(
             F.array(*[
                 F.struct(
@@ -220,14 +248,25 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, *extra_group, "bb.band", "bb.bucket")
     x, y = banded.alias("x"), banded.alias("y")
+    if new_side is not None:
+        pair_cond = (
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.__is_new") == 1)
+            & (F.col("y.__is_new") == 0)
+        )
+    else:
+        pair_cond = (
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        )
     cand = (
         x.join(
             y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+            pair_cond,
         )
         .select(
             F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")

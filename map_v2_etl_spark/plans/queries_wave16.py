@@ -141,3 +141,56 @@ def q_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental — screen a new crawl increment against the corpus
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+_DUCK_SHINGLES_INC = (
+    "list_distinct(["
+    + "||' '||".join(f"w[i+{j}]" if j else "w[i]" for j in range(3))
+    + " for i in generate_series(1, len(w)-2)])"
+)
+
+_DUCK_INCREMENTAL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES_INC}) AS s
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c / (na.n_sh + nb.n_sh - c) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE c / (na.n_sh + nb.n_sh - c) >= 0.8
+"""
+
+
+@query(
+    "dedup_incremental",
+    _DUCK_INCREMENTAL,
+    tags=["dedup", "incremental", "minhash", "lsh"],
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: docs with doc_id % 5 = 0 play the
+    NEW crawl increment; every near-dup pair (new, existing) at exact
+    Jaccard ≥ 0.8 surfaces — the nightly-ingest shape where the corpus
+    side's MinHash signatures are a precomputed table and only the
+    increment is signed fresh. Candidates come from banded LSH
+    restricted to cross-side bucket collisions (new×new and old×old
+    pairs never form), verified exactly; shares the exact-Jaccard
+    oracle on the same recall argument as dedup_minhash_pairs."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_lsh_pairs(
+        docs, threshold=0.8, new_side=F.col("doc_id") % 5 == 0
+    )
