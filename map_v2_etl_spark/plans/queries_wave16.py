@@ -194,3 +194,82 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, threshold=0.8, new_side=F.col("doc_id") % 5 == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# events_topk_stream — streaming windowed counts, batch top-k rank
+# ---------------------------------------------------------------------------
+
+_DUCK_TOPK_STREAM = """
+WITH w AS (
+  SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP)
+           AS window_start,
+         event_type, count(*) AS c
+  FROM events GROUP BY 1, 2),
+r AS (SELECT window_start, event_type, c,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY c DESC, event_type) AS rk
+      FROM w)
+SELECT CAST(window_start AS VARCHAR) AS window_start, event_type,
+       CAST(c AS BIGINT) AS n_events, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= 3
+"""
+
+
+@query(
+    "events_topk_stream",
+    _DUCK_TOPK_STREAM,
+    tags=["streaming", "window", "topk"],
+)
+def q_events_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: top-3 per 6-hour window, with the window
+    COUNTS produced by a real Structured Streaming run in COMPLETE
+    output mode (replayed to completion, so streaming output equals
+    batch; append mode would hold back the final watermark-open
+    windows) and the
+    per-window ranking applied as a batch post-pass — the standard
+    split, because ranking needs a complete window and belongs after
+    the streaming aggregation's results-table, not inside it.
+
+    Scale: complete-mode state is one row per (window, type) over the
+    stream's lifetime — bounded here by the replayed span; a live
+    deployment would run append mode + watermark and accept that each
+    window ranks only after it expires. The rank window runs over
+    windows × types."""
+    import hashlib as _h
+
+    from pyspark.sql.window import Window as W
+
+    from ..streaming.windows import run_stream_on_parquet
+
+    def agg6h(stream):
+        return (
+            stream
+            .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count("*").alias("c"))
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "c"
+            )
+        )
+
+    qname = "topk6h_" + _h.md5(sf_dir.encode()).hexdigest()[:8]
+    counts = run_stream_on_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        agg6h,
+        query_name=qname,
+        output_mode="complete",
+    )
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("c"), "event_type")
+    )
+    return (
+        counts.withColumn("rank", rk)
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "event_type",
+            F.col("c").cast("long").alias("n_events"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
