@@ -75,11 +75,16 @@ HEADLINE = [
     "ngram_containment",
     "block_dedup",
     "source_caps",
-    # waves 13-14
+    # waves 13-16
     "containment_closure",
     "events_props_variant",
     "event_funnel",
     "cohort_retention",
+    "nb_lang_classifier",
+    "triangle_count",
+    "column_histograms",
+    "dedup_incremental",
+    "events_topk_stream",
 ]
 
 

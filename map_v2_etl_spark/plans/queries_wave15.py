@@ -71,21 +71,64 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains of borderline pairs don't, so this score separates "true dup
     group" from "drifting near-dup chain" before survivor selection.
 
-    Scale: the standard two-join triangle enumeration over id-ordered
-    edges; each join keys on a vertex id (shuffle-partitionable), and
-    ordering every triangle (x<y<z) counts it exactly once. Skewed hubs
-    are the known hazard — mitigations (degree-ordered orientation) keep
-    the same plan shape."""
+    Scale: DEGREE-ORDERED orientation (the compact-forward algorithm —
+    Latapy 2008, public literature): every edge points from its
+    lower-(degree, id) endpoint to the higher, wedges form only at each
+    edge's LOW-degree end, and a triangle is enumerated exactly once at
+    its lowest-ranked vertex. Wedge volume drops from Σ deg² to
+    Σ out-deg² — on skewed graphs that is the √(2m) out-degree bound;
+    on this near-CLIQUE dup graph it is the ~3x clique factor
+    (measured 11.3s → 7.0s at sf0.1, identical counts — dense cluster
+    graphs are the algorithm's worst case and the remaining cost is
+    genuine wedge volume). Both joins stay vertex-keyed equi-joins."""
+    from pyspark import StorageLevel
+
     from ..operators.dedup import simhash_pairs
 
     docs = load_table(spark, "documents", sf_dir)
     e = simhash_pairs(docs, max_hamming=3).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    # orient: lower (degree, id) -> higher; broadcast the vertex-degree
+    # table onto both endpoints (vertex-sized, not edge-sized)
+    da = deg.select(F.col("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("a").alias("b"), F.col("d").alias("db"))
+    keyed = (
+        e.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        # dst's (degree, id) rank rides along for the wedge ordering
+        F.when(a_first, F.struct("db", "b")).otherwise(
+            F.struct(F.col("da").alias("db"), F.col("a").alias("b"))
+        ).alias("dr"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    o1 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y"),
+        F.col("dr").alias("ry"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("z"),
+        F.col("dr").alias("rz"),
+    )
+    # wedge (y, z) ordered by rank so each pair forms once; close with
+    # the oriented edge low-rank -> high-rank
+    wedges = o1.join(o2, "x").filter(F.col("ry") < F.col("rz")).select(
+        "x", "y", "z"
+    )
+    closing = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"])
     pv = (
         tri.select(F.col("x").alias("v"))
         .unionAll(tri.select(F.col("y").alias("v")))
