@@ -1,0 +1,39 @@
+"""Driver-contract invariants of __spark_entry__."""
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as e
+
+
+def test_queries_rotation_puts_uncertified_first():
+    """The driver certifies a bounded prefix of queries(); every query a
+    past CORRECTNESS_r*.json already attests must sort after every
+    never-certified one so new cohorts surface each round."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(e.__file__)))
+    certified: set[str] = set()
+    for p in glob.glob(
+        os.path.join(os.path.dirname(os.path.abspath(e.__file__)),
+                     "CORRECTNESS_r*.json")
+    ):
+        certified |= set(json.load(open(p)))
+    names = list(e.queries())
+    assert len(names) == len(set(names))
+    seen_certified = False
+    for n in names:
+        if n in certified:
+            seen_certified = True
+        else:
+            assert not seen_certified, (
+                f"uncertified query {n!r} sorted after a certified one"
+            )
+
+
+def test_oracles_subset_of_queries():
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
