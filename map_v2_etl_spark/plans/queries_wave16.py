@@ -273,3 +273,68 @@ def q_events_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_stream — stateful streaming funnel, batch-equal on replay
+# ---------------------------------------------------------------------------
+
+from .queries_wave14 import _DUCK_FUNNEL as _DUCK_FUNNEL_STREAM
+
+
+@query(
+    "events_funnel_stream",
+    _DUCK_FUNNEL_STREAM,
+    tags=["streaming", "stateful", "funnel"],
+)
+def q_events_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered view→click→purchase funnel computed INCREMENTALLY by
+    a custom stateful streaming operator (applyInPandasWithState, one
+    state entry per user, order-robust recompute from the per-user
+    timestamp multiset — streaming/funnel.py). Replayed to completion
+    the final state per user equals the batch event_funnel query, so a
+    hand-written stateful operator gets a full value oracle. Users with
+    no funnel-relevant events never fire the state function and join in
+    as all-zero rows, exactly like the batch left join."""
+    import hashlib as _h
+
+    from pyspark.sql.window import Window as W
+
+    from ..streaming.funnel import running_funnel
+    from ..streaming.windows import run_stream_on_parquet
+
+    qname = "funnel_" + _h.md5(sf_dir.encode()).hexdigest()[:8]
+    out = run_stream_on_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        running_funnel,
+        query_name=qname,
+        output_mode="update",
+    )
+    latest = (
+        out.withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("n_seen"))
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .select("user_id", "reached_view", "reached_click",
+                "reached_purchase")
+    )
+    users = load_table(spark, "events", sf_dir).select("user_id").distinct()
+    return (
+        users.join(latest, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("reached_view", F.lit(0)).cast("int").alias(
+                "reached_view"
+            ),
+            F.coalesce("reached_click", F.lit(0)).cast("int").alias(
+                "reached_click"
+            ),
+            F.coalesce("reached_purchase", F.lit(0)).cast("int").alias(
+                "reached_purchase"
+            ),
+        )
+    )

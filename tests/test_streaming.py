@@ -151,3 +151,54 @@ def test_foreach_batch_upsert_incremental(spark, sf_dir, tmp_path):
     # multiple versions committed -> genuinely incremental
     import glob as g
     assert len(g.glob(str(tmp_path / "state" / "v*"))) >= 2
+
+
+def test_stateful_funnel_order_robust(spark, tmp_path):
+    """The stateful funnel must be correct even when micro-batches
+    arrive out of event-time order: a later batch delivering an EARLIER
+    view lowers the first-view anchor and changes which click counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_v2_etl_spark.streaming.funnel import running_funnel
+    from map_v2_etl_spark.streaming.windows import run_stream_on_parquet
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    cols = "event_id long, ts string, user_id long, event_type string"
+    # file 1 (first batch): late events — click at 02:00, purchase 03:00,
+    # view at 02:30 (between them)
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 02:00:00", 1, "click"),
+            (2, "2024-01-01 03:00:00", 1, "purchase"),
+            (3, "2024-01-01 02:30:00", 1, "view"),
+        ],
+        cols,
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    # file 2 (second batch): an EARLIER view arrives late — now the
+    # 02:00 click follows a view and the 03:00 purchase follows it
+    spark.createDataFrame(
+        [(4, "2024-01-01 01:00:00", 1, "view")], cols
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    out = run_stream_on_parquet(
+        spark, d, running_funnel,
+        query_name="funnel_order_test", output_mode="update",
+    )
+    rows = sorted(out.collect(), key=lambda r: r["n_seen"])
+    # interim state after batch 1: view at 02:30, but no click after it
+    # (some interleaving may deliver both files in one batch; only the
+    # FINAL state is contractual)
+    final = rows[-1]
+    assert final["n_seen"] == 4
+    assert (
+        final["reached_view"],
+        final["reached_click"],
+        final["reached_purchase"],
+    ) == (1, 1, 1)
