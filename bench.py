@@ -85,6 +85,7 @@ HEADLINE = [
     "column_histograms",
     "dedup_incremental",
     "events_topk_stream",
+    "events_funnel_stream",
 ]
 
 
