@@ -68,3 +68,28 @@ def test_tpch_q1_stays_in_codegen(spark, sf_dir):
 def test_join_chains_broadcast_their_dims(spark, sf_dir, name):
     plan = plan_of(name, spark, sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_never_nested_loop_over_doc_pairs(spark, sf_dir):
+    """Round-2 verdict item: the dense regime must not broadcast doc
+    vectors through a nested-loop join. The plan may contain broadcast
+    HASH joins (norms, vocab index) but no BNLJ / cartesian anywhere."""
+    plan = plan_of("tfidf_similar_pairs", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_and_closure_stay_equi_joins(spark, sf_dir):
+    for name in ("triangle_count", "containment_closure"):
+        plan = plan_of(name, spark, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_decontaminate_bloom_prunes_scan(spark, sf_dir):
+    """The bloom probe is map-side: the corpus side must not shuffle at
+    shingle granularity before the filter (no Exchange between the scan
+    and the bloom filter — the first exchange belongs to the survivor
+    aggregation)."""
+    plan = plan_of("decontaminate_bloom", spark, sf_dir)
+    assert "CartesianProduct" not in plan
