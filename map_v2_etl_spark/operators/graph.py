@@ -22,6 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+#: below these bounds the whole graph fits one task comfortably and the
+#: iterative-join machinery is pure overhead (each round = several
+#: near-empty 4-partition stages); the driver holds at most
+#: SMALL_GRAPH_EDGES index pairs (~32 MB) for the duration of the solve.
+SMALL_GRAPH_NODES = 200_000
+SMALL_GRAPH_EDGES = 2_000_000
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -30,6 +38,7 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
+    small_graph_nodes: int = SMALL_GRAPH_NODES,
 ) -> DataFrame:
     """(id, rank) after ``iters`` power iterations.
 
@@ -39,6 +48,14 @@ def pagerank(
     out-edges) is redistributed uniformly each round via a one-row
     broadcast aggregate, so total rank mass stays 1 (up to float) and
     the result matches the textbook power-iteration twin exactly.
+
+    Regime switch (the tfidf-dense pattern): graphs under
+    ``small_graph_nodes`` vertices AND SMALL_GRAPH_EDGES edges solve as
+    one vectorized NumPy power iteration on the driver — identical
+    arithmetic, bounded memory by the gates, and none of the ~0.5s/round
+    stage overhead the join loop pays on near-empty partitions (measured
+    ~5s of the 7s doc_pagerank at sf0.1). Big graphs take the
+    distributed join+agg loop below, which is the 100 TB path.
     """
     from pyspark import StorageLevel
 
@@ -47,6 +64,18 @@ def pagerank(
         return nodes.select(
             F.col(id_col).alias("id"), F.lit(0.0).alias("rank")
         )
+    if n_nodes <= small_graph_nodes:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        n_edges = edges.count()
+        if n_edges <= SMALL_GRAPH_EDGES:
+            try:
+                return _pagerank_local(
+                    nodes, edges, id_col, src_col, dst_col, damping,
+                    iters, n_nodes,
+                )
+            finally:
+                edges.unpersist()
+        # fall through distributed with edges already materialized
     teleport = (1.0 - damping) / n_nodes
 
     from .iteration import iteration_partitions
@@ -126,3 +155,52 @@ def pagerank(
     out.unpersist()
     verts.unpersist()
     return ranks.select("id", "rank")
+
+
+def _pagerank_local(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    damping: float,
+    iters: int,
+    n_nodes: int,
+) -> DataFrame:
+    """Single-task NumPy power iteration for gate-bounded graphs —
+    the same arithmetic as the distributed loop (teleport +
+    d*(inflow + dangling/n), contributions rank/out-degree), so the
+    textbook-twin parity tests hold on either path."""
+    import numpy as np
+
+    node_rows = nodes.select(F.col(id_col).alias("id")).collect()
+    ids = [r["id"] for r in node_rows]
+    idx = {v: i for i, v in enumerate(ids)}
+    e_rows = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("t")
+    ).collect()
+    pairs = [
+        (idx[r["s"]], idx[r["t"]])
+        for r in e_rows
+        if r["s"] in idx and r["t"] in idx  # match the join semantics
+    ]
+    n = n_nodes
+    s = np.array([p[0] for p in pairs], dtype=np.int64)
+    t = np.array([p[1] for p in pairs], dtype=np.int64)
+    deg = np.zeros(n)
+    if len(s):
+        np.add.at(deg, s, 1.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        if len(s):
+            np.add.at(inflow, t, r[s] / deg[s])
+        dm = float(r[deg == 0].sum())
+        r = (1.0 - damping) / n + damping * (inflow + dm / n)
+    spark = nodes.sparkSession
+    return spark.createDataFrame(
+        [(v, float(x)) for v, x in zip(ids, r)],
+        nodes.select(F.col(id_col).alias("id")).schema.add(
+            "rank", "double", False
+        ),
+    )

@@ -36,11 +36,17 @@ def _np_pagerank(n, edge_list, d=0.85, iters=10):
         ),
     ],
 )
-def test_pagerank_matches_numpy_twin(spark, edge_list, n):
+@pytest.mark.parametrize("small_gate", [0, 10**6])
+def test_pagerank_matches_numpy_twin(spark, edge_list, n, small_gate):
+    # small_gate=0 forces the distributed join loop; 10**6 the NumPy
+    # local path — both must match the textbook twin
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
     edges = spark.createDataFrame(edge_list, ["src", "dst"])
     got = {
-        r["id"]: r["rank"] for r in pagerank(nodes, edges, iters=10).collect()
+        r["id"]: r["rank"]
+        for r in pagerank(
+            nodes, edges, iters=10, small_graph_nodes=small_gate
+        ).collect()
     }
     want = _np_pagerank(n, edge_list)
     assert set(got) == set(range(n))
