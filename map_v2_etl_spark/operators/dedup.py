@@ -340,6 +340,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    small_graph_vertices: int = 200_000,
 ) -> DataFrame:
     """(id, cluster) — cluster = min vertex id reachable from id.
 
@@ -367,6 +368,18 @@ def connected_components(
     # pagerank discipline): a 5k-vertex label table over 32 partitions
     # pays rounds of near-empty-task scheduling for nothing
     n_vertices = vertices.count()  # bounded driver scalar
+    if n_vertices <= small_graph_vertices:
+        # gate-bounded fast path (the pagerank/tfidf regime switch):
+        # union-find on the driver in one edge pass — identical
+        # min-label components, none of the per-round stage overhead
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        if edges.count() <= 2_000_000:
+            try:
+                return _components_local(
+                    vertices, edges, id_col, src_col, dst_col
+                )
+            finally:
+                edges.unpersist()
     n_part = iteration_partitions(vertices.sparkSession, n_vertices)
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
@@ -413,6 +426,51 @@ def connected_components(
         labels = new_labels
     sym.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
+
+
+def _components_local(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Driver-side union-find for gate-bounded graphs: cluster = the
+    MINIMUM vertex id of each component — the same labels the iterative
+    min-label loop converges to (and the recursive-CTE oracle computes),
+    in one pass over the edge list."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    v_rows = vertices.select(F.col(id_col).alias("id")).collect()
+    for r in v_rows:
+        parent.setdefault(r["id"], r["id"])
+    for r in edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).collect():
+        # endpoints outside `vertices` still label (the iterative loop's
+        # union introduces them too)
+        parent.setdefault(r["a"], r["a"])
+        parent.setdefault(r["b"], r["b"])
+        a, b = find(r["a"]), find(r["b"])
+        if a != b:
+            # union by MIN id so every root is its component's minimum
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    out = [(i, find(i)) for i in parent]
+    return vertices.sparkSession.createDataFrame(
+        out,
+        vertices.select(F.col(id_col).alias("id")).schema.add(
+            "cluster", vertices.schema[id_col].dataType, True
+        ),
+    )
 
 
 def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:

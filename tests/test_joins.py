@@ -112,8 +112,14 @@ def test_cogroup_asof_matches_jvm_asof(spark, sf_dir):
     assert a == b
 
 
-def test_connected_components(spark):
-    """Chain, triangle, and singletons resolve to min-id clusters."""
+import pytest
+
+
+@pytest.mark.parametrize("small_gate", [0, 10**6])
+def test_connected_components(spark, small_gate):
+    """Chain, triangle, and singletons resolve to min-id clusters —
+    on BOTH the distributed min-label loop (small_gate=0) and the
+    gate-bounded union-find fast path."""
     from map_v2_etl_spark.operators.dedup import connected_components
 
     vertices = spark.createDataFrame([(i,) for i in range(1, 10)], ["id"])
@@ -123,7 +129,9 @@ def test_connected_components(spark):
     )
     got = {
         r.id: r.cluster
-        for r in connected_components(vertices, edges).collect()
+        for r in connected_components(
+            vertices, edges, small_graph_vertices=small_gate
+        ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
 
