@@ -449,17 +449,21 @@ def _components_local(
             parent[x], x = root, parent[x]
         return root
 
-    v_rows = vertices.select(F.col(id_col).alias("id")).collect()
-    for r in v_rows:
-        parent.setdefault(r["id"], r["id"])
-    for r in edges.select(
+    # Arrow toPandas, not collect(): columnar transfer of the
+    # gate-bounded edge list, then a plain python union-find loop over
+    # primitive values (itertuples avoids Row-object overhead)
+    for v in vertices.select(F.col(id_col).alias("id")).toPandas()["id"]:
+        v = v.item() if hasattr(v, "item") else v
+        parent.setdefault(v, v)
+    e_pdf = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).collect():
+    ).toPandas()
+    for ra, rb in zip(e_pdf["a"].tolist(), e_pdf["b"].tolist()):
         # endpoints outside `vertices` still label (the iterative loop's
         # union introduces them too)
-        parent.setdefault(r["a"], r["a"])
-        parent.setdefault(r["b"], r["b"])
-        a, b = find(r["a"]), find(r["b"])
+        parent.setdefault(ra, ra)
+        parent.setdefault(rb, rb)
+        a, b = find(ra), find(rb)
         if a != b:
             # union by MIN id so every root is its component's minimum
             lo, hi = (a, b) if a < b else (b, a)
@@ -682,29 +686,56 @@ def simhash_pairs(
     Pigeonhole banding: split 60 bits into max_hamming+1 chunks; any pair
     within distance k agrees exactly on >= 1 chunk, so candidates come from
     equi-joining on (chunk_idx, chunk_value) — never all-pairs. Verified
-    with bit_count(xor)."""
+    with bit_count(xor).
+
+    Two measured plan choices (dense planted-dup graph, 271k pairs from
+    5k docs at sf0.1):
+
+    * FIRST-AGREEING-BAND dedup instead of ``.distinct()``: a qualifying
+      pair agrees on up to n_chunks bands, so the naive band join emits it
+      up to 4x and a full-width distinct must shuffle the blown-up
+      candidate set. Requiring "no earlier chunk also agrees" (three
+      shift-and-compare exprs on the fingerprints already in the row)
+      emits each pair exactly once at its first agreeing band — the
+      dedup shuffle disappears entirely and stays codegen'd.
+    * lazy ``localCheckpoint`` on the chunk table: a self-join's two
+      aliases are separate subplans to Catalyst (no ReusedExchange across
+      the join), so the fingerprint fold would otherwise run twice; both
+      aliases of a checkpointed frame share ONE computed RDD. Also makes
+      every downstream double-reference (``pairs.union(reversed)`` in the
+      graph queries) free instead of a full pipeline re-run.
+    """
     from ..sources.registry import widen_partitions
 
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
     fp = simhash_df(widen_partitions(df), id_col, text_col)
     mask = (1 << chunk_bits) - 1
+
+    def chunk(col: Column, i: int) -> Column:
+        return F.shiftright(col, i * chunk_bits).bitwiseAND(F.lit(mask))
+
     chunks = fp.select(
         id_col,
         "fp",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(i).alias("ci"),
-                    F.shiftright(F.col("fp"), i * chunk_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("cv"),
+                    F.lit(i).alias("ci"), chunk(F.col("fp"), i).alias("cv")
                 )
                 for i in range(n_chunks)
             ])
         ).alias("ch"),
-    ).select(id_col, "fp", "ch.ci", "ch.cv")
+    ).select(id_col, "fp", "ch.ci", "ch.cv").localCheckpoint(eager=False)
     x, y = chunks.alias("x"), chunks.alias("y")
+    # pair emitted only at its FIRST agreeing chunk: for every j < ci the
+    # j-th chunks must differ (they're derivable from fp_a/fp_b in-row)
+    first_band = F.lit(True)
+    for j in range(n_chunks - 1):
+        first_band = first_band & (
+            (F.col("x.ci") <= j)
+            | (chunk(F.col("x.fp"), j) != chunk(F.col("y.fp"), j))
+        )
     return (
         x.join(
             y,
@@ -712,17 +743,13 @@ def simhash_pairs(
             & (F.col("x.cv") == F.col("y.cv"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
+        .filter(first_band)
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            F.col("x.fp").alias("fp_a"),
-            F.col("y.fp").alias("fp_b"),
-        )
-        .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))),
+            F.bit_count(
+                F.col("x.fp").bitwiseXOR(F.col("y.fp"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )

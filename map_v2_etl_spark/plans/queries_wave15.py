@@ -97,18 +97,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = e.count()
     if n_edges <= 2_000_000:
-        ids = [r["a"] for r in docs.select(
-            F.col("doc_id").alias("a")).collect()]
+        ids = docs.select(
+            F.col("doc_id").alias("a")).toPandas()["a"].tolist()
         if len(ids) <= 8000:
             import numpy as np
 
             idx = {v: i for i, v in enumerate(ids)}
             n = len(ids)
             A = np.zeros((n, n), dtype=np.float64)
-            for r in e.collect():
-                i, j = idx[r["a"]], idx[r["b"]]
-                A[i, j] = 1.0
-                A[j, i] = 1.0
+            # Arrow toPandas + fancy indexing: columnar transfer of the
+            # (≤2M-row) edge list beats row-object collect ~5x
+            e_pdf = e.toPandas()
+            ii = e_pdf["a"].map(idx).to_numpy(dtype=np.int64)
+            jj = e_pdf["b"].map(idx).to_numpy(dtype=np.int64)
+            A[ii, jj] = 1.0
+            A[jj, ii] = 1.0
             e.unpersist()
             tri = ((A @ A) * A).sum(axis=1) / 2.0
             rows = [
@@ -203,12 +206,44 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the declarative fixpoint (recursive CTE with UNION dedup — the
     construct Spark's UNION-ALL-only recursion cannot express, which is
     exactly why the iterative operator exists)."""
+    from pyspark import StorageLevel
+
     from ..operators.dedup import simhash_pairs
 
     docs = load_table(spark, "documents", sf_dir)
     e = simhash_pairs(docs, max_hamming=3).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # gate-bounded driver fast path (the pagerank/triangle/CC pattern):
+    # a ≤2M-edge graph BFSes in one Arrow transfer + a python deque walk;
+    # the iterative join loop below pays ~0.3s/round of near-empty-stage
+    # scheduling for the same result and remains the 100 TB path
+    if e.count() <= 2_000_000:
+        from collections import deque
+
+        e_pdf = e.toPandas()
+        e.unpersist()
+        adj: dict = {}
+        for a, b in zip(e_pdf["a"].tolist(), e_pdf["b"].tolist()):
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        if not adj:
+            return spark.createDataFrame([], "doc_id long, level long")
+        src0 = min(adj)
+        lvl = {src0: 0}
+        dq = deque([src0])
+        while dq:
+            u = dq.popleft()
+            if lvl[u] >= 20:
+                continue
+            for v in adj[u]:
+                if v not in lvl:
+                    lvl[v] = lvl[u] + 1
+                    dq.append(v)
+        return spark.createDataFrame(
+            [(int(k), int(v)) for k, v in lvl.items()],
+            "doc_id long, level long",
+        )
     sym = e.unionAll(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
@@ -231,6 +266,7 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         levels = levels.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     sym.unpersist()
+    e.unpersist()
     return levels
 
 
