@@ -1,0 +1,126 @@
+"""Wave-17: format roundtrips, partition pruning, training order,
+curriculum staging."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from map_v2_etl_spark.plans.registry import REGISTRY, all_queries
+
+all_queries()  # import side-effect: populate REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_orc_roundtrip_equals_source_agg(spark):
+    from map_v2_etl_spark.sources.registry import load_table
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["n"], r["sum_qty"], r["sum_price"]
+        )
+        for r in REGISTRY["orc_roundtrip"].fn(spark, SF).collect()
+    }
+    direct = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["n"], r["sum_qty"], r["sum_price"]
+        )
+        for r in load_table(spark, "lineitem", SF)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+            .cast("decimal(20,4)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
+            .cast("decimal(20,4)").alias("sum_price"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_json_roundtrip_preserves_doubles(spark):
+    from map_v2_etl_spark.sources.registry import load_table
+
+    got = {
+        r["o_orderpriority"]: (r["n"], r["sum_price"], r["min_key"])
+        for r in REGISTRY["json_roundtrip"].fn(spark, SF).collect()
+    }
+    src = load_table(spark, "orders", SF)
+    direct = {
+        r["o_orderpriority"]: (r["n"], r["sum_price"], r["min_key"])
+        for r in src.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+            .cast("decimal(20,4)").alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_partition_filter_reaches_the_scan(spark, tmp_path):
+    """The equality predicate on the partition column must resolve as a
+    PartitionFilter (directory pruning), not a post-scan row filter."""
+    from map_v2_etl_spark.plans.queries_wave17 import (
+        build_partitioned_events,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "ev_part")
+    day = build_partitioned_events(spark, SF, path)
+    pruned = read_pruned(spark, path, day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    head, _, _ = plan.partition("PushedFilters")
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "event_date" in pf
+    # row count matches a plain filter over the source
+    from map_v2_etl_spark.sources.registry import load_table
+
+    ev = load_table(spark, "events", SF)
+    expect = ev.filter(
+        F.date_format("ts", "yyyy-MM-dd") == day
+    ).count()
+    assert pruned.count() == expect > 0
+
+
+def test_training_order_matches_global_window(spark):
+    out = {
+        r["doc_id"]: r["ord"]
+        for r in REGISTRY["training_order"].fn(spark, SF).collect()
+    }
+    from map_v2_etl_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", SF).select("doc_id")
+    ref = {
+        r["doc_id"]: r["ord"]
+        for r in docs.select(
+            "doc_id",
+            F.row_number()
+            .over(
+                W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+            )
+            .cast("long")
+            .alias("ord"),
+        ).collect()
+    }
+    assert out == ref
+    # it is a permutation of 1..n
+    assert sorted(out.values()) == list(range(1, len(out) + 1))
+
+
+def test_curriculum_stages_partition_and_order(spark):
+    rows = {
+        r["stage"]: r
+        for r in REGISTRY["curriculum_stages"].fn(spark, SF).collect()
+    }
+    from map_v2_etl_spark.sources.registry import load_table
+
+    n_docs = load_table(spark, "documents", SF).count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    stages = sorted(rows)
+    # stages are ordered by length: each stage's max <= next stage's min
+    for a, b in zip(stages, stages[1:]):
+        assert rows[a]["max_tokens"] <= rows[b]["min_tokens"]
