@@ -86,6 +86,11 @@ HEADLINE = [
     "dedup_incremental",
     "events_topk_stream",
     "events_funnel_stream",
+    # wave 17
+    "orc_roundtrip",
+    "partition_pruned_scan",
+    "training_order",
+    "curriculum_stages",
 ]
 
 

@@ -1,0 +1,204 @@
+"""Wave-18 surface: ingestion resilience + change-data semantics
+(SURVEY.md §2.1 hardening, §2.11 pipeline operators).
+
+* corrupt_record_quarantine — PERMISSIVE JSON ingest that ROUTES bad
+  records instead of failing the job: malformed lines land in the
+  _corrupt side-channel column, good rows flow to the aggregate, and
+  the quarantine count is reported alongside. At 100 TB a single bad
+  crawl line must never kill an 8-hour job — and silently dropping it
+  (DROPMALFORMED) loses the signal that a source went bad.
+* schema_evolution_merge — two parquet batches written under ONE table
+  root with different schemas (a column added between crawl drops),
+  read back with mergeSchema: old rows surface NULL for the new column
+  and the aggregate treats them as an explicit 'unknown' bucket. The
+  schema-drift survival pattern for long-lived ingest directories.
+* cdc_apply — change-data-capture compaction: per key, the LAST event
+  (event-time order, id tiebreak) wins; keys whose last event is the
+  tombstone type disappear. One max_by aggregation — the upsert/delete
+  replay that turns an append-only event log into current state.
+
+All hash-checked against DuckDB (corruption and batch-split are keyed
+on o_orderkey, so the oracle reconstructs both sides exactly).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .registry import query
+
+DEC = "decimal(20,4)"
+
+
+def _eager(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------------
+# corrupt_record_quarantine
+# --------------------------------------------------------------------------
+
+_DUCK_QUARANTINE = (
+    "SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n, "
+    f"CAST(sum(CAST(o_totalprice AS {DEC})) AS {DEC}) AS sum_price "
+    "FROM orders WHERE o_orderkey % 50 <> 0 GROUP BY o_orderstatus "
+    "UNION ALL "
+    "SELECT '_corrupt', CAST(count(*) AS BIGINT), "
+    f"CAST(NULL AS {DEC}) FROM orders WHERE o_orderkey % 50 = 0"
+)
+
+
+@query(
+    "corrupt_record_quarantine",
+    _DUCK_QUARANTINE,
+    tags=["source", "json", "quarantine", "resilience"],
+)
+def q_corrupt_record_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Malformed-line quarantine on JSON ingest.
+
+    Every 50th order's JSON line is deterministically mangled before
+    hitting disk; the PERMISSIVE re-read routes those lines into the
+    _corrupt column (all data columns null) while clean rows parse.
+    Output: per-status aggregate over the clean side plus a '_corrupt'
+    bucket counting the quarantined lines — the job finishes AND the
+    breakage is measured."""
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    lines = od.select(
+        F.when(
+            F.col("o_orderkey") % 50 == 0,
+            F.concat(F.lit("{bad json "), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("o_orderkey", "o_orderstatus",
+                                      "o_totalprice")))
+        .alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="m2e_quar_")
+    try:
+        lines.write.mode("overwrite").text(path)
+        back = (
+            spark.read.schema(
+                "o_orderkey long, o_orderstatus string, "
+                "o_totalprice double, _corrupt string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(path)
+        )
+        # ONE conditional aggregate over one scan: Spark (correctly)
+        # refuses plans whose projection touches ONLY the corrupt
+        # column, and a cache-then-split costs a corpus-sized
+        # materialization; deriving the quarantine bucket inline
+        # reads the file once and needs no cache (corrupt rows carry
+        # NULL data columns, so their sum is NULL by construction)
+        return _eager(
+            back.select(
+                F.when(F.col("_corrupt").isNotNull(), F.lit("_corrupt"))
+                .otherwise(F.col("o_orderstatus"))
+                .alias("status"),
+                "o_totalprice",
+            )
+            .groupBy("status")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC)
+                .alias("sum_price"),
+            )
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# schema_evolution_merge
+# --------------------------------------------------------------------------
+
+_DUCK_EVOLVE = (
+    "SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority "
+    "ELSE 'unknown' END AS priority, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    f"CAST(sum(CAST(o_totalprice AS {DEC})) AS {DEC}) AS sum_price "
+    "FROM orders GROUP BY 1"
+)
+
+
+@query(
+    "schema_evolution_merge",
+    _DUCK_EVOLVE,
+    tags=["source", "parquet", "schema-evolution"],
+)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across batches under one table root: batch 1 (even
+    keys) predates the o_orderpriority column, batch 2 (odd keys)
+    carries it. mergeSchema unifies the footers at read time; old rows
+    get NULL for the new column, surfaced as an explicit 'unknown'
+    bucket — no rewrite of historical data, no failed read."""
+    od = load_table(spark, "orders", sf_dir)
+    path = tempfile.mkdtemp(prefix="m2e_evolve_")
+    try:
+        od.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+        od.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        return _eager(
+            back.groupBy(
+                F.coalesce("o_orderpriority", F.lit("unknown"))
+                .alias("priority")
+            ).agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC)
+                .alias("sum_price"),
+            )
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# cdc_apply
+# --------------------------------------------------------------------------
+
+_DUCK_CDC = """
+WITH last AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type AS last_type, value AS last_value
+FROM last WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query("cdc_apply", _DUCK_CDC, tags=["cdc", "upsert", "compaction"])
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay: compact an append-only event log into current state.
+    Per user, the latest event (event-time, id tiebreak) wins; users
+    whose latest event is the tombstone type ('error') are deleted.
+
+    One max_by hash aggregation — no window, no sort: the shuffle
+    carries one struct per (partition, user) after partial aggregation,
+    which is the minimum any per-key last-write-wins can move. The
+    oracle spells the same semantics as a ranking window."""
+    ev = load_table(spark, "events", sf_dir)
+    last = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_type", "value"), F.struct("ts", "event_id")
+        ).alias("s")
+    )
+    return last.filter(F.col("s.event_type") != "error").select(
+        "user_id",
+        F.col("s.event_type").alias("last_type"),
+        F.col("s.value").alias("last_value"),
+    )
