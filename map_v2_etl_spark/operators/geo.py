@@ -268,3 +268,114 @@ def simplify_geometry(tolerance: float):
         return geom.map(lambda g: simplify_py(g, tolerance))
 
     return _simplify
+
+
+# --------------------------------------------------------------------------
+# spatial join (points-in-polygon) — grid bucketing + exact ray-cast refine
+# --------------------------------------------------------------------------
+
+_BBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType(), True),
+        T.StructField("ymin", T.DoubleType(), True),
+        T.StructField("xmax", T.DoubleType(), True),
+        T.StructField("ymax", T.DoubleType(), True),
+    ]
+)
+
+
+@F.pandas_udf(_BBOX_SCHEMA)
+def geometry_bbox(geom: pd.Series) -> pd.DataFrame:
+    """Arrow-batched bounding box of a GeoJSON Polygon geometry."""
+    xs0, ys0, xs1, ys1 = [], [], [], []
+    for g in geom:
+        try:
+            rings = json.loads(g)["coordinates"]
+            pts = [p for ring in rings for p in ring]
+            xs0.append(min(p[0] for p in pts))
+            ys0.append(min(p[1] for p in pts))
+            xs1.append(max(p[0] for p in pts))
+            ys1.append(max(p[1] for p in pts))
+        except (ValueError, KeyError, TypeError):
+            xs0.append(None); ys0.append(None)
+            xs1.append(None); ys1.append(None)
+    return pd.DataFrame({"xmin": xs0, "ymin": ys0, "xmax": xs1, "ymax": ys1})
+
+
+@F.pandas_udf(T.BooleanType())
+def _point_in_polygon(xs: pd.Series, ys: pd.Series, geom: pd.Series) -> pd.Series:
+    """Arrow-batched even-odd ray cast of (x, y) against a GeoJSON
+    Polygon — the generic exact test (any simple polygon, holes
+    included), applied only to grid-candidate pairs."""
+    out = []
+    for x, y, g in zip(xs, ys, geom):
+        try:
+            out.append(_point_in_rings(x, y, json.loads(g)["coordinates"]))
+        except (ValueError, KeyError, TypeError):
+            out.append(False)
+    return pd.Series(out)
+
+
+def spatial_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    geom_col: str = "geometry",
+    cell_size: float = 4.0,
+) -> DataFrame:
+    """Points-in-polygon equi-join: every (point row, polygon row) pair
+    where the point lies strictly inside the polygon.
+
+    The standard two-phase spatial join (the PostGIS/Sedona shape,
+    composed from DataFrame ops):
+
+      1. GRID PHASE — polygons explode onto every ``cell_size`` grid
+         cell their bbox overlaps (a `sequence` cross, pure column
+         math); points hash to their single cell. The join is then a
+         plain equi-join on (cell_x, cell_y) — candidates are pairs
+         sharing a cell, never all-pairs, so shuffle volume is
+         |points| + |polygons| x cells-per-bbox, and skewed cells
+         split across AQE like any hot hash key.
+      2. REFINE PHASE — the Arrow-batched even-odd ray cast runs only
+         on candidate pairs (output-bounded, not corpus-bounded).
+
+    A polygon overlapping k cells meets a contained point exactly once
+    (the point lives in ONE cell), so no post-join distinct is needed.
+
+    Returns the point columns + polygon columns (minus the geometry and
+    helper columns)."""
+    cs = float(cell_size)
+    pts = points.withColumn(
+        "_cx", F.floor(F.col(x_col) / cs).cast("long")
+    ).withColumn("_cy", F.floor(F.col(y_col) / cs).cast("long"))
+    bb = geometry_bbox(F.col(geom_col))
+    polys = (
+        polygons.withColumn("_bb", bb)
+        .withColumn(
+            "_cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_bb.xmin") / cs).cast("long"),
+                    F.floor(F.col("_bb.xmax") / cs).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "_cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_bb.ymin") / cs).cast("long"),
+                    F.floor(F.col("_bb.ymax") / cs).cast("long"),
+                )
+            ),
+        )
+        .drop("_bb")
+    )
+    cand = pts.join(polys, ["_cx", "_cy"])
+    return (
+        cand.filter(
+            _point_in_polygon(F.col(x_col), F.col(y_col), F.col(geom_col))
+        )
+        .drop("_cx", "_cy", geom_col)
+    )

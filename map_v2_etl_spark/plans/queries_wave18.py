@@ -202,3 +202,62 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.event_type").alias("last_type"),
         F.col("s.value").alias("last_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# spatial_join_pip
+# --------------------------------------------------------------------------
+
+_DUCK_SPATIAL = """
+WITH p AS (
+  SELECT c_custkey, (c_custkey % 20) + 0.25 AS x,
+         ((c_custkey * 7) % 20) + 0.5 AS y
+  FROM customer),
+d AS (
+  SELECT n_nationkey, 4.0 * (n_nationkey % 5) + 2.0 AS cx,
+         4.0 * (n_nationkey // 5) + 2.0 AS cy
+  FROM nation)
+SELECT CAST(p.c_custkey AS BIGINT) AS c_custkey,
+       CAST(d.n_nationkey AS BIGINT) AS n_nationkey
+FROM p JOIN d ON abs(p.x - d.cx) + abs(p.y - d.cy) < 2.0
+"""
+
+
+@query("spatial_join_pip", _DUCK_SPATIAL, tags=["geo", "spatial-join"])
+def q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-in-polygon spatial join (operators/geo.spatial_join): grid
+    bucketing makes candidates an equi-join on cell keys, the generic
+    Arrow ray-cast refines them.
+
+    The polygons are DIAMONDS (rotated squares, radius 2): the engine
+    path treats them as arbitrary GeoJSON through the generic even-odd
+    ray cast, while the oracle can state exact containment
+    arithmetically (an L1 ball: |dx|+|dy| < r) — a full VALUE oracle
+    for a geometry operator, which axis-aligned boxes would trivialize
+    and irregular shapes would make SQL-inexpressible. Point
+    coordinates carry .25/.5 fractional offsets against integer
+    vertices, so no point ever lies exactly on a boundary and the
+    strict/non-strict distinction cannot flip a row."""
+    from ..operators.geo import spatial_join
+
+    cust = load_table(spark, "customer", sf_dir)
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 20) + 0.25).cast("double").alias("x"),
+        (((F.col("c_custkey") * 7) % 20) + 0.5).cast("double").alias("y"),
+    )
+    nat = load_table(spark, "nation", sf_dir)
+    cx = (4.0 * (F.col("n_nationkey") % 5) + 2.0).cast("double")
+    cy = (4.0 * F.expr("n_nationkey DIV 5") + 2.0).cast("double")
+    polys = nat.select(
+        "n_nationkey",
+        F.format_string(
+            '{"type":"Polygon","coordinates":[[[%.1f,%.1f],[%.1f,%.1f],'
+            '[%.1f,%.1f],[%.1f,%.1f],[%.1f,%.1f]]]}',
+            cx + 2.0, cy, cx, cy + 2.0, cx - 2.0, cy,
+            cx, cy - 2.0, cx + 2.0, cy,
+        ).alias("geometry"),
+    )
+    return spatial_join(pts, polys, cell_size=4.0).select(
+        "c_custkey", "n_nationkey"
+    )

@@ -58,3 +58,51 @@ def test_cdc_apply_matches_window_formulation(spark):
         r["user_id"] for r in ref_rows if r["event_type"] == "error"
     }
     assert tombstoned.isdisjoint(got)
+
+
+def test_spatial_join_matches_bruteforce(spark):
+    got = {
+        (r["c_custkey"], r["n_nationkey"])
+        for r in REGISTRY["spatial_join_pip"].fn(spark, SF).collect()
+    }
+    cust = load_table(spark, "customer", SF).select("c_custkey").collect()
+    nat = load_table(spark, "nation", SF).select("n_nationkey").collect()
+    expect = set()
+    for c in cust:
+        ck = c["c_custkey"]
+        x, y = (ck % 20) + 0.25, ((ck * 7) % 20) + 0.5
+        for n in nat:
+            nk = n["n_nationkey"]
+            cx, cy = 4.0 * (nk % 5) + 2.0, 4.0 * (nk // 5) + 2.0
+            if abs(x - cx) + abs(y - cy) < 2.0:
+                expect.add((ck, nk))
+    assert got == expect
+    assert expect  # non-degenerate at sf0.001
+
+
+def test_spatial_join_respects_holes(spark):
+    """A point inside the bbox AND the outer ring but inside a HOLE must
+    be rejected — proves the refine is a real even-odd ray cast, not a
+    bbox test."""
+    from map_v2_etl_spark.operators.geo import spatial_join
+
+    donut = (
+        '{"type":"Polygon","coordinates":['
+        "[[0,0],[10,0],[10,10],[0,10],[0,0]],"
+        "[[4,4],[6,4],[6,6],[4,6],[4,4]]]}"
+    )
+    polys = spark.createDataFrame([(1, donut)], ["pid", "geometry"])
+    pts = spark.createDataFrame(
+        [
+            (1, 5.0, 5.0),   # in the hole -> out
+            (2, 2.0, 2.0),   # in the ring -> in
+            (3, 11.0, 5.0),  # outside bbox -> out
+            (4, 4.5, 9.5),   # in ring, above hole -> in
+        ],
+        ["pt", "x", "y"],
+    )
+    got = {
+        r["pt"]
+        for r in spatial_join(pts, polys, cell_size=4.0).collect()
+    }
+    assert got == {2, 4}
