@@ -579,6 +579,19 @@ def pq_train(
         # codebooks; fall back to the full corpus rather than mistrain
         if sample.limit(ksub).count() >= ksub:
             corpus = sample
+    # driver fast path — and the production architecture: Faiss trains
+    # codebooks IN MEMORY on a bounded sample while encode/ADC stay
+    # distributed. When the training set fits the gate (~128 MB of
+    # doubles) one Arrow transfer + vectorized NumPy Lloyd replaces
+    # iters x (broadcast join + min_by + decimal-mean agg + collect)
+    # rounds of multi-stage jobs. Same init (ksub lowest-id slices),
+    # same tie rule (argmin -> lowest code), empty clusters keep their
+    # centroid; deterministic end to end (fixed row order via sort).
+    n_train = corpus.count()
+    if n_train and n_train * dim <= 16_000_000:
+        return _pq_train_local(
+            corpus, id_col, vec_col, m, ksub, iters, sublen
+        )
     unit = corpus.select(F.col(id_col), _unit(F.col(vec_col)).alias("uvec"))
     subs = unit.select(
         id_col,
@@ -655,6 +668,52 @@ def pq_train(
     finally:
         subs.unpersist()
     return books
+
+
+def _pq_train_local(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
+    iters: int,
+    sublen: int,
+) -> list[list[list[float]]]:
+    """Gate-bounded NumPy Lloyd over the (already sampled) training set —
+    the Faiss in-memory training step. Row order is pinned by an id sort
+    so float reductions are run-to-run identical (the determinism the
+    distributed twin gets from decimal means)."""
+    import numpy as np
+
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col, kind="mergesort")
+    )
+    V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    norms = np.sqrt((V * V).sum(axis=1))
+    norms[norms == 0] = 1.0  # zero vector stays zeros (matches _unit)
+    U = V / norms[:, None]
+    books = [
+        U[:ksub, s * sublen : (s + 1) * sublen].copy() for s in range(m)
+    ]
+    for _ in range(iters):
+        for s in range(m):
+            X = U[:, s * sublen : (s + 1) * sublen]
+            C = books[s]
+            # ||x-c||^2 = x2 + c2 - 2 x.c  (gemm form; ties -> argmin
+            # returns the LOWEST code, matching min_by struct(d, code))
+            d = (
+                (X * X).sum(axis=1)[:, None]
+                + (C * C).sum(axis=1)[None, :]
+                - 2.0 * (X @ C.T)
+            )
+            a = d.argmin(axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():  # empty cluster keeps the old centroid
+                    books[s][c] = X[mask].mean(axis=0)
+    return [[[float(x) for x in cent] for cent in b] for b in books]
 
 
 def pq_encode(
