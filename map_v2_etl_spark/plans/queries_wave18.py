@@ -261,3 +261,75 @@ def q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join(pts, polys, cell_size=4.0).select(
         "c_custkey", "n_nationkey"
     )
+
+
+# --------------------------------------------------------------------------
+# grouped_linregress
+# --------------------------------------------------------------------------
+
+_DUCK_LINREG = """
+WITH b AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+              AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders),
+s AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY o_orderpriority)
+SELECT o_orderpriority, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents,
+       (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept_cents
+FROM s
+"""
+
+
+@query(
+    "grouped_linregress",
+    _DUCK_LINREG,
+    tags=["agg", "regression", "model-fit"],
+)
+def q_grouped_linregress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (price-in-cents vs order day): slope and
+    intercept from the five sufficient statistics, each an INTEGER-exact
+    sum — the stats_agg discipline. Built-in regr_slope/regr_intercept
+    use Welford-style streaming updates whose float results are
+    partition-order dependent; closed-form over exact integer sums makes
+    the doubles bit-identical across engines AND across partitionings.
+    One hash aggregation per group — the grouped-model-fit shape
+    (per-domain trend, per-source drift) a curation pipeline monitors."""
+    od = load_table(spark, "orders", sf_dir)
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    y = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    b = od.select("o_orderpriority", x.alias("x"), y.alias("y"))
+    s = b.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, sxyd = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        "o_orderpriority",
+        "n",
+        slope.alias("slope_cents"),
+        ((syd - slope * sxd) / nd).alias("intercept_cents"),
+    )
