@@ -333,3 +333,74 @@ def q_grouped_linregress(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents"),
         ((syd - slope * sxd) / nd).alias("intercept_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_late_audit
+# --------------------------------------------------------------------------
+
+_DUCK_LATE = """
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (
+           ORDER BY event_id
+                    + (CASE WHEN event_id % 50 = 0 THEN 200 ELSE 0 END),
+                    event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL 10 MINUTE AS wm
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY event_type
+"""
+
+
+@query(
+    "events_late_audit",
+    _DUCK_LATE,
+    tags=["streaming", "watermark", "late-data", "observability"],
+)
+def q_events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data audit: how many events would a 10-minute
+    watermark DROP, per type, if the log replayed in arrival order
+    (event_id)?
+
+    The watermark at each row's arrival is max(event time seen so far)
+    minus the delay — exactly Structured Streaming's global watermark,
+    here as an arrival-ordered running max so the count is a checkable
+    VALUE, not a streaming side effect. This is the sizing query you
+    run BEFORE picking `withWatermark`: sweep the delay, read the drop
+    rate.
+
+    Scale note: the running max is a global arrival-order window — on a
+    cluster the arrival order is per-partition (source offsets), so
+    this audit runs per input partition (add the partition id to the
+    PARTITION BY) and the oracle form here is the single-source case."""
+    ev = load_table(spark, "events", sf_dir)
+    from pyspark.sql.window import Window as W
+
+    # arrival order: mostly in-order with deterministic stragglers
+    # (every 50th event arrives 200 positions late — the multi-source
+    # merge pattern that actually produces late data)
+    arrival = F.col("event_id") + F.when(
+        F.col("event_id") % 50 == 0, F.lit(200)
+    ).otherwise(F.lit(0))
+    wm = (
+        F.max("ts").over(
+            W.orderBy(arrival, "event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        - F.expr("INTERVAL 10 MINUTES")
+    )
+    flagged = ev.select(
+        "event_type",
+        "ts",
+        wm.alias("wm"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("ts") < F.col("wm"), 1).otherwise(0)
+        ).cast("long").alias("n_late"),
+    )
