@@ -451,9 +451,11 @@ def _components_local(
 
     # Arrow toPandas, not collect(): columnar transfer of the
     # gate-bounded edge list, then a plain python union-find loop over
-    # primitive values (itertuples avoids Row-object overhead)
-    for v in vertices.select(F.col(id_col).alias("id")).toPandas()["id"]:
-        v = v.item() if hasattr(v, "item") else v
+    # primitive values (.tolist() converts the whole column to python
+    # scalars in one C pass — no per-Row deserialization)
+    for v in vertices.select(F.col(id_col).alias("id")).toPandas()[
+        "id"
+    ].tolist():
         parent.setdefault(v, v)
     e_pdf = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")

@@ -586,9 +586,17 @@ def pq_train(
     # iters x (broadcast join + min_by + decimal-mean agg + collect)
     # rounds of multi-stage jobs. Same init (ksub lowest-id slices),
     # same tie rule (argmin -> lowest code), empty clusters keep their
-    # centroid; deterministic end to end (fixed row order via sort).
-    n_train = corpus.count()
-    if n_train and n_train * dim <= 16_000_000:
+    # centroid; deterministic run-to-run (fixed row order via sort).
+    # Books agree with the distributed twin to float noise (measured
+    # <= 3e-13 per component — np.float64 means vs the twin's
+    # decimal(27,12)-quantized means), the same regime-boundary
+    # contract as the tfidf dense/sparse switch.
+    # Gate probe is a LIMIT-bounded count (short-circuits after
+    # gate_rows+1 rows) — the distributed path must not pay a full
+    # extra corpus scan just to learn it is big.
+    gate_rows = 16_000_000 // max(dim, 1)
+    n_probe = corpus.limit(gate_rows + 1).count()
+    if 0 < n_probe <= gate_rows:
         return _pq_train_local(
             corpus, id_col, vec_col, m, ksub, iters, sublen
         )

@@ -228,7 +228,12 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             adj.setdefault(a, []).append(b)
             adj.setdefault(b, []).append(a)
         if not adj:
-            return spark.createDataFrame([], "doc_id long, level long")
+            # edgeless graph: mirror the iterative path (and the
+            # recursive-CTE oracle), whose min() over the empty edge
+            # set yields one (NULL, 0) seed row
+            return spark.createDataFrame(
+                [(None, 0)], "doc_id long, level long"
+            )
         src0 = min(adj)
         lvl = {src0: 0}
         dq = deque([src0])

@@ -171,11 +171,20 @@ def read_pruned(spark: SparkSession, path: str, day: str) -> DataFrame:
     the scan lists exactly one directory regardless of table size."""
     # keep partition values as strings: inference would type
     # '2024-01-01' as DATE and the pruning literal would need the same
-    # coercion on every engine version — strings compare bit-stably
-    spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-    )
-    return spark.read.parquet(path).filter(F.col("event_date") == day)
+    # coercion on every engine version — strings compare bit-stably.
+    # The conf is restored afterwards (partition schema resolves eagerly
+    # at read time, so the flip need not outlive this call).
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return df.filter(F.col("event_date") == day)
 
 
 @query(

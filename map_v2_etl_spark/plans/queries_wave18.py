@@ -31,13 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
+from .queries_wave17 import _eager  # shared materialize-before-rmtree helper
 from .registry import query
 
 DEC = "decimal(20,4)"
-
-
-def _eager(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
 
 
 # --------------------------------------------------------------------------

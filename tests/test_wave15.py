@@ -56,3 +56,26 @@ def test_null_safety_try_divide_no_error(spark):
             assert r["nvl_line"] == -1
             assert r["nvl2_line"] == 20
             assert r["is_line1"] is True
+
+
+def test_bfs_fast_path_edgeless_matches_oracle_shape(spark, tmp_path):
+    """An edgeless corpus must yield the iterative path's (NULL, 0) seed
+    row, not an empty frame (fast-path parity, code-review regression)."""
+    import os
+
+    import map_v2_etl_spark.plans.queries_wave15 as w15
+
+    d = str(tmp_path)
+    # three wildly different docs -> no simhash pair within hamming 3
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s", 30),
+            (2, "one two three four five six seven", "en", "s", 30),
+            (3, "red green blue yellow purple orange", "en", "s", 30),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = w15.q_bfs_levels(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] is None and rows[0]["level"] == 0
