@@ -401,3 +401,66 @@ def q_events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ts") < F.col("wm"), 1).otherwise(0)
         ).cast("long").alias("n_late"),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental_agg_merge
+# --------------------------------------------------------------------------
+
+_DUCK_INCR = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS {DEC})) AS {DEC}) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "incremental_agg_merge",
+    _DUCK_INCR,
+    tags=["agg", "incremental", "view-maintenance"],
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the stored daily rollup plus a
+    new-batch delta merge into the post-ingest rollup — WITHOUT
+    rescanning the base.
+
+    Base (event_id % 10 != 0) stands in for the materialized rollup a
+    nightly job maintains; the increment (event_id % 10 == 0) is the
+    new arrival batch. Both sides aggregate independently (count and
+    decimal sum are self-decomposable — the partial IS the merge
+    state), then a full-outer join + coalesced addition produces the
+    refreshed rollup. At 100 TB the base side is a stored table of
+    |days x types| rows, so the daily maintenance cost is the
+    increment scan plus a rollup-sized merge — never a base rescan.
+    The oracle recomputes from scratch: merge-equals-recompute is the
+    defining invariant of a self-maintainable aggregate."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("sum_value"),
+        )
+
+    base = rollup(ev.filter(F.col("event_id") % 10 != 0))
+    delta = rollup(ev.filter(F.col("event_id") % 10 == 0))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, ["day", "event_type"], "full_outer")
+    return merged.select(
+        "day",
+        "event_type",
+        (
+            F.coalesce(F.col("b.n"), F.lit(0))
+            + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(F.col("b.sum_value"), F.lit(0).cast(DEC))
+            + F.coalesce(F.col("d.sum_value"), F.lit(0).cast(DEC))
+        ).cast(DEC).alias("sum_value"),
+    )

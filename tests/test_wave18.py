@@ -106,3 +106,24 @@ def test_spatial_join_respects_holes(spark):
         for r in spatial_join(pts, polys, cell_size=4.0).collect()
     }
     assert got == {2, 4}
+
+
+def test_incremental_merge_equals_recompute(spark):
+    got = {
+        (r["day"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in REGISTRY["incremental_agg_merge"].fn(spark, SF).collect()
+    }
+    ev = load_table(spark, "events", SF)
+    full = {
+        (r["day"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,4)"))
+            .cast("decimal(20,4)").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == full
