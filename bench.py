@@ -91,6 +91,12 @@ HEADLINE = [
     "partition_pruned_scan",
     "training_order",
     "curriculum_stages",
+    # wave 18
+    "corrupt_record_quarantine",
+    "cdc_apply",
+    "spatial_join_pip",
+    "events_late_audit",
+    "incremental_agg_merge",
 ]
 
 

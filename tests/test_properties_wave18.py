@@ -168,3 +168,59 @@ def test_cdc_apply_equals_python_replay(evs):
         if t != "error":
             expect[u] = (t, float(eid))
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# incremental merge == recompute on arbitrary splits
+# --------------------------------------------------------------------------
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # day bucket
+            st.sampled_from(["a", "b"]),                    # type
+            st.integers(min_value=-10**6, max_value=10**6),  # cents
+            st.booleans(),                                  # in delta?
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_incremental_merge_equals_recompute_random(vals):
+    rows = [
+        (d, t, c / 100.0, is_delta) for d, t, c, is_delta in vals
+    ]
+    df = _spark.createDataFrame(
+        rows, "day int, typ string, value double, is_delta boolean"
+    )
+
+    def rollup(x):
+        return x.groupBy("day", "typ").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,4)"))
+            .cast("decimal(20,4)").alias("s"),
+        )
+
+    b = rollup(df.filter(~F.col("is_delta"))).alias("b")
+    d = rollup(df.filter(F.col("is_delta"))).alias("d")
+    merged = {
+        (r["day"], r["typ"]): (r["n"], r["s"])
+        for r in b.join(d, ["day", "typ"], "full_outer")
+        .select(
+            "day", "typ",
+            (F.coalesce(F.col("b.n"), F.lit(0))
+             + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+            (F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(20,4)"))
+             + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(20,4)")))
+            .cast("decimal(20,4)").alias("s"),
+        )
+        .collect()
+    }
+    full = {
+        (r["day"], r["typ"]): (r["n"], r["s"])
+        for r in rollup(df).collect()
+    }
+    assert merged == full
