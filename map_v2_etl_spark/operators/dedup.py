@@ -700,18 +700,36 @@ def simhash_pairs(
       shift-and-compare exprs on the fingerprints already in the row)
       emits each pair exactly once at its first agreeing band — the
       dedup shuffle disappears entirely and stays codegen'd.
-    * lazy ``localCheckpoint`` on the chunk table: a self-join's two
-      aliases are separate subplans to Catalyst (no ReusedExchange across
-      the join), so the fingerprint fold would otherwise run twice; both
-      aliases of a checkpointed frame share ONE computed RDD. Also makes
-      every downstream double-reference (``pairs.union(reversed)`` in the
-      graph queries) free instead of a full pipeline re-run.
+    * ``persist`` on the chunk table: a self-join's two aliases are
+      separate subplans to Catalyst (no ReusedExchange across the
+      join), so the fingerprint fold would otherwise run twice; both
+      aliases of a persisted frame share ONE InMemoryRelation. Also
+      makes every downstream double-reference (``pairs.union(reversed)``
+      in the graph queries) one computation instead of a full pipeline
+      re-run. persist, NOT localCheckpoint: cached blocks keep their
+      lineage, so an executor loss recomputes instead of failing with a
+      missing non-replicated checkpoint block, and ``clearCache``
+      releases them between queries.
+
+    Input ids are document keys and assumed unique; an exact re-ingest
+    (duplicate id rows) collapses at the fingerprint aggregate below, so
+    it cannot inflate pair multiplicity.
     """
+    from pyspark import StorageLevel
+
     from ..sources.registry import widen_partitions
 
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
-    fp = simhash_df(widen_partitions(df), id_col, text_col)
+    # one row per id even if the source carries duplicate rows (exact
+    # re-ingest): deterministic max-collapse on the vertex-sized (id, fp)
+    # table — without it a duplicated id row would emit each of its
+    # pairs 4x (the old full-width distinct used to hide this)
+    fp = (
+        simhash_df(widen_partitions(df), id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.max("fp").alias("fp"))
+    )
     mask = (1 << chunk_bits) - 1
 
     def chunk(col: Column, i: int) -> Column:
@@ -728,7 +746,9 @@ def simhash_pairs(
                 for i in range(n_chunks)
             ])
         ).alias("ch"),
-    ).select(id_col, "fp", "ch.ci", "ch.cv").localCheckpoint(eager=False)
+    ).select(id_col, "fp", "ch.ci", "ch.cv").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     x, y = chunks.alias("x"), chunks.alias("y")
     # pair emitted only at its FIRST agreeing chunk: for every j < ci the
     # j-th chunks must differ (they're derivable from fp_a/fp_b in-row)

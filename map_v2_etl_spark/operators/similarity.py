@@ -596,7 +596,14 @@ def pq_train(
     # extra corpus scan just to learn it is big.
     gate_rows = 16_000_000 // max(dim, 1)
     n_probe = corpus.limit(gate_rows + 1).count()
-    if 0 < n_probe <= gate_rows:
+    if n_probe < ksub:
+        # fail LOUDLY on a training set that cannot fill the codebooks —
+        # silently returning < ksub codewords would mistrain (and the
+        # distributed loop would crash with an opaque IndexError)
+        raise ValueError(
+            f"PQ training set has {n_probe} vectors < ksub={ksub}"
+        )
+    if n_probe <= gate_rows:
         return _pq_train_local(
             corpus, id_col, vec_col, m, ksub, iters, sublen
         )

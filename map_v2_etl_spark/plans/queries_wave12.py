@@ -318,13 +318,9 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap = [0] * (_BLOOM_BITS // 64)
     for r in bitmap_rows:
         bitmap[r["word"]] = r["bits"]
-    # ONE parsed SQL string, not F.array(*[F.lit(x) for ...]): building
-    # the 2048-element literal column-by-column costs ~4s of py4j round
-    # trips on the driver; the parser ingests the same array in ~ms and
-    # Catalyst constant-folds it identically
-    blit = F.expr(
-        "array(" + ",".join(f"{x}L" for x in bitmap) + ")"
-    )
+    from ..functions.scalars import long_array_lit
+
+    blit = long_array_lit(bitmap)
     # probe phase: every hashed bit must be set (k-way AND, codegen'd)
     corpus = sh.filter(F.col("doc_id") % 10 != 0).withColumn("_bm", blit)
     all_bits = None

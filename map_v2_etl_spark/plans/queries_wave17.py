@@ -153,6 +153,25 @@ _DUCK_PRUNE = (
 )
 
 
+def _read_string_partitions(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned table keeping partition values as STRINGS:
+    inference would type '2024-01-01' as DATE and every comparison
+    literal would need the same coercion on every engine version —
+    strings compare bit-stably. The conf is restored afterwards
+    (partition schema resolves eagerly at read time, so the flip need
+    not outlive this call)."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def build_partitioned_events(
     spark: SparkSession, sf_dir: str, path: str
 ) -> str:
@@ -162,29 +181,25 @@ def build_partitioned_events(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
     ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
-    return ev.agg(F.min("event_date")).collect()[0][0]
+    # min over ONLY the partition column of the just-written table: the
+    # partition values come from the directory listing (Spark's
+    # metadata-only optimization), not a second corpus-sized scan of
+    # the source
+    return (
+        _read_string_partitions(spark, path)
+        .select("event_date")
+        .agg(F.min("event_date"))
+        .collect()[0][0]
+    )
 
 
 def read_pruned(spark: SparkSession, path: str, day: str) -> DataFrame:
     """One-partition read: the equality filter on the partition column
     resolves at PLANNING time (PartitionFilters, asserted in tests) —
     the scan lists exactly one directory regardless of table size."""
-    # keep partition values as strings: inference would type
-    # '2024-01-01' as DATE and the pruning literal would need the same
-    # coercion on every engine version — strings compare bit-stably.
-    # The conf is restored afterwards (partition schema resolves eagerly
-    # at read time, so the flip need not outlive this call).
-    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "false")
-    try:
-        df = spark.read.parquet(path)
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
-    return df.filter(F.col("event_date") == day)
+    return _read_string_partitions(spark, path).filter(
+        F.col("event_date") == day
+    )
 
 
 @query(
@@ -253,7 +268,9 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc += counts.get(b, 0)
     # one parsed literal array (the bloom-bitmap lesson: element-wise
     # F.lit costs a py4j round trip per element)
-    offs_lit = F.expr("array(" + ",".join(f"{x}L" for x in offs) + ")")
+    from ..functions.scalars import long_array_lit
+
+    offs_lit = long_array_lit(offs)
     w = W.partitionBy("bucket").orderBy("h", "doc_id")
     return keyed.select(
         "doc_id",

@@ -276,20 +276,19 @@ s AS (
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
          CAST(sum(x * x) AS BIGINT) AS sxx,
          CAST(sum(x * y) AS BIGINT) AS sxy
-  FROM b GROUP BY o_orderpriority)
+  FROM b GROUP BY o_orderpriority),
+d AS (
+  SELECT *, CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+            CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+  FROM s)
 SELECT o_orderpriority, n,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents,
-       (CAST(sy AS DOUBLE)
-          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-            * CAST(sx AS DOUBLE))
-       / CAST(n AS DOUBLE) AS intercept_cents
-FROM s
+       CASE WHEN den = 0 THEN NULL ELSE num / den END AS slope_cents,
+       CASE WHEN den = 0 THEN NULL
+            ELSE (CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END AS intercept_cents
+FROM d
 """
 
 
@@ -323,12 +322,17 @@ def q_grouped_linregress(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxxd, sxyd = F.col("sxx").cast("double"), F.col("sxy").cast("double")
-    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    den = nd * sxxd - sxd * sxd
+    # degenerate group (single order, or every order on one day):
+    # den = 0 and the fit is undefined — NULL, not a 0/0 NaN whose
+    # NaN != NaN poisons any downstream comparison or hash
+    slope = F.when(den != 0, (nd * sxyd - sxd * syd) / den)
     return s.select(
         "o_orderpriority",
         "n",
         slope.alias("slope_cents"),
-        ((syd - slope * sxd) / nd).alias("intercept_cents"),
+        F.when(den != 0, (syd - slope * sxd) / nd)
+        .alias("intercept_cents"),
     )
 
 
@@ -452,6 +456,17 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = rollup(ev.filter(F.col("event_id") % 10 == 0))
     b, d = base.alias("b"), delta.alias("d")
     merged = b.join(d, ["day", "event_type"], "full_outer")
+    # SQL SUM over a group whose values are all NULL is NULL, and the
+    # merge must preserve that (merge == recompute): add only when both
+    # sides' sums are non-null; a present-but-NULL side contributes
+    # nothing, and two NULL sums stay NULL (a coalesce-to-0 fold would
+    # turn an all-NULL group into 0.0000 and break the invariant)
+    bs, ds = F.col("b.sum_value"), F.col("d.sum_value")
+    sum_merged = (
+        F.when(bs.isNull(), ds)
+        .when(ds.isNull(), bs)
+        .otherwise(bs + ds)
+    )
     return merged.select(
         "day",
         "event_type",
@@ -459,8 +474,5 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("b.n"), F.lit(0))
             + F.coalesce(F.col("d.n"), F.lit(0))
         ).alias("n"),
-        (
-            F.coalesce(F.col("b.sum_value"), F.lit(0).cast(DEC))
-            + F.coalesce(F.col("d.sum_value"), F.lit(0).cast(DEC))
-        ).cast(DEC).alias("sum_value"),
+        sum_merged.cast(DEC).alias("sum_value"),
     )

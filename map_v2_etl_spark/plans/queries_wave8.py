@@ -174,12 +174,14 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     # banded-candidate equi-join (pigeonhole chunks), never all-pairs —
     # the same scale path the simhash_pairs registry query uses
-    # lazy checkpoint: the union below references `pairs` twice; a
-    # checkpointed frame computes the banded join ONCE and both union
-    # branches read the cached RDD (without it the join runs 2x)
+    # persist: the union below references `pairs` twice; a cached frame
+    # computes the banded join ONCE and both union branches read the
+    # InMemoryRelation (lineage kept — recoverable, clearCache-able)
+    from pyspark import StorageLevel
+
     pairs = simhash_pairs(docs, max_hamming=3).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -63,3 +63,26 @@ def test_simhash_pairs_match_bruteforce(spark, sf_dir):
     }
     banded = pairs_set(D.simhash_pairs(docs, max_hamming=3))
     assert banded == brute  # pigeonhole banding guarantees exact recall
+
+
+def test_simhash_pairs_collapses_duplicate_id_rows(spark):
+    """An exact re-ingest (same id, same text appearing twice) must not
+    inflate pair multiplicity (code-review regression: the first-band
+    filter alone dedups across bands, not across duplicate input rows)."""
+    from map_v2_etl_spark.operators.dedup import simhash_pairs
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    dup = base + [base[0]]  # id 1 ingested twice
+    a = sorted(
+        map(tuple, simhash_pairs(
+            spark.createDataFrame(base, ["doc_id", "text"])).collect())
+    )
+    b = sorted(
+        map(tuple, simhash_pairs(
+            spark.createDataFrame(dup, ["doc_id", "text"])).collect())
+    )
+    assert a == b
+    assert len(b) == len({(x[0], x[1]) for x in b})  # no duplicate pairs

@@ -183,7 +183,10 @@ def test_cdc_apply_equals_python_replay(evs):
         st.tuples(
             st.integers(min_value=0, max_value=3),          # day bucket
             st.sampled_from(["a", "b"]),                    # type
-            st.integers(min_value=-10**6, max_value=10**6),  # cents
+            st.one_of(                                      # cents or NULL
+                st.none(),
+                st.integers(min_value=-10**6, max_value=10**6),
+            ),
             st.booleans(),                                  # in delta?
         ),
         min_size=1, max_size=40,
@@ -191,7 +194,8 @@ def test_cdc_apply_equals_python_replay(evs):
 )
 def test_incremental_merge_equals_recompute_random(vals):
     rows = [
-        (d, t, c / 100.0, is_delta) for d, t, c, is_delta in vals
+        (d, t, None if c is None else c / 100.0, is_delta)
+        for d, t, c, is_delta in vals
     ]
     df = _spark.createDataFrame(
         rows, "day int, typ string, value double, is_delta boolean"
@@ -206,6 +210,12 @@ def test_incremental_merge_equals_recompute_random(vals):
 
     b = rollup(df.filter(~F.col("is_delta"))).alias("b")
     d = rollup(df.filter(F.col("is_delta"))).alias("d")
+    bs, ds = F.col("b.s"), F.col("d.s")
+    # the query's null-preserving merge: SUM of an all-NULL group is
+    # NULL, and merge must reproduce that (not coalesce it to 0)
+    s_merged = (
+        F.when(bs.isNull(), ds).when(ds.isNull(), bs).otherwise(bs + ds)
+    )
     merged = {
         (r["day"], r["typ"]): (r["n"], r["s"])
         for r in b.join(d, ["day", "typ"], "full_outer")
@@ -213,9 +223,7 @@ def test_incremental_merge_equals_recompute_random(vals):
             "day", "typ",
             (F.coalesce(F.col("b.n"), F.lit(0))
              + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
-            (F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(20,4)"))
-             + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(20,4)")))
-            .cast("decimal(20,4)").alias("s"),
+            s_merged.cast("decimal(20,4)").alias("s"),
         )
         .collect()
     }
