@@ -476,3 +476,56 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n"),
         sum_merged.cast(DEC).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# binary_file_source
+# --------------------------------------------------------------------------
+
+_DUCK_BINFILES = """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+@query(
+    "binary_file_source",
+    _DUCK_BINFILES,
+    tags=["source", "binary", "multimodal"],
+)
+def q_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingest through Spark's built-in ``binaryFile`` source —
+    the path multimedia corpora actually arrive by (a directory of
+    image/audio blobs), before any decode. Every 20th document's UTF-8
+    bytes are written as one file named by its id; the binaryFile read
+    returns (path, modificationTime, length, content) and the query
+    reduces content to length + md5, keyed by the id parsed back out of
+    the filename — the (id, bytes, metadata) normalization step that
+    fronts the multimodal decode operators.
+
+    Scale: binaryFile is a standard FileScan (distributed listing,
+    per-file tasks, maxPartitionBytes batching); content stays in
+    executor memory per-file, never on the driver. The oracle recomputes
+    length/md5 from the source text — certifying the bytes survived the
+    filesystem round trip exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    sel = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="m2e_bin_")
+    try:
+        for r in sel.collect():  # bounded: |docs|/20 small files
+            with open(
+                os.path.join(path, f"{r['doc_id']}.bin"), "wb"
+            ) as fh:
+                fh.write(r["text"].encode("utf-8"))
+        back = spark.read.format("binaryFile").load(path)
+        out = back.select(
+            F.regexp_extract(
+                F.col("path"), r"(\d+)\.bin$", 1
+            ).cast("long").alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        return _eager(out)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
