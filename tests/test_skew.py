@@ -55,3 +55,47 @@ def test_group_zscore_edges(spark):
     assert ("a", 1, -1.0) in got and ("a", 3, 1.0) in got
     assert ("b", 7, 0.0) in got          # singleton group -> 0
     assert ("c", 5, 0.0) in got          # zero-variance group -> 0
+
+
+def test_aqe_skew_join_activates(spark):
+    """Scale-evidence contract: the session's AQE skew-join handling is
+    not just configured — it demonstrably SPLITS a skewed partition.
+    A 90%-hot-key fact joined to a dim (broadcast disabled, thresholds
+    lowered to test scale) must show `skew=true` in the FINAL adaptive
+    plan; at 100 TB this is what prevents one straggler reducer from
+    owning half the join."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 != 0, 0)
+            .otherwise(F.col("id")).alias("k"),
+            F.concat(
+                F.lit("padpadpadpadpadpadpadpad"),
+                F.col("id").cast("string"),
+            ).alias("payload"),
+        )
+        dim = spark.range(0, 20000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = fact.join(dim, "k").select(
+            F.sum(F.length("payload")).alias("s")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
