@@ -202,3 +202,33 @@ def test_stateful_funnel_order_robust(spark, tmp_path):
         final["reached_click"],
         final["reached_purchase"],
     ) == (1, 1, 1)
+
+
+def test_upsert_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch recovery contract: after a failure, Structured
+    Streaming REPLAYS the last batch with the same batch_id — the sink
+    must land in the identical state (idempotent version-dir overwrite +
+    atomic pointer flip), not double-apply."""
+    from map_v2_etl_spark.streaming.sinks import IncrementalParquetUpsert
+
+    sink = IncrementalParquetUpsert(
+        spark, str(tmp_path / "state"), ["k"], ["ts"]
+    )
+    b0 = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "p")], ["k", "ts", "v"]
+    )
+    b1 = spark.createDataFrame(
+        [("a", 3, "z"), ("c", 1, "q")], ["k", "ts", "v"]
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    after_once = {
+        (r["k"], r["ts"], r["v"]) for r in sink.current().collect()
+    }
+    sink(b1, 1)  # replay of the failed/duplicated final batch
+    after_replay = {
+        (r["k"], r["ts"], r["v"]) for r in sink.current().collect()
+    }
+    assert after_once == after_replay == {
+        ("a", 3, "z"), ("b", 1, "p"), ("c", 1, "q")
+    }
