@@ -589,9 +589,21 @@ def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (byte histogram through the stub
     decode boundary) via mapInPandas — non-SQL; ground truth asserted in
-    tests/test_multimodal.py."""
+    tests/test_multimodal.py.
+
+    Registry projection serializes the array-typed histogram to JSON:
+    the driver's canonicalizer lexsorts pandas cells and an
+    array<bigint> cell is unhashable there. extract_features keeps the
+    typed array API for engine users; only this registry view flattens.
+    """
     docs = load_table(spark, "documents", sf_dir)
-    return extract_features(synth_media(docs))
+    feats = extract_features(synth_media(docs))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.to_json("histogram").alias("histogram_json"),
+    )
 
 
 @query(

@@ -108,7 +108,7 @@ def q_text_udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "variant_props",
     "SELECT event_type, "
-    "SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+    "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
     "COUNT(*) AS n FROM events GROUP BY event_type",
     tags=["scalar", "variant", "json"],
 )
@@ -242,7 +242,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "split_train_val_test",
-    "SELECT split, COUNT(*) AS n, SUM(n_chars) AS sum_chars FROM ("
+    "SELECT split, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM ("
     "  SELECT CASE WHEN h < 'c' THEN 'train' WHEN h < 'e' THEN 'val' "
     "  ELSE 'test' END AS split, n_chars FROM ("
     "    SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h, n_chars "

@@ -60,6 +60,22 @@ def compare(name, spark_df, con) -> list[str]:
     s_cols = spark_df.columns
     t_spark = time.time() - t0
     t0 = time.time()
+    # Type audit BEFORE normalization: the real driver hashes DuckDB's
+    # native result types, so an un-cast integer SUM projecting HUGEINT
+    # hash-fails there even though our normalized comparison below would
+    # pass. Flag any projection type Spark can't produce (r3 verdict:
+    # variant_props / split_train_val_test class).
+    rel = con.sql(sql)
+    widetypes = {
+        c: str(t)
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER")
+    }
+    if widetypes:
+        problems.append(
+            f"ORACLE-TYPE: un-Spark-representable projection types "
+            f"{widetypes} — wrap in CAST(... AS BIGINT/DOUBLE/DECIMAL)"
+        )
     d = con.execute(sql)
     d_cols = [c[0] for c in d.description]
     d_rows = d.fetchall()
@@ -143,6 +159,23 @@ def main():
         if name not in oracles:
             try:
                 df = qs[name](spark, SF_DIR)
+                # The driver's canonicalizer pandas-lexsorts every
+                # column, so array/map cells raise "unhashable type"
+                # there (r3: media_features). Catch it here first.
+                from pyspark.sql.types import ArrayType, MapType
+
+                complex_cols = [
+                    f.name
+                    for f in df.schema.fields
+                    if isinstance(f.dataType, (ArrayType, MapType))
+                ]
+                if complex_cols:
+                    failed.append(name)
+                    print(
+                        f"{name}: DRIVER-UNSAFE array/map columns "
+                        f"{complex_cols} — to_json or explode them in "
+                        f"the registry projection"
+                    )
                 n = df.count()
                 print(f"{name}: rows-only check, {n} rows")
                 results[name] = {
