@@ -35,7 +35,13 @@ def long_array_lit(values) -> "Column":
     expression. ``F.array(*[F.lit(x) for x in values])`` costs a py4j
     round trip per element (~4s for 2048 elements, measured on the
     bloom bitmap); the parser ingests the same array in milliseconds
-    and Catalyst constant-folds it identically."""
+    and Catalyst constant-folds it identically.
+
+    Empty input still yields array<bigint>: a bare ``array()`` literal
+    types as array<void>, which breaks downstream element_at / bitwise
+    ops with a type error instead of behaving as an empty long array."""
     from pyspark.sql import functions as F
 
+    if not len(values):
+        return F.expr("CAST(array() AS array<bigint>)")
     return F.expr("array(" + ",".join(f"{int(x)}L" for x in values) + ")")

@@ -711,9 +711,22 @@ def simhash_pairs(
       missing non-replicated checkpoint block, and ``clearCache``
       releases them between queries.
 
-    Input ids are document keys and assumed unique; an exact re-ingest
-    (duplicate id rows) collapses at the fingerprint aggregate below, so
-    it cannot inflate pair multiplicity.
+    PRECONDITION — id uniqueness: input ids are document keys and each
+    id must map to one text. An exact re-ingest (duplicate id rows with
+    IDENTICAL text) collapses safely at the fingerprint aggregate below
+    and cannot inflate pair multiplicity. Duplicate ids carrying
+    DIFFERENT texts are a key-integrity bug upstream; this operator
+    keeps the max fingerprint and silently drops the others — dedupe or
+    re-key such inputs (e.g. key on (id, hash(text))) before calling.
+
+    CACHE CONTRACT: the internal chunk table is persisted and NOT
+    unpersisted here — the result is a lazy DataFrame whose plan still
+    references it, so unpersisting before the caller materializes would
+    defeat the self-join sharing this persist exists for. Callers that
+    run many simhash builds in one session should
+    ``spark.catalog.clearCache()`` (or unpersist after materializing, as
+    q_bfs_levels does) between builds; the bench/oracle harnesses
+    already do.
     """
     from pyspark import StorageLevel
 

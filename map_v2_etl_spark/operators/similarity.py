@@ -544,6 +544,7 @@ def pq_train(
     vec_col: str = "embedding",
     dim: int | None = None,
     train_sample_mod: int | None = None,
+    gate_rows: int | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split dim into m subspaces, k-means each with
     ksub codewords. Deterministic end to end: init is the ksub lowest-id
@@ -587,14 +588,17 @@ def pq_train(
     # rounds of multi-stage jobs. Same init (ksub lowest-id slices),
     # same tie rule (argmin -> lowest code), empty clusters keep their
     # centroid; deterministic run-to-run (fixed row order via sort).
-    # Books agree with the distributed twin to float noise (measured
-    # <= 3e-13 per component — np.float64 means vs the twin's
-    # decimal(27,12)-quantized means), the same regime-boundary
-    # contract as the tfidf dense/sparse switch.
+    # Books BIT-MATCH the distributed twin: both regimes snap every
+    # centroid mean onto the decimal(27,12) grid (see _pq_train_local),
+    # closing the r3-advice gap where float-noise codebooks could flip
+    # a near-tie pq_encode argmin across the gate boundary.
     # Gate probe is a LIMIT-bounded count (short-circuits after
     # gate_rows+1 rows) — the distributed path must not pay a full
     # extra corpus scan just to learn it is big.
-    gate_rows = 16_000_000 // max(dim, 1)
+    if gate_rows is None:  # override exists so tests can force the
+        # distributed regime on small data and assert the two regimes'
+        # codebooks are IDENTICAL (the decimal-grid contract below)
+        gate_rows = 16_000_000 // max(dim, 1)
     n_probe = corpus.limit(gate_rows + 1).count()
     if n_probe < ksub:
         # fail LOUDLY on a training set that cannot fill the codebooks —
@@ -665,7 +669,18 @@ def pq_train(
                     F.posexplode("bc.sv").alias("pos", "x"),
                 )
                 .groupBy("sub", "code", "pos")
-                .agg(F.avg(F.col("x").cast("decimal(27,12)")).alias("mn"))
+                # avg over decimal(27,12) returns decimal(31,16); the
+                # final cast snaps the mean back onto the 1e-12 grid so
+                # BOTH training regimes (this loop and the NumPy fast
+                # path) publish means on the same grid — codebooks no
+                # longer differ by the ~1e-13 arithmetic gap across the
+                # gate boundary, so a near-tie argmin in pq_encode
+                # cannot flip a code when the data scales past the gate
+                .agg(
+                    F.avg(F.col("x").cast("decimal(27,12)"))
+                    .cast("decimal(27,12)")
+                    .alias("mn")
+                )
                 .collect()
             )
             upd: dict[tuple[int, int], list[float]] = {}
@@ -697,7 +712,22 @@ def _pq_train_local(
     """Gate-bounded NumPy Lloyd over the (already sampled) training set —
     the Faiss in-memory training step. Row order is pinned by an id sort
     so float reductions are run-to-run identical (the determinism the
-    distributed twin gets from decimal means)."""
+    distributed twin gets from decimal means).
+
+    Cross-regime contract (r3 advice): centroid means replicate the
+    distributed twin's decimal pipeline EXACTLY — inputs quantized to
+    the decimal(27,12) grid, summed as integers (exact), divided with
+    HALF_UP at scale 16 (Spark's decimal Average), then cast back to
+    scale 12 with HALF_UP — so both regimes emit the SAME codebook bits
+    and a near-tie argmin in pq_encode cannot flip a code across the
+    gate boundary as data scales. Means land exactly on half-grid
+    points routinely (integer sums over grid inputs), which is why
+    np.round's half-to-even was measurably insufficient (2/512
+    components off by 1e-12 in the first cut). Residual caveat: input
+    quantization here is np.round(x*1e12) on binary doubles vs Spark's
+    HALF_UP on the shortest decimal repr — they differ only for values
+    within one double-ulp of a half-grid boundary, measure-zero for
+    unit-normalized embedding components."""
     import numpy as np
 
     pdf = (
@@ -709,6 +739,28 @@ def _pq_train_local(
     norms = np.sqrt((V * V).sum(axis=1))
     norms[norms == 0] = 1.0  # zero vector stays zeros (matches _unit)
     U = V / norms[:, None]
+    # decimal(27,12) view of the inputs for the mean step (the
+    # distributed twin casts each component inside its avg); int64 is
+    # exact here: |component| <= 1 -> |scaled| <= 1e12, and cluster
+    # sums stay under 2^63 for any gate-sized training set
+    Q = np.round(U * 1e12).astype(np.int64)
+
+    def dec_mean(ssum: int, n: int) -> float:
+        # Spark's pipeline, bit for bit: avg(decimal(27,12)) divides
+        # with HALF_UP at scale 16 (decimal(31,16)), then our cast back
+        # to decimal(27,12) rounds HALF_UP again. Integer arithmetic
+        # throughout; the final /1e12 is correctly rounded (numerator
+        # < 2^53 never holds for 1e12-scale? it does: |mean| <= 1 so
+        # |q2| <= 1e12 < 2^53).
+        sign = -1 if ssum < 0 else 1
+        q, r = divmod(abs(ssum) * 10**4, n)
+        if 2 * r >= n:
+            q += 1
+        q2, r2 = divmod(q, 10**4)
+        if 2 * r2 >= 10**4:
+            q2 += 1
+        return sign * q2 / 1e12
+
     books = [
         U[:ksub, s * sublen : (s + 1) * sublen].copy() for s in range(m)
     ]
@@ -724,10 +776,15 @@ def _pq_train_local(
                 - 2.0 * (X @ C.T)
             )
             a = d.argmin(axis=1)
+            Qs = Q[:, s * sublen : (s + 1) * sublen]
             for c in range(ksub):
                 mask = a == c
                 if mask.any():  # empty cluster keeps the old centroid
-                    books[s][c] = X[mask].mean(axis=0)
+                    ssum = Qs[mask].sum(axis=0)
+                    n_c = int(mask.sum())
+                    books[s][c] = np.array(
+                        [dec_mean(int(v), n_c) for v in ssum]
+                    )
     return [[[float(x) for x in cent] for cent in b] for b in books]
 
 

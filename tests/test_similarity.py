@@ -190,3 +190,19 @@ def test_pq_encode_deterministic(spark, sf_dir):
     c1 = {(r.vec_id, tuple(r.codes)) for r in pq_encode(emb, books1).collect()}
     c2 = {(r.vec_id, tuple(r.codes)) for r in pq_encode(emb, books2).collect()}
     assert c1 == c2
+
+
+def test_pq_train_regimes_bit_identical(spark, sf_dir):
+    """The NumPy fast path and the distributed Lloyd loop publish the
+    SAME codebook (r3 advice): both snap centroid means onto the
+    decimal(27,12) grid, so crossing the size gate as data grows cannot
+    flip a near-tie pq_encode argmin."""
+    from map_v2_etl_spark.operators.similarity import pq_train
+    from map_v2_etl_spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < 400
+    )
+    local = pq_train(emb, m=4, ksub=8, iters=2)
+    dist = pq_train(emb, m=4, ksub=8, iters=2, gate_rows=10)
+    assert local == dist
