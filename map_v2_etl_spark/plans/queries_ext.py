@@ -196,12 +196,48 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "nn_id", F.col("rank").cast("int").alias("rank"))
 
 
-@query("embedding_lsh_topk", None, tags=["similarity", "ann", "lsh"])
+def _duck_lsh_topk_sql() -> str:
+    from ..operators.similarity import random_hyperplanes
+    from .duck_vec import cosine as C
+    from .duck_vec import lsh_signature
+
+    sig_scans = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{lsh_signature('embedding', random_hyperplanes(64, 4, 42 + t))} "
+        f"AS sig FROM embeddings"
+        for t in range(8)
+    )
+    return (
+        f"WITH sigs AS ({sig_scans}), "
+        "q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0), "
+        "cand AS (SELECT DISTINCT qs.vec_id AS q_id, cs.vec_id AS nn_id "
+        "FROM sigs qs JOIN q ON q.vec_id = qs.vec_id "
+        "JOIN sigs cs ON cs.tbl = qs.tbl AND cs.sig = qs.sig "
+        "WHERE cs.vec_id <> qs.vec_id) "
+        "SELECT q_id, nn_id, CAST(rank AS INTEGER) AS rank, cosine FROM ("
+        "SELECT c.q_id, c.nn_id, "
+        f"{C('qv.embedding', 'nv.embedding')} AS cosine, "
+        "ROW_NUMBER() OVER (PARTITION BY c.q_id "
+        f"ORDER BY {C('qv.embedding', 'nv.embedding')} DESC, c.nn_id ASC"
+        ") AS rank FROM cand c "
+        "JOIN embeddings qv ON qv.vec_id = c.q_id "
+        "JOIN embeddings nv ON nv.vec_id = c.nn_id"
+        ") WHERE rank <= 5"
+    )
+
+
+@query(
+    "embedding_lsh_topk",
+    _duck_lsh_topk_sql(),
+    tags=["similarity", "ann", "lsh"],
+)
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (4 planes x 8 tables — tuned for the
-    uniform-random testdata; see operators/similarity.py): the scale path.
-    No SQL oracle (approximate by construction); recall vs the exact twin
-    is asserted in tests/test_similarity.py."""
+    uniform-random testdata; see operators/similarity.py): the scale
+    path. Approximate-but-DETERMINISTIC (seeded hyperplanes, pinned
+    fold order), so the DuckDB oracle replays signatures, bucket join,
+    and re-rank for a full value-hash (plans/duck_vec.py); recall vs
+    the exact twin is asserted in tests/test_similarity.py."""
     emb = load_table(spark, "embeddings", sf_dir)
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     return S.lsh_cosine_topk(emb, qs, k=5)

@@ -682,12 +682,49 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_ivf_topk", None, tags=["similarity", "ann", "ivf"])
+def _duck_ivf_sql() -> str:
+    from .duck_vec import cosine as C
+
+    return (
+        "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec "
+        "FROM embeddings WHERE vec_id % 10 = 0), "
+        # nearest centroid per corpus vector — max_by(cent_id,
+        # struct(cs, cent_id)): highest cs, ties to the HIGHEST cent_id
+        "asg AS (SELECT nn_id, cent_id FROM ("
+        "SELECT e.vec_id AS nn_id, c.cent_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {C('e.embedding', 'c.cent_vec')} "
+        "DESC, c.cent_id DESC) AS rn FROM embeddings e CROSS JOIN cents c"
+        ") WHERE rn = 1), "
+        # query probes: nprobe=4 nearest cells, ties to the LOWEST id
+        "probes AS (SELECT q_id, cent_id FROM ("
+        "SELECT q.vec_id AS q_id, c.cent_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {C('q.embedding', 'c.cent_vec')} "
+        "DESC, c.cent_id ASC) AS rn "
+        "FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 50 = 0"
+        ") WHERE rn <= 4), "
+        "scored AS (SELECT p.q_id, a.nn_id, "
+        f"{C('qv.embedding', 'nv.embedding')} AS cosine "
+        "FROM probes p JOIN asg a ON a.cent_id = p.cent_id "
+        "JOIN embeddings nv ON nv.vec_id = a.nn_id "
+        "JOIN embeddings qv ON qv.vec_id = p.q_id "
+        "WHERE a.nn_id <> p.q_id) "
+        "SELECT q_id, nn_id, CAST(rank AS INTEGER) AS rank, cosine FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id "
+        "ORDER BY cosine DESC, nn_id ASC) AS rank FROM scored"
+        ") WHERE rank <= 5"
+    )
+
+
+@query("embedding_ivf_topk", _duck_ivf_sql(), tags=["similarity", "ann", "ivf"])
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (operators/similarity.
     ivf_cosine_topk): coarse-quantize the corpus into centroid cells,
-    probe nprobe cells per query. Approximate by construction -> rows-only
-    check; recall vs the exact twin asserted in tests/test_similarity.py."""
+    probe nprobe cells per query. Deterministic end to end (strided
+    codebook, lexicographic tie-breaks, pinned cosine fold order), so
+    despite being APPROXIMATE it now carries a full value-hash oracle —
+    the DuckDB twin replicates assignment, probing, and scoring bit for
+    bit (plans/duck_vec.py). Recall vs the exact twin is additionally
+    asserted in tests/test_similarity.py."""
     from ..operators.similarity import ivf_cosine_topk
 
     emb = load_table(spark, "embeddings", sf_dir)

@@ -242,12 +242,64 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ann_recall_report
 # ---------------------------------------------------------------------------
 
-@query("ann_recall_report", None, tags=["embedding", "ann", "observability"])
+def _duck_ann_recall_sql() -> str:
+    from ..operators.similarity import random_hyperplanes
+    from .duck_vec import cosine as C
+    from .duck_vec import lsh_signature
+
+    # the SAME deterministic hyperplanes the Spark plan folds in as
+    # literals (seed 42 + t, 4 planes, dim 64); repr() round-trips each
+    # double exactly, so both engines compare the same sign bits
+    sig_scans = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{lsh_signature('embedding', random_hyperplanes(64, 4, 42 + t))} "
+        f"AS sig FROM embeddings"
+        for t in range(8)
+    )
+    return (
+        f"WITH sigs AS ({sig_scans}), "
+        "q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0), "
+        "exact AS (SELECT q_id, nn_id FROM ("
+        "SELECT q.vec_id AS q_id, e.vec_id AS nn_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {C('qq.embedding', 'e.embedding')} "
+        "DESC, e.vec_id ASC) AS rk "
+        "FROM q JOIN embeddings qq ON qq.vec_id = q.vec_id "
+        "CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id"
+        ") WHERE rk <= 5), "
+        "cand AS (SELECT DISTINCT qs.vec_id AS q_id, cs.vec_id AS nn_id "
+        "FROM sigs qs JOIN q ON q.vec_id = qs.vec_id "
+        "JOIN sigs cs ON cs.tbl = qs.tbl AND cs.sig = qs.sig "
+        "WHERE cs.vec_id <> qs.vec_id), "
+        "approx AS (SELECT q_id, nn_id FROM ("
+        "SELECT c.q_id, c.nn_id, ROW_NUMBER() OVER (PARTITION BY c.q_id "
+        f"ORDER BY {C('qv.embedding', 'nv.embedding')} DESC, c.nn_id ASC"
+        ") AS rk FROM cand c "
+        "JOIN embeddings qv ON qv.vec_id = c.q_id "
+        "JOIN embeddings nv ON nv.vec_id = c.nn_id"
+        ") WHERE rk <= 5), "
+        "hits AS (SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit "
+        "FROM exact e JOIN approx a ON a.q_id = e.q_id "
+        "AND a.nn_id = e.nn_id GROUP BY e.q_id) "
+        "SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS k, "
+        "coalesce(ANY_VALUE(h.n_hit), 0) AS n_hit "
+        "FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id "
+        "GROUP BY e.q_id"
+    )
+
+
+@query(
+    "ann_recall_report",
+    _duck_ann_recall_sql(),
+    tags=["embedding", "ann", "observability"],
+)
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of sign-LSH ANN vs the exact cosine top-k, per query:
     (q_id, k, n_hit) — the health metric every ANN deployment tracks.
-    Joins two |Q|·k result sets (output-bounded); approximate inputs ⇒
-    rows-only."""
+    Joins two |Q|·k result sets (output-bounded). "Approximate" here
+    still means DETERMINISTIC (seeded hyperplanes, pinned fold order,
+    lexicographic tie-breaks), so the DuckDB oracle replays the whole
+    LSH pipeline — signatures, bucket join, re-rank — and the integer
+    report value-hashes (r3 verdict task 7)."""
     from ..operators.similarity import cosine_topk, lsh_cosine_topk
 
     emb = load_table(spark, "embeddings", sf_dir)

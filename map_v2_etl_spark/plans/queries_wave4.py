@@ -327,28 +327,62 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_kmeans", None, tags=["similarity", "clustering", "kmeans"])
+from .duck_vec import cosine as _duck_cos
+from .duck_vec import lloyd_ctes as _duck_lloyd
+
+_DUCK_KMEANS = (
+    f"WITH {_duck_lloyd(8, 3, 64)} "
+    "SELECT vec_id, cid AS cluster FROM afinal"
+)
+
+
+@query(
+    "embedding_kmeans",
+    _DUCK_KMEANS,
+    tags=["similarity", "clustering", "kmeans"],
+)
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means (k=8, 3 iterations, lowest-id init)
-    over the embeddings table -> (vec_id, cluster). Iterative driver loop
-    -> rows-only check; exact assignment parity against a NumPy twin is
-    asserted in tests/test_wave4.py. See operators/similarity.py
-    kmeans_assignments for the scale analysis (corpus never collected,
-    k x dim centroid state only)."""
+    over the embeddings table -> (vec_id, cluster). The oracle is the
+    FULL unrolled Lloyd chain in DuckDB (plans/duck_vec.py): identical
+    fold order for distances and the exact decimal(27,12)-input,
+    scale-16-HALF_UP mean pipeline make assignments match bit for bit —
+    the r3-verdict conversion of this query from rows-only to
+    value-hash. NumPy twin additionally asserted in tests/test_wave4.py;
+    see operators/similarity.kmeans_assignments for the scale analysis
+    (corpus never collected, k x dim centroid state only)."""
     from ..operators import similarity as S
 
     emb = load_table(spark, "embeddings", sf_dir)
     return S.kmeans_assignments(emb, k=8, iters=3)
 
 
-@query("embedding_semdedup", None, tags=["similarity", "dedup", "semdedup"])
+_DUCK_SEMDEDUP = (
+    f"WITH {_duck_lloyd(8, 3, 64)}, "
+    "p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, "
+    f"{_duck_cos('x.embedding', 'y.embedding')} AS cs "
+    "FROM afinal x JOIN afinal y ON x.cid = y.cid "
+    "AND x.vec_id < y.vec_id) "
+    "SELECT id_b AS vec_id, MIN(id_a) AS kept_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_dups "
+    "FROM p WHERE cs >= 0.3 GROUP BY id_b"
+)
+
+
+@query(
+    "embedding_semdedup",
+    _DUCK_SEMDEDUP,
+    tags=["similarity", "dedup", "semdedup"],
+)
 def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cluster the embeddings,
     then remove any vector whose cluster contains a lower-id vector with
     cosine >= 0.3 (threshold fits this synthetic corpus's similarity
     range; real corpora use ~0.95+ on normalized model embeddings).
-    Output (vec_id, kept_id, n_dups) — integers only. Depends on the
-    iterative k-means -> rows-only; NumPy twin in tests/test_wave4.py."""
+    Output (vec_id, kept_id, n_dups) — integers only. Value-hash
+    oracle: the unrolled Lloyd chain plus cluster-local pairwise cosine
+    in DuckDB (plans/duck_vec.py), bit-parity verified — threshold
+    decisions are identical because the cosine trees are."""
     from ..operators import similarity as S
 
     emb = load_table(spark, "embeddings", sf_dir)
