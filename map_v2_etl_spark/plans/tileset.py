@@ -265,10 +265,11 @@ def execute_manifest(manifest: list[dict], client) -> int:
 
     ``client`` is anything with boto3's ``put_object(Bucket=, Key=,
     Body=, ContentType=, ContentEncoding=)`` — a real boto3 client, a
-    moto/minio mock, or the ``LocalObjectStore`` fake below (this
-    sandbox carries no boto3, so the fake is what CI exercises; the
-    call-site contract is identical either way). Returns the object
-    count."""
+    moto/minio mock, or the ``LocalObjectStore`` fake below.
+    tests/test_s3_mock.py runs this function against moto's S3 via a
+    genuine boto3 client (upload, metadata assertions, fetch-back
+    through the engine's CSV source); the fake remains the airgapped
+    fallback. Returns the object count."""
     n = 0
     for e in manifest:
         bucket, key = e["s3_uri"][len("s3://"):].split("/", 1)
