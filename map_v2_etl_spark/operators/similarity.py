@@ -700,6 +700,35 @@ def pq_train(
     return books
 
 
+def _quantize_e12(U):
+    """Snap each float64 onto the decimal(27,12) grid EXACTLY as a SQL
+    engine's CAST(x AS DECIMAL(27,12)) does: decimal HALF_UP on the
+    value, not half-to-even on the binary product x*1e12.
+
+    Vectorized fast path: floor(|x|*1e12 + 0.5). The float product
+    carries ~1e-4 absolute error at the 1e12 scale, so any element
+    whose product lands within 1e-3 of a half-integer is re-done
+    exactly through Decimal(repr(x)) — a few per million elements, so
+    the exact path's Python cost never matters. Returns int64 (values
+    are unit-scale, so |scaled| <= 1e12 << 2^63)."""
+    import decimal
+
+    import numpy as np
+
+    sign = np.sign(U)
+    a = np.abs(U) * 1e12
+    q = np.floor(a + 0.5)
+    frac_from_half = np.abs((a - np.floor(a)) - 0.5)
+    sus = np.argwhere(frac_from_half < 1e-3)
+    twelve = decimal.Decimal(1).scaleb(-12)
+    for idx in map(tuple, sus):
+        d = decimal.Decimal(repr(float(abs(U[idx])))).quantize(
+            twelve, rounding=decimal.ROUND_HALF_UP
+        )
+        q[idx] = float(d.scaleb(12))
+    return (sign * q).astype(np.int64)
+
+
 def _pq_train_local(
     corpus: DataFrame,
     id_col: str,
@@ -736,14 +765,19 @@ def _pq_train_local(
         .sort_values(id_col, kind="mergesort")
     )
     V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-    norms = np.sqrt((V * V).sum(axis=1))
+    # EXACT LEFT-FOLD norms (loop over dims, vectorized over rows): the
+    # distributed twin's _unit is F.aggregate's left fold with a 0.0
+    # init, and NumPy's pairwise .sum() differs from it in final ulps —
+    # enough to straddle the 1e-12 mean grid occasionally. dim
+    # iterations of vectorized adds reproduce the fold's rounding
+    # sequence per row at NumPy speed.
+    sq = np.zeros(len(V), dtype=np.float64)
+    for j in range(V.shape[1]):
+        sq = sq + V[:, j] * V[:, j]
+    norms = np.sqrt(sq)
     norms[norms == 0] = 1.0  # zero vector stays zeros (matches _unit)
     U = V / norms[:, None]
-    # decimal(27,12) view of the inputs for the mean step (the
-    # distributed twin casts each component inside its avg); int64 is
-    # exact here: |component| <= 1 -> |scaled| <= 1e12, and cluster
-    # sums stay under 2^63 for any gate-sized training set
-    Q = np.round(U * 1e12).astype(np.int64)
+    Q = _quantize_e12(U)
 
     def dec_mean(ssum: int, n: int) -> float:
         # Spark's pipeline, bit for bit: avg(decimal(27,12)) divides
@@ -767,14 +801,18 @@ def _pq_train_local(
     for _ in range(iters):
         for s in range(m):
             X = U[:, s * sublen : (s + 1) * sublen]
-            C = books[s]
-            # ||x-c||^2 = x2 + c2 - 2 x.c  (gemm form; ties -> argmin
-            # returns the LOWEST code, matching min_by struct(d, code))
-            d = (
-                (X * X).sum(axis=1)[:, None]
-                + (C * C).sum(axis=1)[None, :]
-                - 2.0 * (X @ C.T)
-            )
+            C = np.asarray(books[s], dtype=np.float64)
+            # EXACT LEFT-FOLD squared L2 (dim-loop, vectorized over
+            # (row, centroid) pairs): bit-matches the distributed
+            # twin's d_expr — aggregate(zip_with((x-y)*(x-y)), 0.0) —
+            # where the old GEMM form (x2 + c2 - 2x.c) rounded
+            # differently and could flip a near-tie argmin across the
+            # gate boundary. Ties -> argmin returns the LOWEST code,
+            # matching min_by struct(d, code).
+            d = np.zeros((len(X), len(C)), dtype=np.float64)
+            for j in range(sublen):
+                diff = X[:, j, None] - C[None, :, j]
+                d = d + diff * diff
             a = d.argmin(axis=1)
             Qs = Q[:, s * sublen : (s + 1) * sublen]
             for c in range(ksub):

@@ -116,6 +116,101 @@ def _assign_cte(name: str, cents: str, table: str) -> str:
     )
 
 
+def dec_mean12(x: str) -> str:
+    """avg(cast(x as decimal(27,12))) -> cast back to decimal(27,12) ->
+    float: the PQ training twin's mean pipeline (pq_train casts its avg
+    back onto the 1e-12 grid; plain Lloyd's does not — see dec_mean)."""
+    se12 = (
+        f"CAST(SUM(CAST(CAST({x} AS DECIMAL(27,12)) * 1000000000000 "
+        f"AS HUGEINT)) AS HUGEINT)"
+    )
+    n = "COUNT(*)"
+    # scale-16 HALF_UP quotient of |sum|*1e4 / n, then HALF_UP again
+    # down to scale 12: ((2q + 1e4) // 2e4)
+    q16 = f"(((abs({se12})) * 10000 * 2 + {n}) // (2 * {n}))"
+    q12 = f"((({q16}) * 2 + 10000) // 20000)"
+    return (
+        f"(CASE WHEN {se12} < 0 THEN -1 ELSE 1 END) * "
+        f"CAST({q12} AS DOUBLE) / 1e12"
+    )
+
+
+def unit_list(vec: str) -> str:
+    """operators/similarity._unit: fold-order L2 normalization with the
+    zero-vector -> zeros guard, element type DOUBLE."""
+    nrm = l2_norm(vec)
+    return (
+        f"list_transform({vec}, x -> CASE WHEN ({nrm}) = 0.0 THEN 0.0 "
+        f"ELSE CAST(x AS DOUBLE) / ({nrm}) END)"
+    )
+
+
+_M64 = "18446744073709551616"
+_XX_P1 = 0x9E3779B185EBCA87
+_XX_P2 = 0xC2B2AE3D27D4EB4F
+_XX_P3 = 0x165667B19E3779F9
+_XX_P4 = 0x85EBCA77C2B2AE63
+_XX_P5 = 0x27D4EB2F165667C5
+
+
+def _mul64(a: str, b: int) -> str:
+    # (a * b) mod 2^64 via 32-bit split so no intermediate exceeds
+    # HUGEINT range (64b x 64b would overflow int128)
+    return (
+        f"((((({a}) % 4294967296) * {b}) + "
+        f"((((({a}) // 4294967296) * {b}) % 4294967296) * 4294967296)) "
+        f"% {_M64})"
+    )
+
+
+def _rotl64(x: str, r: int) -> str:
+    return (
+        f"((((({x}) * {2 ** r}) % {_M64}) + (({x}) // {2 ** (64 - r)})) "
+        f"% {_M64})"
+    )
+
+
+def _xsr64(x: str, s: int) -> str:
+    return f"xor(({x}), (({x}) // {2 ** s}))"
+
+
+def xxhash64_ctes(
+    name: str, table: str, keep: str = "vec_id, embedding", seed: int = 42
+) -> str:
+    """CTE chain computing Spark's xxhash64(vec_id) as column ``h`` of
+    CTE ``{name}`` — one hash step per CTE so the SQL stays LINEAR in
+    size (inlining the composed expression re-expands each operand at
+    every step: measured 700 KB for one filter; this chain is ~2 KB)."""
+    steps = [
+        f"((CAST(vec_id AS HUGEINT) % {_M64} + {_M64}) % {_M64})",
+        _mul64("h", _XX_P2),
+        _rotl64("h", 31),
+        _mul64("h", _XX_P1),
+        f"xor((({seed} + {_XX_P5} + 8) % {_M64}), h)",
+        _rotl64("h", 27),
+        f"(({_mul64('h', _XX_P1)} + {_XX_P4}) % {_M64})",
+        _xsr64("h", 33),
+        _mul64("h", _XX_P2),
+        _xsr64("h", 29),
+        _mul64("h", _XX_P3),
+        _xsr64("h", 32),
+        f"(CASE WHEN h >= {2 ** 63} THEN CAST(h - {_M64} AS BIGINT) "
+        f"ELSE CAST(h AS BIGINT) END)",
+    ]
+    parts = [
+        f"{name}0 AS (SELECT {keep}, {steps[0]} AS h FROM {table})"
+    ]
+    for i, s in enumerate(steps[1:-1], start=1):
+        parts.append(
+            f"{name}{i} AS (SELECT {keep}, {s} AS h FROM {name}{i - 1})"
+        )
+    parts.append(
+        f"{name} AS (SELECT {keep}, {steps[-1]} AS h "
+        f"FROM {name}{len(steps) - 2})"
+    )
+    return ", ".join(parts)
+
+
 def lloyd_ctes(k: int, iters: int, dim: int, table: str = "embeddings") -> str:
     """The WITH-clause body for a deterministic Lloyd's k-means unroll,
     ending in CTE ``afinal`` = (vec_id, embedding, cid).
@@ -148,3 +243,118 @@ def lloyd_ctes(k: int, iters: int, dim: int, table: str = "embeddings") -> str:
         )
     parts.append(_assign_cte("afinal", f"cents{iters}", table))
     return ",\n".join(parts)
+
+
+def _unit_cte(name: str, src: str, where: str = "", id_as: str = "vec_id") -> str:
+    """Two-step unit normalization CTE (norm computed ONCE per row, then
+    captured by the transform lambda) — semantics of _unit, without
+    re-deriving the norm per element."""
+    w = f" WHERE {where}" if where else ""
+    return (
+        f"{name}_n AS (SELECT vec_id AS {id_as}, embedding, "
+        f"{l2_norm('embedding')} AS nrm FROM {src}{w}), "
+        f"{name} AS (SELECT {id_as}, list_transform(embedding, "
+        f"x -> CASE WHEN nrm = 0.0 THEN 0.0 ELSE CAST(x AS DOUBLE) / nrm "
+        f"END) AS uvec FROM {name}_n)"
+    )
+
+
+def pq_topk_ctes(
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    candidates: int = 50,
+    k: int = 5,
+    sample_mod: int = 5,
+    q_mod: int = 50,
+    table: str = "embeddings",
+) -> str:
+    """Full PQ/ADC top-k oracle: training-sample selection (xxhash64
+    modulus — bit-equal to F.xxhash64), per-subspace Lloyd with
+    decimal(27,12)-grid means, corpus encode, per-query LUT, unrolled
+    fold-order ADC sum, candidate cut, exact cosine re-rank. Mirrors
+    operators/similarity.pq_train/_pq_train_local/pq_encode/
+    pq_cosine_topk step for step; assumes the training sample passes
+    the >= ksub gate (true at oracle SF, asserted in tests)."""
+    sublen = dim // m
+    slice_ = f"uvec[(s * {sublen} + 1):(s * {sublen} + {sublen})]"
+    parts = [
+        xxhash64_ctes("hx", table),
+        f"trsel AS (SELECT vec_id, embedding FROM hx "
+        f"WHERE ((h % {sample_mod}) + {sample_mod}) % {sample_mod} = 0)",
+        _unit_cte("tr", "trsel"),
+        f"sub_tr AS (SELECT vec_id, s, {slice_} AS sv "
+        f"FROM tr, LATERAL unnest(range({m})) AS us(s))",
+        f"b0 AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s "
+        f"ORDER BY vec_id) - 1 AS INT) AS code, sv AS cent FROM sub_tr "
+        f"WHERE vec_id IN (SELECT vec_id FROM tr ORDER BY vec_id "
+        f"LIMIT {ksub}))",
+    ]
+    asg = (
+        "{name} AS (SELECT vec_id, s, sv, code FROM ("
+        "SELECT t.vec_id, t.s, t.sv, b.code, ROW_NUMBER() OVER ("
+        "PARTITION BY t.vec_id, t.s ORDER BY {d}, b.code) AS rn "
+        "FROM {src} t JOIN {books} b ON b.s = t.s) WHERE rn = 1)"
+    )
+    d_expr = sq_dist("t.sv", "b.cent")
+    for i in range(1, iters + 1):
+        parts.append(
+            asg.format(
+                name=f"as{i}", d=d_expr, src="sub_tr", books=f"b{i - 1}"
+            )
+        )
+        parts.append(
+            f"bm{i} AS (SELECT s, code, i AS pos, "
+            f"{dec_mean12('a.sv[i + 1]')} AS mn "
+            f"FROM as{i} a, LATERAL unnest(range({sublen})) AS u(i) "
+            f"GROUP BY s, code, i)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT b.s, b.code, coalesce(n.cent, b.cent) AS "
+            f"cent FROM b{i - 1} b LEFT JOIN (SELECT s, code, "
+            f"list(mn ORDER BY pos) AS cent FROM bm{i} GROUP BY s, code) "
+            f"n USING (s, code))"
+        )
+    adc_sum = "0.0"
+    for s in range(m):
+        adc_sum = (
+            f"({adc_sum} + l.lut[{s * ksub} + c.codes[{s + 1}] + 1])"
+        )
+    parts += [
+        _unit_cte("cu", table),
+        f"sub_c AS (SELECT vec_id, s, {slice_} AS sv "
+        f"FROM cu, LATERAL unnest(range({m})) AS us(s))",
+        asg.format(name="enc", d=d_expr, src="sub_c", books=f"b{iters}"),
+        "cods AS (SELECT vec_id, list(code ORDER BY s) AS codes "
+        "FROM enc GROUP BY vec_id)",
+        _unit_cte("qu", table, f"vec_id % {q_mod} = 0", id_as="q_id"),
+        f"lutt AS (SELECT q.q_id, b.s, b.code, "
+        + sq_dist(
+            f"q.uvec[(b.s * {sublen} + 1):(b.s * {sublen} + {sublen})]",
+            "b.cent",
+        )
+        + f" AS part FROM qu q CROSS JOIN b{iters} b)",
+        "lut AS (SELECT q_id, list(part ORDER BY s, code) AS lut "
+        "FROM lutt GROUP BY q_id)",
+        f"adc AS (SELECT l.q_id, c.vec_id AS nn_id, {adc_sum} AS adist "
+        "FROM cods c CROSS JOIN lut l WHERE c.vec_id <> l.q_id)",
+        "cand AS (SELECT q_id, nn_id FROM (SELECT q_id, nn_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, "
+        f"nn_id ASC) AS r FROM adc) WHERE r <= {candidates})",
+    ]
+    cos = cosine("qv.embedding", "nv.embedding")
+    final = (
+        "SELECT q_id, nn_id, CAST(rank AS INTEGER) AS rank, cosine FROM ("
+        f"SELECT cand.q_id, cand.nn_id, {cos} AS cosine, "
+        "ROW_NUMBER() OVER (PARTITION BY cand.q_id "
+        f"ORDER BY {cos} DESC, cand.nn_id ASC) AS rank FROM cand "
+        f"JOIN {table} qv ON qv.vec_id = cand.q_id "
+        f"JOIN {table} nv ON nv.vec_id = cand.nn_id) WHERE rank <= {k}"
+    )
+    body = ",\n".join(parts)
+    # DuckDB inlines plain CTEs, re-executing the whole training chain
+    # at every reference (measured: 157 s at sf0.01); MATERIALIZED
+    # evaluates each stage once (sub-second)
+    body = body.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+    return "WITH " + body + " " + final

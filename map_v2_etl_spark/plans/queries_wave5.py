@@ -409,13 +409,27 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_pq_topk — product-quantization ANN
 # --------------------------------------------------------------------------
 
-@query("embedding_pq_topk", None, tags=["similarity", "ann", "pq"])
+def _pq_oracle() -> str:
+    from .duck_vec import pq_topk_ctes
+
+    return pq_topk_ctes(
+        m=4, ksub=16, iters=2, dim=64, candidates=50, k=5,
+        sample_mod=5, q_mod=50,
+    )
+
+
+@query("embedding_pq_topk", _pq_oracle(), tags=["similarity", "ann", "pq"])
 def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate top-k with exact re-rank
-    (operators/similarity.pq_cosine_topk): 16-dim vectors quantized to 4
+    (operators/similarity.pq_cosine_topk): 64-dim vectors quantized to 4
     byte codes (4 subspaces x 16 codewords), ranked by lookup-table sums,
-    top candidates re-ranked exactly. Approximate by construction ->
-    rows-only check; recall vs the exact twin asserted in
+    top candidates re-ranked exactly. Approximate-but-DETERMINISTIC, so
+    it now carries a full value-hash oracle: plans/duck_vec.pq_topk_ctes
+    replays the xxhash64 training sample (the hash re-implemented in
+    HUGEINT mod-2^64 arithmetic), per-subspace Lloyd on the
+    decimal(27,12) mean grid, encode, LUT, fold-order ADC sums, and the
+    exact re-rank — 50/50 rows bit-identical at sf0.01 including the
+    cosines. Recall vs the exact twin asserted in
     tests/test_similarity.py."""
     from ..operators.similarity import pq_cosine_topk
 

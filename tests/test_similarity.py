@@ -206,3 +206,43 @@ def test_pq_train_regimes_bit_identical(spark, sf_dir):
     local = pq_train(emb, m=4, ksub=8, iters=2)
     dist = pq_train(emb, m=4, ksub=8, iters=2, gate_rows=10)
     assert local == dist
+
+
+def test_pq_oracle_assumptions(spark, sf_dir):
+    """The PQ value-hash oracle (plans/duck_vec.pq_topk_ctes) replays
+    the xxhash64 training sample unconditionally; the engine falls back
+    to the full corpus when the sample is degenerate (< ksub). Pin the
+    assumption that the sample passes the gate at oracle scale, and
+    that the SQL xxhash64 twin matches Spark's."""
+    import duckdb
+
+    from map_v2_etl_spark.plans.duck_vec import xxhash64_ctes
+    from map_v2_etl_spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n_sample = emb.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(5)) == 0
+    ).count()
+    assert n_sample >= 16, "oracle would diverge from the engine's fallback"
+
+    spark_h = {
+        r["vec_id"]: r["h"]
+        for r in emb.select(
+            "vec_id", F.xxhash64("vec_id").alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    import os
+
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet('"
+        + os.path.join(sf_dir, "embeddings.parquet")
+        + "')"
+    )
+    duck_h = dict(
+        con.sql(
+            f"WITH {xxhash64_ctes('hx', 'embeddings')} "
+            "SELECT vec_id, h FROM hx"
+        ).fetchall()
+    )
+    assert spark_h == duck_h
