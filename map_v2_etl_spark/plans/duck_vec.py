@@ -175,14 +175,15 @@ def _xsr64(x: str, s: int) -> str:
 
 
 def xxhash64_ctes(
-    name: str, table: str, keep: str = "vec_id, embedding", seed: int = 42
+    name: str, table: str, keep: str = "vec_id, embedding", seed: int = 42,
+    col: str = "vec_id",
 ) -> str:
-    """CTE chain computing Spark's xxhash64(vec_id) as column ``h`` of
+    """CTE chain computing Spark's xxhash64(``col``) as column ``h`` of
     CTE ``{name}`` — one hash step per CTE so the SQL stays LINEAR in
     size (inlining the composed expression re-expands each operand at
     every step: measured 700 KB for one filter; this chain is ~2 KB)."""
     steps = [
-        f"((CAST(vec_id AS HUGEINT) % {_M64} + {_M64}) % {_M64})",
+        f"((CAST({col} AS HUGEINT) % {_M64} + {_M64}) % {_M64})",
         _mul64("h", _XX_P2),
         _rotl64("h", 31),
         _mul64("h", _XX_P1),

@@ -585,7 +585,39 @@ def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_features", None, tags=["multimodal", "mapInPandas"])
+_DUCK_MEDIA_FEATURES = """
+WITH b AS MATERIALIZED (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents),
+c AS MATERIALIZED (
+  -- 16 bins of width 16 = the byte's HIGH NIBBLE = the odd-position
+  -- hex digits of the payload
+  SELECT doc_id,
+         strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1 AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM b, LATERAL unnest(range(n)) AS u(i)
+  GROUP BY 1, 2),
+f AS (
+  SELECT b.doc_id, bins.bin, coalesce(c.cnt, 0) AS cnt
+  FROM b CROSS JOIN (SELECT unnest(range(16)) AS bin) bins
+  LEFT JOIN c ON c.doc_id = b.doc_id AND c.bin = bins.bin)
+SELECT b.doc_id AS media_id,
+       CASE CAST(b.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(b.n AS BIGINT) AS n_bytes,
+       g.histogram_json
+FROM b JOIN (
+  SELECT doc_id,
+         '[' || string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bin)
+             || ']' AS histogram_json
+  FROM f GROUP BY doc_id) g ON g.doc_id = b.doc_id
+"""
+
+
+@query(
+    "media_features", _DUCK_MEDIA_FEATURES, tags=["multimodal", "mapInPandas"]
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (byte histogram through the stub
     decode boundary) via mapInPandas — non-SQL; ground truth asserted in

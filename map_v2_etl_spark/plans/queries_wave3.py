@@ -187,6 +187,109 @@ def q_hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# explicit-register HLL: every term of the estimator is integer state
+# derived from xxhash64, so the sketch is reproducible across ENGINES,
+# not just across runs — the DuckDB oracle replays it bit for bit
+# (plans/duck_vec.xxhash64_ctes). p=12 -> 4096 registers; rho capped at
+# 41 so the 2^(42-rho) register terms sum exactly in int64.
+_HLL_P, _HLL_M, _HLL_RHO_CAP = 12, 4096, 41
+_HLL_SCALE = 1 << 42
+#: alpha_m * m^2 * 2^42 folded to ONE double literal so both engines
+#: perform a single identical division
+_HLL_NUM = 0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(_HLL_SCALE)
+
+
+def _duck_hll_sql() -> str:
+    from .duck_vec import xxhash64_ctes
+
+    return (
+        f"WITH {xxhash64_ctes('hx', 'events', keep='event_type', col='user_id')}, "
+        f"rr AS (SELECT event_type, h & {_HLL_M - 1} AS reg, "
+        f"CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_RHO_CAP} "
+        f"ELSE least(bit_count(((h >> {_HLL_P}) & (-(h >> {_HLL_P}))) - 1) "
+        f"+ 1, {_HLL_RHO_CAP}) END AS rho FROM hx), "
+        "regs AS (SELECT event_type, reg, max(rho) AS r "
+        "FROM rr GROUP BY 1, 2), "
+        "ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS v, "
+        "CAST(sum(CAST(1 AS BIGINT) << (42 - r)) AS BIGINT) AS zs "
+        "FROM regs GROUP BY 1), "
+        "e AS (SELECT event_type, v, "
+        f"CAST(zs + ({_HLL_M} - v) * {_HLL_SCALE} AS BIGINT) AS z_scaled "
+        "FROM ag) "
+        "SELECT event_type, v AS n_registers, z_scaled, "
+        "CAST(round(CASE WHEN "
+        f"{_HLL_NUM!r} / CAST(z_scaled AS DOUBLE) <= {2.5 * _HLL_M!r} "
+        f"AND v < {_HLL_M} "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / "
+        f"({float(_HLL_M)!r} - v)) "
+        f"ELSE {_HLL_NUM!r} / CAST(z_scaled AS DOUBLE) END) AS BIGINT) "
+        "AS est_users FROM e"
+    )
+
+
+@query(
+    "hll_sql_counts",
+    _duck_hll_sql(),
+    tags=["agg", "approx", "sketch", "hll", "cross-engine"],
+)
+def q_hll_sql_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-register HyperLogLog per event type, value-hash checkable.
+
+    hll_user_counts uses Spark's Datasketches built-in (the production
+    path — mergeable sketch state); its estimates are unverifiable
+    outside the JVM. This twin builds the SAME kind of estimate from
+    first principles with engine-portable primitives: xxhash64 ->
+    (register, rank) via trailing-zero counting on integer bit tricks
+    (t & -t isolates the lowest set bit; bit_count of its mask is the
+    rank), integer max per register, and an EXACT int64 register sum
+    (2^(42-rho), rho capped at 41). The only floats are one shared
+    literal and one division (plus ln in the standard low-range linear
+    counting branch), so Spark and DuckDB agree bit for bit and the
+    driver can value-hash an approximate-cardinality operator.
+
+    Output keeps the integer sketch state (n_registers, z_scaled)
+    alongside the estimate — at 100 TB those integers are also what
+    you'd store per partition and merge (register-wise max) without
+    rescanning."""
+    ev = load_table(spark, "events", sf_dir)
+    h = F.xxhash64("user_id")
+    t = F.shiftright(h, _HLL_P)
+    lsb = t.bitwiseAND(-t)
+    rho = F.when(t == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.least(F.bit_count(lsb - 1) + 1, F.lit(_HLL_RHO_CAP))
+    )
+    regs = (
+        ev.select(
+            "event_type",
+            h.bitwiseAND(F.lit(_HLL_M - 1)).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+    ag = regs.groupBy("event_type").agg(
+        F.count("*").alias("v"),
+        # shiftleft's python wrapper takes only a literal shift; the SQL
+        # form accepts the column expression
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 42 - r)")).alias("zs"),
+    )
+    z_scaled = (
+        F.col("zs") + (F.lit(_HLL_M) - F.col("v")) * F.lit(_HLL_SCALE)
+    ).cast("long")
+    est_raw = F.lit(_HLL_NUM) / z_scaled.cast("double")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(float(_HLL_M)) - F.col("v"))),
+    ).otherwise(est_raw)
+    return ag.select(
+        "event_type",
+        F.col("v").alias("n_registers"),
+        z_scaled.alias("z_scaled"),
+        F.round(est).cast("long").alias("est_users"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling — the training-data-pipeline splits. Hash-mod
 # sampling (first hex nibble of md5 over a stable key) beats df.sample /

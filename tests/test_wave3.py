@@ -97,6 +97,26 @@ def test_hll_within_2pct_of_exact(spark, sf_dir):
         assert abs(approx[et] - n) <= max(1, 0.02 * n), (et, approx[et], n)
 
 
+def test_hll_sql_within_4pct_of_exact(spark, sf_dir):
+    """The explicit-register HLL (hll_sql_counts) is a real estimator,
+    not just a hash-stable artifact: accuracy within ~2.6%/sqrt(m)-ish
+    of exact (4% bound leaves room for small-count noise at test SF)."""
+    got = {
+        r.event_type: r.est_users
+        for r in REGISTRY["hll_sql_counts"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, n in exact.items():
+        assert abs(got[et] - n) <= max(2, 0.04 * n), (et, got[et], n)
+
+
 def test_streaming_dedup_agrees_with_batch_keyset(spark, sf_dir):
     import os
     import tempfile
