@@ -557,6 +557,40 @@ def q_geo_interior_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_interior_points(sq).select("n_nationkey", "ip_x", "ip_y")
 
 
+@query("geo_mvt_tiles", None, tags=["geo", "mvt", "mbtiles", "sink"])
+def q_geo_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native MVT tile encode (S8 without tippecanoe): synthetic square
+    polygons -> distributed per-tile protobuf blobs (sources/mvt.py,
+    hand-encoded spec-2.1 wire format). Output is the deterministic
+    (z, x, y, n_bytes, pbf_md5) fingerprint of each blob — the bytes
+    themselves are pinned by the independent decoder round-trip in
+    tests/test_mvt.py. Python-side encode ⇒ rows-only check."""
+    from ..sources.mvt import encode_tiles
+
+    n = load_table(spark, "nation", sf_dir)
+    sq = n.select(
+        "n_nationkey",
+        F.format_string(
+            '{"type":"Polygon","coordinates":[[[%d,%d],[%d,%d],[%d,%d],'
+            '[%d,%d],[%d,%d]]]}',
+            F.col("n_nationkey"), F.col("n_nationkey"),
+            F.col("n_nationkey") + 2, F.col("n_nationkey"),
+            F.col("n_nationkey") + 2, F.col("n_nationkey") + 2,
+            F.col("n_nationkey"), F.col("n_nationkey") + 2,
+            F.col("n_nationkey"), F.col("n_nationkey"),
+        ).alias("geometry"),
+        F.lit("nations").alias("layer"),
+    )
+    tiles = encode_tiles(sq, zoom=4, id_col="n_nationkey")
+    return tiles.select(
+        "z",
+        "x",
+        "y",
+        F.octet_length("pbf").cast("long").alias("n_bytes"),
+        F.md5("pbf").alias("pbf_md5"),
+    ).orderBy("z", "x", "y")
+
+
 # --------------------------------------------------------------------------
 # multimodal binary columns
 # --------------------------------------------------------------------------

@@ -197,6 +197,46 @@ def build_tileset(
     return done
 
 
+def build_tileset_native(
+    layers: dict[str, "DataFrame"],
+    out_path: str,
+    name: str,
+    zoom: int,
+    id_col: str | None = None,
+) -> int:
+    """tippecanoe-free tileset build: the engine's own MVT encoder +
+    SQLite writer (sources/mvt.py — hand-encoded protobuf, verified by
+    an independent decoder in tests/test_mvt.py).
+
+    ``layers`` maps layer name -> features DataFrame (geometry +
+    property columns). Tile assignment and per-tile pbf encoding run
+    DISTRIBUTED (groupBy(z,x,y) + applyInPandas); only finished blobs
+    are collected into the single-file .mbtiles artifact, the same
+    output-bounded posture as csv_io.write_sorted_csv. Use this where
+    tippecanoe is unavailable or a pure-engine pipeline is preferred;
+    ``build_tileset`` remains the binary-parity path. Returns the tile
+    count."""
+    from pyspark.sql import functions as F
+
+    from ..sources.mvt import encode_tiles, write_mbtiles
+
+    tagged = None
+    for lname, df in sorted(layers.items()):
+        cur = df.withColumn("layer", F.lit(lname))
+        tagged = cur if tagged is None else tagged.unionByName(cur)
+    tiles = encode_tiles(tagged, zoom, id_col=id_col)
+    fields = {
+        lname: {
+            c: "String" for c in df.columns if c not in ("geometry",)
+        }
+        for lname, df in layers.items()
+    }
+    return write_mbtiles(
+        tiles, out_path, name, minzoom=zoom, maxzoom=zoom,
+        layer_fields=fields,
+    )
+
+
 # --------------------------------------------------------------------------
 # deploy manifest (S7 metadata parity)
 # --------------------------------------------------------------------------

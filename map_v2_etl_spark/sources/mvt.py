@@ -1,0 +1,534 @@
+"""Native Mapbox Vector Tile (MVT) encoder + MBTiles sink — no
+tippecanoe, no protobuf library.
+
+The reference shells out to tippecanoe to turn GeoJSON into an
+.mbtiles of gzipped MVT protobufs (reference build.sh:129-134,189,214);
+this sandbox has never carried tippecanoe, so until now the engine
+could only emit the tippecanoe argv recipe plus tile-ready GeoJSONL.
+This module closes that gap natively:
+
+  * MVT spec 2.1 is a small, public protobuf schema; its wire format
+    is just varints + length-delimited submessages, hand-encodable in
+    ~100 lines (``_varint``/``_field`` below). Geometry is integer
+    tile-local coordinates with zigzag-delta MoveTo/LineTo/ClosePath
+    command sequences.
+  * MBTiles is just SQLite (``tiles`` + ``metadata`` tables, TMS row
+    order) — stdlib ``sqlite3`` writes it.
+
+Division of labor at scale: tile ASSIGNMENT, per-tile feature ranking
+and the per-tile ENCODE all run distributed (groupBy(z, x, y) +
+applyInPandas — each tile's pbf is produced by exactly one task);
+only the final .mbtiles packaging collects the finished blobs, because
+one SQLite file is inherently a single-writer artifact (same
+compatibility posture as csv_io.write_sorted_csv — the scale sink is
+the (z, x, y, pbf) DataFrame itself, written to parquet or a tile
+directory).
+
+v1 limitation, documented: features are assigned to ONE tile (their
+representative point's tile) and encoded unclipped. MVT permits
+coordinates outside the tile extent (renderers clip; tippecanoe keeps
+a buffer for the same reason), so tiles are valid, but a polygon
+spanning many tiles appears only in one at that zoom. Clip-and-
+duplicate is the follow-on, not a format change.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import math
+import os
+import sqlite3
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EXTENT = 4096
+
+# MVT geometry types (spec 4.3.4)
+GEOM_POINT = 1
+GEOM_LINESTRING = 2
+GEOM_POLYGON = 3
+
+# protobuf wire types
+_VARINT = 0
+_I64 = 1
+_LEN = 2
+
+
+def _varint(n: int) -> bytes:
+    """Unsigned LEB128."""
+    if n < 0:
+        raise ValueError("varint must be non-negative")
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def _field(num: int, wire: int, payload: bytes) -> bytes:
+    return _varint((num << 3) | wire) + payload
+
+
+def _len_field(num: int, payload: bytes) -> bytes:
+    return _field(num, _LEN, _varint(len(payload)) + payload)
+
+
+def _value_msg(v) -> bytes:
+    """MVT Value message: tagged union (spec 4.1)."""
+    if isinstance(v, bool):
+        return _field(7, _VARINT, _varint(1 if v else 0))
+    if isinstance(v, int):
+        return _field(4, _VARINT, _varint(_zigzag(v) >> 0)) if False else (
+            # int_value (field 4) is a plain int64 varint, two's
+            # complement 10-byte form for negatives per protobuf;
+            # sint_value (field 6) is the zigzag one — use sint for
+            # compact determinism
+            _field(6, _VARINT, _varint(_zigzag(v)))
+        )
+    if isinstance(v, float):
+        import struct
+
+        return _field(3, _I64, struct.pack("<d", v))
+    s = str(v).encode("utf-8")
+    return _len_field(1, s)
+
+
+def lonlat_to_tile_px(
+    lon: float, lat: float, z: int, x: int, y: int, extent: int = EXTENT
+) -> tuple[int, int]:
+    """Web-Mercator tile-local integer coordinates (same slippy-map
+    math as operators/geo.tile_xy, refined to the intra-tile grid)."""
+    n = 2.0 ** z
+    wx = (lon + 180.0) / 360.0 * n
+    lat_r = math.radians(max(min(lat, 85.05112878), -85.05112878))
+    wy = (1.0 - math.asinh(math.tan(lat_r)) / math.pi) / 2.0 * n
+    return (
+        int(round((wx - x) * extent)),
+        int(round((wy - y) * extent)),
+    )
+
+
+def _cmd(cmd_id: int, count: int) -> int:
+    return (cmd_id & 0x7) | (count << 3)
+
+
+def _encode_geometry(
+    geom: dict, z: int, x: int, y: int, extent: int = EXTENT
+) -> tuple[int, list[int]]:
+    """GeoJSON geometry dict -> (mvt_type, command/parameter ints)."""
+    t = geom.get("type")
+    if t == "Point":
+        px, py = lonlat_to_tile_px(*geom["coordinates"], z, x, y, extent)
+        return GEOM_POINT, [_cmd(1, 1), _zigzag(px), _zigzag(py)]
+    if t in ("Polygon", "MultiPolygon"):
+        polys = (
+            geom["coordinates"]
+            if t == "MultiPolygon"
+            else [geom["coordinates"]]
+        )
+        out: list[int] = []
+        cx = cy = 0
+        for rings in polys:
+            for ring in rings:
+                # GeoJSON rings repeat the first point; MVT closes with
+                # ClosePath instead
+                pts = ring[:-1] if ring and ring[0] == ring[-1] else ring
+                if len(pts) < 3:
+                    continue
+                coords = [
+                    lonlat_to_tile_px(p[0], p[1], z, x, y, extent)
+                    for p in pts
+                ]
+                px, py = coords[0]
+                out += [_cmd(1, 1), _zigzag(px - cx), _zigzag(py - cy)]
+                cx, cy = px, py
+                out.append(_cmd(2, len(coords) - 1))
+                for px, py in coords[1:]:
+                    out += [_zigzag(px - cx), _zigzag(py - cy)]
+                    cx, cy = px, py
+                out.append(_cmd(7, 1))
+        return GEOM_POLYGON, out
+    if t in ("LineString", "MultiLineString"):
+        lines = (
+            geom["coordinates"]
+            if t == "MultiLineString"
+            else [geom["coordinates"]]
+        )
+        out = []
+        cx = cy = 0
+        for line in lines:
+            coords = [
+                lonlat_to_tile_px(p[0], p[1], z, x, y, extent)
+                for p in line
+            ]
+            if len(coords) < 2:
+                continue
+            px, py = coords[0]
+            out += [_cmd(1, 1), _zigzag(px - cx), _zigzag(py - cy)]
+            cx, cy = px, py
+            out.append(_cmd(2, len(coords) - 1))
+            for px, py in coords[1:]:
+                out += [_zigzag(px - cx), _zigzag(py - cy)]
+                cx, cy = px, py
+        return GEOM_LINESTRING, out
+    raise ValueError(f"unsupported geometry type {t!r}")
+
+
+def encode_layer(
+    name: str,
+    features: list[dict],
+    z: int,
+    x: int,
+    y: int,
+    extent: int = EXTENT,
+) -> bytes:
+    """One MVT Layer submessage. ``features``: dicts with ``geometry``
+    (GeoJSON dict or string) and ``properties`` (flat dict). Keys and
+    values are interned layer-wide per the spec; iteration order is the
+    (deterministic) feature order, so the blob is reproducible."""
+    keys: list[str] = []
+    key_ix: dict[str, int] = {}
+    vals: list[bytes] = []
+    val_ix: dict[tuple, int] = {}
+    feats: list[bytes] = []
+    for i, f in enumerate(features):
+        geom = f["geometry"]
+        if isinstance(geom, str):
+            geom = json.loads(geom)
+        gtype, cmds = _encode_geometry(geom, z, x, y, extent)
+        if not cmds:
+            continue
+        tags: list[int] = []
+        for k, v in (f.get("properties") or {}).items():
+            if v is None:
+                continue
+            if k not in key_ix:
+                key_ix[k] = len(keys)
+                keys.append(k)
+            vk = (type(v).__name__, v)
+            if vk not in val_ix:
+                val_ix[vk] = len(vals)
+                vals.append(_value_msg(v))
+            tags += [key_ix[k], val_ix[vk]]
+        body = b""
+        fid = f.get("id")
+        if fid is not None:
+            body += _field(1, _VARINT, _varint(int(fid)))
+        if tags:
+            packed = b"".join(_varint(t) for t in tags)
+            body += _len_field(2, packed)
+        body += _field(3, _VARINT, _varint(gtype))
+        body += _len_field(4, b"".join(_varint(c) for c in cmds))
+        feats.append(body)
+    layer = _field(15, _VARINT, _varint(2))  # version = 2
+    layer += _len_field(1, name.encode("utf-8"))
+    for fb in feats:
+        layer += _len_field(2, fb)
+    for k in keys:
+        layer += _len_field(3, k.encode("utf-8"))
+    for vb in vals:
+        layer += _len_field(4, vb)
+    layer += _field(5, _VARINT, _varint(extent))
+    return _len_field(3, layer)  # Tile.layers field
+
+
+_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("pbf", T.BinaryType()),
+    ]
+)
+
+
+def encode_tiles(
+    feats: DataFrame,
+    zoom: int,
+    layer_col: str = "layer",
+    geom_col: str = "geometry",
+    id_col: str | None = None,
+) -> DataFrame:
+    """(layer, geometry, props...) -> one MVT pbf per (z, x, y).
+
+    Tile assignment is the representative point's slippy tile (pure
+    column math, codegen'd — operators/geo.tile_xy); the per-tile
+    encode is applyInPandas, so every tile's blob is built by exactly
+    one task and the shuffle carries features once. All non-geometry,
+    non-layer columns become feature properties."""
+    from ..operators.geo import tile_xy, with_interior_points
+
+    pts = with_interior_points(feats, geom_col)  # adds ip_x (lon), ip_y (lat)
+    tx, ty = tile_xy(F.col("ip_x"), F.col("ip_y"), zoom)
+    tiled = pts.withColumn("_tx", tx).withColumn("_ty", ty).filter(
+        F.col("ip_x").isNotNull()
+    )
+    prop_cols = [
+        c
+        for c in feats.columns
+        if c not in (geom_col, layer_col)
+    ]
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = zoom
+        x = int(pdf["_tx"].iloc[0])
+        y = int(pdf["_ty"].iloc[0])
+        blob = b""
+        for lname, grp in pdf.groupby(layer_col, sort=True):
+            grp = grp.sort_values(
+                id_col if id_col else prop_cols[0], kind="mergesort"
+            )
+            features = [
+                {
+                    "geometry": r[geom_col],
+                    "properties": {c: r[c] for c in prop_cols},
+                    "id": r[id_col] if id_col else None,
+                }
+                for _, r in grp.iterrows()
+            ]
+            blob += encode_layer(str(lname), features, z, x, y)
+        return pd.DataFrame(
+            {"z": [z], "x": [x], "y": [y], "pbf": [blob]}
+        )
+
+    return tiled.groupBy("_tx", "_ty").applyInPandas(
+        encode, schema=_TILE_SCHEMA
+    )
+
+
+def write_mbtiles(
+    tiles: DataFrame,
+    path: str,
+    name: str,
+    minzoom: int,
+    maxzoom: int,
+    bounds: str = "-180.0,-85,180,85",
+    layer_fields: dict[str, dict[str, str]] | None = None,
+) -> int:
+    """Package a (z, x, y, pbf) DataFrame into one .mbtiles file.
+
+    Collects the FINISHED blobs only (a tile pyramid destined for a
+    single SQLite artifact is output-bounded by design — the scale
+    path keeps the tiles DataFrame in parquet). Rows are gzipped (the
+    tippecanoe/mapbox convention), y is flipped to TMS, and the
+    metadata table carries the tippecanoe-compatible ``json`` layer
+    description. Returns the tile count."""
+    rows = tiles.select("z", "x", "y", "pbf").collect()
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        cur.execute(
+            "CREATE TABLE metadata (name text, value text)"
+        )
+        cur.execute(
+            "CREATE TABLE tiles (zoom_level integer, tile_column "
+            "integer, tile_row integer, tile_data blob)"
+        )
+        cur.execute(
+            "CREATE UNIQUE INDEX tile_index ON tiles "
+            "(zoom_level, tile_column, tile_row)"
+        )
+        vector_layers = [
+            {"id": lname, "fields": fields or {}}
+            for lname, fields in (layer_fields or {}).items()
+        ]
+        meta = {
+            "name": name,
+            "format": "pbf",
+            "minzoom": str(minzoom),
+            "maxzoom": str(maxzoom),
+            "bounds": bounds,
+            "type": "overlay",
+            "json": json.dumps({"vector_layers": vector_layers}),
+        }
+        cur.executemany(
+            "INSERT INTO metadata VALUES (?, ?)", list(meta.items())
+        )
+        n = 0
+        for r in rows:
+            tms_y = (1 << r["z"]) - 1 - r["y"]
+            cur.execute(
+                "INSERT INTO tiles VALUES (?, ?, ?, ?)",
+                (
+                    r["z"],
+                    r["x"],
+                    tms_y,
+                    gzip.compress(bytes(r["pbf"]), mtime=0),
+                ),
+            )
+            n += 1
+        con.commit()
+        return n
+    finally:
+        con.close()
+
+
+# --------------------------------------------------------------------------
+# decoding (for tests / verification — not a renderer)
+# --------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, i
+        shift += 7
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def decode_tile(buf: bytes) -> list[dict]:
+    """Minimal MVT reader: [{name, extent, features:[{id, type, tags,
+    geometry(commands decoded to absolute int coords)}], keys,
+    values}] — enough to round-trip-verify our encoder and to sanity-
+    check third-party tiles."""
+    layers = []
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        num, wire = tag >> 3, tag & 0x7
+        if num == 3 and wire == _LEN:
+            ln, i = _read_varint(buf, i)
+            layers.append(_decode_layer(buf[i : i + ln]))
+            i += ln
+        else:
+            i = _skip(buf, i, wire)
+    return layers
+
+
+def _skip(buf: bytes, i: int, wire: int) -> int:
+    if wire == _VARINT:
+        _, i = _read_varint(buf, i)
+        return i
+    if wire == _I64:
+        return i + 8
+    if wire == _LEN:
+        ln, i = _read_varint(buf, i)
+        return i + ln
+    if wire == 5:
+        return i + 4
+    raise ValueError(f"wire type {wire}")
+
+
+def _decode_layer(buf: bytes) -> dict:
+    out = {"name": None, "extent": EXTENT, "features": [], "keys": [],
+           "values": []}
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        num, wire = tag >> 3, tag & 0x7
+        if num == 1 and wire == _LEN:
+            ln, i = _read_varint(buf, i)
+            out["name"] = buf[i : i + ln].decode("utf-8")
+            i += ln
+        elif num == 2 and wire == _LEN:
+            ln, i = _read_varint(buf, i)
+            out["features"].append(_decode_feature(buf[i : i + ln]))
+            i += ln
+        elif num == 3 and wire == _LEN:
+            ln, i = _read_varint(buf, i)
+            out["keys"].append(buf[i : i + ln].decode("utf-8"))
+            i += ln
+        elif num == 4 and wire == _LEN:
+            ln, i = _read_varint(buf, i)
+            out["values"].append(_decode_value(buf[i : i + ln]))
+            i += ln
+        elif num == 5 and wire == _VARINT:
+            out["extent"], i = _read_varint(buf, i)
+        else:
+            i = _skip(buf, i, wire)
+    return out
+
+
+def _decode_value(buf: bytes):
+    i = 0
+    tag, i = _read_varint(buf, i)
+    num, wire = tag >> 3, tag & 0x7
+    if num == 1:
+        ln, i = _read_varint(buf, i)
+        return buf[i : i + ln].decode("utf-8")
+    if num == 3:
+        import struct
+
+        return struct.unpack("<d", buf[i : i + 8])[0]
+    if num == 6:
+        n, i = _read_varint(buf, i)
+        return _unzigzag(n)
+    if num == 7:
+        n, i = _read_varint(buf, i)
+        return bool(n)
+    n, i = _read_varint(buf, i)
+    return n
+
+
+def _decode_feature(buf: bytes) -> dict:
+    f = {"id": None, "tags": [], "type": 0, "geometry": []}
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        num, wire = tag >> 3, tag & 0x7
+        if num == 1 and wire == _VARINT:
+            f["id"], i = _read_varint(buf, i)
+        elif num == 2 and wire == _LEN:
+            ln, i = _read_varint(buf, i)
+            end = i + ln
+            while i < end:
+                t, i = _read_varint(buf, i)
+                f["tags"].append(t)
+        elif num == 3 and wire == _VARINT:
+            f["type"], i = _read_varint(buf, i)
+        elif num == 4 and wire == _LEN:
+            ln, i = _read_varint(buf, i)
+            end = i + ln
+            cmds = []
+            while i < end:
+                c, i = _read_varint(buf, i)
+                cmds.append(c)
+            f["geometry"] = _decode_commands(cmds)
+        else:
+            i = _skip(buf, i, wire)
+    return f
+
+
+def _decode_commands(cmds: list[int]) -> list[dict]:
+    """Command stream -> [{'cmd': 'move'|'line'|'close', 'points':
+    [(x, y), ...]}] with ABSOLUTE coordinates."""
+    out = []
+    cx = cy = 0
+    i = 0
+    while i < len(cmds):
+        cmd_id = cmds[i] & 0x7
+        count = cmds[i] >> 3
+        i += 1
+        if cmd_id == 7:
+            out.append({"cmd": "close", "points": []})
+            continue
+        pts = []
+        for _ in range(count):
+            cx += _unzigzag(cmds[i])
+            cy += _unzigzag(cmds[i + 1])
+            i += 2
+            pts.append((cx, cy))
+        out.append(
+            {"cmd": "move" if cmd_id == 1 else "line", "points": pts}
+        )
+    return out

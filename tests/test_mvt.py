@@ -1,0 +1,179 @@
+"""Native MVT/MBTiles sink: the reference's tippecanoe product
+(reference build.sh:129-134,214), produced IN-SANDBOX with no external
+binary — hand-encoded protobuf verified by an independent decoder, and
+a real SQLite .mbtiles artifact."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import sqlite3
+
+from pyspark.sql import functions as F
+
+from map_v2_etl_spark.sources.mvt import (
+    EXTENT,
+    _varint,
+    _zigzag,
+    decode_tile,
+    encode_layer,
+    encode_tiles,
+    lonlat_to_tile_px,
+    write_mbtiles,
+)
+
+
+def test_varint_zigzag():
+    assert _varint(0) == b"\x00"
+    assert _varint(1) == b"\x01"
+    assert _varint(300) == b"\xac\x02"  # protobuf docs example
+    assert _zigzag(0) == 0
+    assert _zigzag(-1) == 1
+    assert _zigzag(1) == 2
+    assert _zigzag(-2) == 3
+
+
+def test_encode_decode_polygon_roundtrip():
+    # a square around lon 1..2, lat 1..2 at z0 tile (0,0)
+    ring = [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]
+    feat = {
+        "geometry": {"type": "Polygon", "coordinates": [ring]},
+        "properties": {"GEOID": "01001", "pop": 42},
+        "id": 7,
+    }
+    blob = encode_layer("states", [feat], 0, 0, 0)
+    layers = decode_tile(blob)
+    assert len(layers) == 1
+    lyr = layers[0]
+    assert lyr["name"] == "states"
+    assert lyr["extent"] == EXTENT
+    assert lyr["keys"] == ["GEOID", "pop"]
+    assert lyr["values"] == ["01001", 42]
+    (f,) = lyr["features"]
+    assert f["id"] == 7
+    assert f["type"] == 3  # polygon
+    assert f["tags"] == [0, 0, 1, 1]
+    move, line, close = f["geometry"]
+    assert (move["cmd"], line["cmd"], close["cmd"]) == (
+        "move", "line", "close",
+    )
+    got = move["points"] + line["points"]
+    want = [lonlat_to_tile_px(x, y, 0, 0, 0) for x, y in ring[:-1]]
+    assert got == want
+
+
+def test_encode_decode_point_and_line():
+    feats = [
+        {
+            "geometry": {"type": "Point", "coordinates": [10.0, 20.0]},
+            "properties": {"name": "p"},
+        },
+        {
+            "geometry": {
+                "type": "LineString",
+                "coordinates": [[0.0, 0.0], [5.0, 5.0], [10.0, 0.0]],
+            },
+            "properties": {"name": "l"},
+        },
+    ]
+    layers = decode_tile(encode_layer("misc", feats, 0, 0, 0))
+    f_point, f_line = layers[0]["features"]
+    assert f_point["type"] == 1
+    assert f_point["geometry"][0]["points"] == [
+        lonlat_to_tile_px(10.0, 20.0, 0, 0, 0)
+    ]
+    assert f_line["type"] == 2
+    pts = f_line["geometry"][0]["points"] + f_line["geometry"][1]["points"]
+    assert len(pts) == 3
+
+
+def test_spark_tile_pipeline_to_mbtiles(spark, tmp_path):
+    # two small squares in different z6 tiles + their bubble points
+    def square(lon, lat, d=0.2):
+        return json.dumps(
+            {
+                "type": "Polygon",
+                "coordinates": [
+                    [
+                        [lon, lat], [lon + d, lat], [lon + d, lat + d],
+                        [lon, lat + d], [lon, lat],
+                    ]
+                ],
+            }
+        )
+
+    rows = [
+        ("01", square(-86.9, 32.5), "choropleth-00"),
+        ("02", square(-100.3, 35.7), "choropleth-00"),
+        ("01", square(-86.9, 32.5), "bubble-00"),
+    ]
+    feats = spark.createDataFrame(
+        rows, "GEOID STRING, geometry STRING, layer STRING"
+    )
+    tiles = encode_tiles(feats, zoom=6, id_col=None)
+    got = tiles.collect()
+    assert len(got) == 2  # two distinct z6 tiles
+    for r in got:
+        layers = decode_tile(bytes(r["pbf"]))
+        names = [l["name"] for l in layers]
+        assert "choropleth-00" in names
+        for lyr in layers:
+            assert lyr["extent"] == EXTENT
+            for f in lyr["features"]:
+                assert f["geometry"], "empty geometry commands"
+
+    path = str(tmp_path / "states.mbtiles")
+    n = write_mbtiles(
+        tiles, path, "states", minzoom=6, maxzoom=6,
+        layer_fields={
+            "choropleth-00": {"GEOID": "String"},
+            "bubble-00": {"GEOID": "String"},
+        },
+    )
+    assert n == 2
+    con = sqlite3.connect(path)
+    meta = dict(con.execute("SELECT name, value FROM metadata"))
+    assert meta["format"] == "pbf"
+    assert meta["name"] == "states"
+    vl = json.loads(meta["json"])["vector_layers"]
+    assert {v["id"] for v in vl} == {"choropleth-00", "bubble-00"}
+    stored = con.execute(
+        "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
+    ).fetchall()
+    assert len(stored) == 2
+    for z, x, tms_y, blob in stored:
+        assert z == 6
+        # TMS flip: recover slippy y and the original blob
+        y = (1 << z) - 1 - tms_y
+        raw = gzip.decompress(blob)
+        layers = decode_tile(raw)
+        assert layers and layers[0]["features"]
+        orig = next(
+            bytes(r["pbf"]) for r in got if r["x"] == x and r["y"] == y
+        )
+        assert raw == orig
+    con.close()
+
+
+def test_mbtiles_deterministic_bytes(spark, tmp_path):
+    """Same input -> byte-identical .mbtiles (gzip mtime pinned, key/
+    value interning order pinned by feature sort)."""
+    feats = spark.createDataFrame(
+        [
+            ("01", '{"type":"Point","coordinates":[1.0,2.0]}', "pts"),
+            ("02", '{"type":"Point","coordinates":[1.1,2.1]}', "pts"),
+        ],
+        "GEOID STRING, geometry STRING, layer STRING",
+    )
+    p1, p2 = str(tmp_path / "a.mbtiles"), str(tmp_path / "b.mbtiles")
+    write_mbtiles(encode_tiles(feats, 4), p1, "t", 4, 4)
+    write_mbtiles(encode_tiles(feats, 4), p2, "t", 4, 4)
+    t1 = sqlite3.connect(p1).execute(
+        "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles "
+        "ORDER BY 1, 2, 3"
+    ).fetchall()
+    t2 = sqlite3.connect(p2).execute(
+        "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles "
+        "ORDER BY 1, 2, 3"
+    ).fetchall()
+    assert t1 == t2
