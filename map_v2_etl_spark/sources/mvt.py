@@ -24,12 +24,13 @@ compatibility posture as csv_io.write_sorted_csv — the scale sink is
 the (z, x, y, pbf) DataFrame itself, written to parquet or a tile
 directory).
 
-v1 limitation, documented: features are assigned to ONE tile (their
-representative point's tile) and encoded unclipped. MVT permits
-coordinates outside the tile extent (renderers clip; tippecanoe keeps
-a buffer for the same reason), so tiles are valid, but a polygon
-spanning many tiles appears only in one at that zoom. Clip-and-
-duplicate is the follow-on, not a format change.
+Clip-and-duplicate, like tippecanoe: each feature lands in every tile
+its bbox overlaps (bounded by MAX_TILES_PER_FEATURE) and its polygon
+rings are Sutherland–Hodgman-clipped to the tile's 64-px buffered box
+in float pixel space before integer rounding, so a polygon spanning
+tiles renders seamlessly from all of them. ``clip_buf=None`` selects
+the cheaper single-tile-by-representative-point assignment for point
+layers.
 """
 
 from __future__ import annotations
@@ -124,13 +125,90 @@ def _cmd(cmd_id: int, count: int) -> int:
     return (cmd_id & 0x7) | (count << 3)
 
 
+def clip_ring(
+    pts: list[tuple[float, float]],
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> list[tuple[float, float]]:
+    """Sutherland–Hodgman polygon clip against an axis-aligned box (the
+    classic tile-buffer clip tippecanoe performs). Input/output rings
+    are open (no repeated first point); empty result = fully outside."""
+
+    def clip_edge(poly, inside, intersect):
+        out = []
+        if not poly:
+            return out
+        prev = poly[-1]
+        prev_in = inside(prev)
+        for cur in poly:
+            cur_in = inside(cur)
+            if cur_in:
+                if not prev_in:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif prev_in:
+                out.append(intersect(prev, cur))
+            prev, prev_in = cur, cur_in
+        return out
+
+    def ix_x(bound):
+        def f(p, q):
+            t = (bound - p[0]) / (q[0] - p[0])
+            return (bound, p[1] + t * (q[1] - p[1]))
+
+        return f
+
+    def ix_y(bound):
+        def f(p, q):
+            t = (bound - p[1]) / (q[1] - p[1])
+            return (p[0] + t * (q[0] - p[0]), bound)
+
+        return f
+
+    pts = clip_edge(pts, lambda p: p[0] >= xmin, ix_x(xmin))
+    pts = clip_edge(pts, lambda p: p[0] <= xmax, ix_x(xmax))
+    pts = clip_edge(pts, lambda p: p[1] >= ymin, ix_y(ymin))
+    pts = clip_edge(pts, lambda p: p[1] <= ymax, ix_y(ymax))
+    return pts
+
+
+def _to_px_float(
+    lon: float, lat: float, z: int, x: int, y: int, extent: int
+) -> tuple[float, float]:
+    n = 2.0 ** z
+    wx = (lon + 180.0) / 360.0 * n
+    lat_r = math.radians(max(min(lat, 85.05112878), -85.05112878))
+    wy = (1.0 - math.asinh(math.tan(lat_r)) / math.pi) / 2.0 * n
+    return (wx - x) * extent, (wy - y) * extent
+
+
 def _encode_geometry(
-    geom: dict, z: int, x: int, y: int, extent: int = EXTENT
+    geom: dict,
+    z: int,
+    x: int,
+    y: int,
+    extent: int = EXTENT,
+    clip_buf: int | None = None,
 ) -> tuple[int, list[int]]:
-    """GeoJSON geometry dict -> (mvt_type, command/parameter ints)."""
+    """GeoJSON geometry dict -> (mvt_type, command/parameter ints).
+
+    With ``clip_buf`` set, polygon rings are Sutherland–Hodgman-clipped
+    to the tile box expanded by that many pixels (the tippecanoe
+    buffer), and out-of-box points are dropped; clipping happens in
+    FLOAT pixel space before integer rounding so edges land exactly on
+    the clip bound. Lines are included whole when any vertex is in the
+    box (segment-level clipping is a renderer concern at our zooms)."""
     t = geom.get("type")
     if t == "Point":
-        px, py = lonlat_to_tile_px(*geom["coordinates"], z, x, y, extent)
+        fx, fy = _to_px_float(*geom["coordinates"], z, x, y, extent)
+        if clip_buf is not None and not (
+            -clip_buf <= fx <= extent + clip_buf
+            and -clip_buf <= fy <= extent + clip_buf
+        ):
+            return GEOM_POINT, []
+        px, py = int(round(fx)), int(round(fy))
         return GEOM_POINT, [_cmd(1, 1), _zigzag(px), _zigzag(py)]
     if t in ("Polygon", "MultiPolygon"):
         polys = (
@@ -147,10 +225,33 @@ def _encode_geometry(
                 pts = ring[:-1] if ring and ring[0] == ring[-1] else ring
                 if len(pts) < 3:
                     continue
-                coords = [
-                    lonlat_to_tile_px(p[0], p[1], z, x, y, extent)
+                fpts = [
+                    _to_px_float(p[0], p[1], z, x, y, extent)
                     for p in pts
                 ]
+                if clip_buf is not None:
+                    fpts = clip_ring(
+                        fpts,
+                        -clip_buf,
+                        -clip_buf,
+                        extent + clip_buf,
+                        extent + clip_buf,
+                    )
+                coords = [
+                    (int(round(fx)), int(round(fy))) for fx, fy in fpts
+                ]
+                # rounding can collapse clip slivers; also drop
+                # consecutive duplicates the integer grid created
+                dedup = [
+                    c
+                    for i, c in enumerate(coords)
+                    if i == 0 or c != coords[i - 1]
+                ]
+                if len(dedup) > 1 and dedup[0] == dedup[-1]:
+                    dedup = dedup[:-1]
+                coords = dedup
+                if len(coords) < 3:
+                    continue
                 px, py = coords[0]
                 out += [_cmd(1, 1), _zigzag(px - cx), _zigzag(py - cy)]
                 cx, cy = px, py
@@ -169,10 +270,16 @@ def _encode_geometry(
         out = []
         cx = cy = 0
         for line in lines:
-            coords = [
-                lonlat_to_tile_px(p[0], p[1], z, x, y, extent)
-                for p in line
+            fpts = [
+                _to_px_float(p[0], p[1], z, x, y, extent) for p in line
             ]
+            if clip_buf is not None and not any(
+                -clip_buf <= fx <= extent + clip_buf
+                and -clip_buf <= fy <= extent + clip_buf
+                for fx, fy in fpts
+            ):
+                continue
+            coords = [(int(round(fx)), int(round(fy))) for fx, fy in fpts]
             if len(coords) < 2:
                 continue
             px, py = coords[0]
@@ -193,6 +300,7 @@ def encode_layer(
     x: int,
     y: int,
     extent: int = EXTENT,
+    clip_buf: int | None = None,
 ) -> bytes:
     """One MVT Layer submessage. ``features``: dicts with ``geometry``
     (GeoJSON dict or string) and ``properties`` (flat dict). Keys and
@@ -207,7 +315,7 @@ def encode_layer(
         geom = f["geometry"]
         if isinstance(geom, str):
             geom = json.loads(geom)
-        gtype, cmds = _encode_geometry(geom, z, x, y, extent)
+        gtype, cmds = _encode_geometry(geom, z, x, y, extent, clip_buf)
         if not cmds:
             continue
         tags: list[int] = []
@@ -232,6 +340,10 @@ def encode_layer(
         body += _field(3, _VARINT, _varint(gtype))
         body += _len_field(4, b"".join(_varint(c) for c in cmds))
         feats.append(body)
+    if not feats:
+        # every feature clipped away: emit nothing rather than a
+        # featureless layer husk
+        return b""
     layer = _field(15, _VARINT, _varint(2))  # version = 2
     layer += _len_field(1, name.encode("utf-8"))
     for fb in feats:
@@ -254,27 +366,99 @@ _TILE_SCHEMA = T.StructType(
 )
 
 
+#: cap on tiles one feature may span at a zoom — guards a runaway
+#: world-spanning geometry from exploding into the whole pyramid (at
+#: real scale such features belong to a lower zoom)
+MAX_TILES_PER_FEATURE = 256
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ]
+    )
+)  # typed StructType, not a DDL string: the string form parses at
+# import time and needs a live SparkContext (this module imports before
+# any session exists in tests)
+def _geom_bbox(geom: pd.Series) -> pd.DataFrame:
+    """lon/lat bounding box of any GeoJSON geometry (Point/LineString/
+    Polygon and Multi* variants)."""
+    out = {"xmin": [], "ymin": [], "xmax": [], "ymax": []}
+
+    def walk(c):
+        if isinstance(c[0], (int, float)):
+            yield c
+        else:
+            for sub in c:
+                yield from walk(sub)
+
+    for g in geom:
+        try:
+            pts = list(walk(json.loads(g)["coordinates"]))
+            out["xmin"].append(min(p[0] for p in pts))
+            out["ymin"].append(min(p[1] for p in pts))
+            out["xmax"].append(max(p[0] for p in pts))
+            out["ymax"].append(max(p[1] for p in pts))
+        except (ValueError, KeyError, TypeError, IndexError):
+            for k in out:
+                out[k].append(None)
+    return pd.DataFrame(out)
+
+
 def encode_tiles(
     feats: DataFrame,
     zoom: int,
     layer_col: str = "layer",
     geom_col: str = "geometry",
     id_col: str | None = None,
+    clip_buf: int | None = 64,
 ) -> DataFrame:
     """(layer, geometry, props...) -> one MVT pbf per (z, x, y).
 
-    Tile assignment is the representative point's slippy tile (pure
-    column math, codegen'd — operators/geo.tile_xy); the per-tile
-    encode is applyInPandas, so every tile's blob is built by exactly
-    one task and the shuffle carries features once. All non-geometry,
-    non-layer columns become feature properties."""
+    With ``clip_buf`` (default 64 px, the tippecanoe buffer), each
+    feature is assigned to EVERY tile its bbox overlaps (bbox pandas
+    UDF -> tile-range sequence explode, all column math) and its
+    geometry is clipped to each tile's buffered box at encode time —
+    a polygon spanning tiles renders seamlessly from all of them.
+    ``clip_buf=None`` falls back to single-tile assignment by
+    representative point (cheaper; fine for point layers).
+
+    The per-tile encode is applyInPandas, so every tile's blob is
+    built by exactly one task; the shuffle carries each feature once
+    per overlapped tile (bounded by MAX_TILES_PER_FEATURE). All
+    non-geometry, non-layer columns become feature properties."""
     from ..operators.geo import tile_xy, with_interior_points
 
-    pts = with_interior_points(feats, geom_col)  # adds ip_x (lon), ip_y (lat)
-    tx, ty = tile_xy(F.col("ip_x"), F.col("ip_y"), zoom)
-    tiled = pts.withColumn("_tx", tx).withColumn("_ty", ty).filter(
-        F.col("ip_x").isNotNull()
-    )
+    if clip_buf is None:
+        pts = with_interior_points(feats, geom_col)  # ip_x/ip_y lon/lat
+        tx, ty = tile_xy(F.col("ip_x"), F.col("ip_y"), zoom)
+        tiled = pts.withColumn("_tx", tx).withColumn("_ty", ty).filter(
+            F.col("ip_x").isNotNull()
+        )
+    else:
+        bb = feats.withColumn("_bb", _geom_bbox(F.col(geom_col))).filter(
+            F.col("_bb.xmin").isNotNull()
+        )
+        x0, y1 = tile_xy(F.col("_bb.xmin"), F.col("_bb.ymin"), zoom)
+        x1, y0 = tile_xy(F.col("_bb.xmax"), F.col("_bb.ymax"), zoom)
+        spanned = bb.withColumn("_x0", x0).withColumn("_x1", x1)
+        spanned = spanned.withColumn("_y0", y0).withColumn("_y1", y1)
+        spanned = spanned.filter(
+            (F.col("_x1") - F.col("_x0") + 1)
+            * (F.col("_y1") - F.col("_y0") + 1)
+            <= MAX_TILES_PER_FEATURE
+        )
+        tiled = (
+            spanned.withColumn(
+                "_tx", F.explode(F.sequence("_x0", "_x1"))
+            )
+            .withColumn("_ty", F.explode(F.sequence("_y0", "_y1")))
+            .drop("_bb", "_x0", "_x1", "_y0", "_y1")
+        )
     prop_cols = [
         c
         for c in feats.columns
@@ -298,7 +482,11 @@ def encode_tiles(
                 }
                 for _, r in grp.iterrows()
             ]
-            blob += encode_layer(str(lname), features, z, x, y)
+            blob += encode_layer(
+                str(lname), features, z, x, y, clip_buf=clip_buf
+            )
+        if not blob:  # all features clipped out of this tile
+            return pd.DataFrame({"z": [], "x": [], "y": [], "pbf": []})
         return pd.DataFrame(
             {"z": [z], "x": [x], "y": [y], "pbf": [blob]}
         )

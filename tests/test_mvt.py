@@ -177,3 +177,67 @@ def test_mbtiles_deterministic_bytes(spark, tmp_path):
         "ORDER BY 1, 2, 3"
     ).fetchall()
     assert t1 == t2
+
+
+def test_clip_ring_square():
+    from map_v2_etl_spark.sources.mvt import clip_ring
+
+    sq = [(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0), (-10.0, 10.0)]
+    clipped = clip_ring(sq, 0, 0, 5, 5)
+    assert sorted(clipped) == [(0.0, 0.0), (0.0, 5.0), (5.0, 0.0), (5.0, 5.0)]
+    assert clip_ring(sq, 20, 20, 30, 30) == []
+
+
+def test_polygon_spanning_tiles_clipped_into_both(spark):
+    """Clip-and-duplicate: a polygon crossing a tile boundary shows up
+    in every overlapped tile, geometry clipped to each tile's buffered
+    box (coords within [-buf, extent+buf])."""
+    # z1 tile boundary is lon 0; span it widely
+    geom = json.dumps(
+        {
+            "type": "Polygon",
+            "coordinates": [
+                [
+                    [-30.0, -20.0], [30.0, -20.0], [30.0, 20.0],
+                    [-30.0, 20.0], [-30.0, -20.0],
+                ]
+            ],
+        }
+    )
+    feats = spark.createDataFrame(
+        [("A", geom, "poly")], "GEOID STRING, geometry STRING, layer STRING"
+    )
+    tiles = encode_tiles(feats, zoom=1, clip_buf=64).collect()
+    xs = sorted((r["x"], r["y"]) for r in tiles)
+    assert xs == [(0, 0), (0, 1), (1, 0), (1, 1)]  # 4 tiles at z1
+    for r in tiles:
+        layers = decode_tile(bytes(r["pbf"]))
+        (f,) = layers[0]["features"]
+        pts = [
+            p
+            for part in f["geometry"]
+            for p in part["points"]
+        ]
+        assert pts, "clipped geometry must be non-empty"
+        for x, y in pts:
+            assert -64 <= x <= EXTENT + 64
+            assert -64 <= y <= EXTENT + 64
+
+
+def test_clip_none_single_tile_assignment(spark):
+    geom = json.dumps(
+        {
+            "type": "Polygon",
+            "coordinates": [
+                [
+                    [-30.0, -20.0], [30.0, -20.0], [30.0, 20.0],
+                    [-30.0, 20.0], [-30.0, -20.0],
+                ]
+            ],
+        }
+    )
+    feats = spark.createDataFrame(
+        [("A", geom, "poly")], "GEOID STRING, geometry STRING, layer STRING"
+    )
+    tiles = encode_tiles(feats, zoom=1, clip_buf=None).collect()
+    assert len(tiles) == 1  # representative-point tile only
