@@ -496,6 +496,56 @@ def encode_tiles(
     )
 
 
+def encode_pyramid(
+    feats: DataFrame,
+    minzoom: int,
+    maxzoom: int,
+    layer_col: str = "layer",
+    geom_col: str = "geometry",
+    id_col: str | None = None,
+    clip_buf: int | None = 64,
+    max_per_tile: int | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Full tile pyramid (tippecanoe's -Z/-z): one (z, x, y, pbf) frame
+    covering every zoom in [minzoom, maxzoom].
+
+    Each zoom's plan is an independent encode_tiles over the SAME input
+    scan (union of per-zoom subplans — zoom is a plan-time constant in
+    the tile math, so per-zoom codegen beats a zoom-join). With
+    ``max_per_tile`` + ``weight_col``, the k heaviest features survive
+    per tile BEFORE encoding (operators/geo.per_tile_topk — the
+    tippecanoe drop-densest rule) — at low zooms that bound is what
+    keeps world-view tiles constant-size while deep zooms keep every
+    feature, the property that makes a 100 TB pyramid render."""
+    out = None
+    for z in range(minzoom, maxzoom + 1):
+        src = feats
+        if max_per_tile is not None and weight_col is not None:
+            from ..operators.geo import (
+                per_tile_topk,
+                tile_xy,
+                with_interior_points,
+            )
+
+            pts = with_interior_points(src, geom_col)
+            tx, ty = tile_xy(F.col("ip_x"), F.col("ip_y"), z)
+            keyed = (
+                pts.withColumn("tile_z", F.lit(z))
+                .withColumn("tile_x", tx)
+                .withColumn("tile_y", ty)
+            )
+            src = per_tile_topk(
+                keyed, weight_col, max_per_tile,
+                tie_cols=[id_col] if id_col else None,
+            ).drop("tile_z", "tile_x", "tile_y", "ip_x", "ip_y")
+        tiles_z = encode_tiles(
+            src, z, layer_col, geom_col, id_col, clip_buf
+        )
+        out = tiles_z if out is None else out.unionByName(tiles_z)
+    return out
+
+
 def write_mbtiles(
     tiles: DataFrame,
     path: str,

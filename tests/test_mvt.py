@@ -241,3 +241,65 @@ def test_clip_none_single_tile_assignment(spark):
     )
     tiles = encode_tiles(feats, zoom=1, clip_buf=None).collect()
     assert len(tiles) == 1  # representative-point tile only
+
+
+def test_encode_pyramid_with_density_drop(spark, tmp_path):
+    """Multi-zoom pyramid: every zoom present; low zooms keep only the
+    heaviest features per tile, deep zooms keep all."""
+    import random
+
+    from map_v2_etl_spark.sources.mvt import encode_pyramid
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        lon, lat = -120 + rng.random() * 60, 25 + rng.random() * 20
+        rows.append(
+            (
+                f"{i:05d}",
+                float(i),
+                json.dumps({"type": "Point", "coordinates": [lon, lat]}),
+                "bubble",
+            )
+        )
+    feats = spark.createDataFrame(
+        rows, "GEOID STRING, pop DOUBLE, geometry STRING, layer STRING"
+    )
+    pyr = encode_pyramid(
+        feats, minzoom=2, maxzoom=6, id_col="GEOID",
+        max_per_tile=5, weight_col="pop",
+    ).collect()
+    by_zoom = {}
+    for r in pyr:
+        by_zoom.setdefault(r["z"], []).append(r)
+    assert set(by_zoom) == {2, 3, 4, 5, 6}
+    # z2: the drop rule holds PER TILE — no tile carries more than 5,
+    # and the cap actually bit (fewer features than the input total)
+    z2_total = 0
+    for r in by_zoom[2]:
+        n_tile = sum(
+            len(lyr["features"]) for lyr in decode_tile(bytes(r["pbf"]))
+        )
+        assert n_tile <= 5
+        z2_total += n_tile
+    assert z2_total < 30
+    # deep zoom keeps everything
+    z6_feats = [
+        f
+        for r in by_zoom[6]
+        for lyr in decode_tile(bytes(r["pbf"]))
+        for f in lyr["features"]
+    ]
+    assert len(z6_feats) == 30
+
+    from map_v2_etl_spark.sources.mvt import write_mbtiles
+
+    path = str(tmp_path / "pyr.mbtiles")
+    n = write_mbtiles(
+        spark.createDataFrame(pyr), path, "pyr", minzoom=2, maxzoom=6
+    )
+    assert n == len(pyr)
+    meta = dict(
+        sqlite3.connect(path).execute("SELECT name, value FROM metadata")
+    )
+    assert (meta["minzoom"], meta["maxzoom"]) == ("2", "6")
