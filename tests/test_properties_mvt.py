@@ -1,0 +1,211 @@
+"""Property-based tests (hypothesis) for the MVT encoder and the
+cross-engine arithmetic in plans/duck_vec.py — the two places where a
+single wrong bit silently corrupts artifacts or flips an oracle."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from map_v2_etl_spark.sources.mvt import (
+    EXTENT,
+    _read_varint,
+    _unzigzag,
+    _varint,
+    _zigzag,
+    clip_ring,
+    decode_tile,
+    encode_layer,
+    lonlat_to_tile_px,
+)
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_varint_roundtrip(n):
+    v, i = _read_varint(_varint(n), 0)
+    assert v == n
+    assert i == len(_varint(n))
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_zigzag_roundtrip(n):
+    assert _unzigzag(_zigzag(n)) == n
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1000, 1000, allow_nan=False),
+            st.floats(-1000, 1000, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=12,
+    ),
+    st.floats(-100, 0),
+    st.floats(0, 100),
+)
+@settings(max_examples=200, deadline=None)
+def test_clip_ring_stays_in_box(pts, lo, hi):
+    out = clip_ring(pts, lo, lo, hi, hi)
+    eps = 1e-9
+    for x, y in out:
+        assert lo - eps <= x <= hi + eps
+        assert lo - eps <= y <= hi + eps
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(-50, 50), st.floats(-50, 50)),
+        min_size=3,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_clip_ring_identity_when_inside(pts):
+    assert clip_ring(pts, -60, -60, 60, 60) == pts
+
+
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=8,
+        ),
+        st.one_of(
+            st.integers(min_value=-(2**31), max_value=2**31),
+            st.booleans(),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.text(max_size=16),
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_feature_properties_roundtrip(props):
+    feat = {
+        "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+        "properties": props,
+    }
+    layers = decode_tile(encode_layer("l", [feat], 0, 0, 0))
+    lyr = layers[0]
+    (f,) = lyr["features"]
+    got = {
+        lyr["keys"][f["tags"][i]]: lyr["values"][f["tags"][i + 1]]
+        for i in range(0, len(f["tags"]), 2)
+    }
+    want = {k: v for k, v in props.items() if v is not None}
+    assert got == want
+
+
+@given(
+    st.floats(-179.9, 179.9),
+    st.floats(-80.0, 80.0),
+    st.integers(min_value=0, max_value=14),
+)
+@settings(max_examples=200, deadline=None)
+def test_point_roundtrip_exact(lon, lat, z):
+    # target tile = the point's own tile, so local coords are in-extent
+    n = 2.0 ** z
+    tx = int((lon + 180.0) / 360.0 * n)
+    lat_r = math.radians(lat)
+    ty = int((1.0 - math.asinh(math.tan(lat_r)) / math.pi) / 2.0 * n)
+    feat = {
+        "geometry": {"type": "Point", "coordinates": [lon, lat]},
+        "properties": {},
+    }
+    layers = decode_tile(encode_layer("p", [feat], z, tx, ty))
+    (f,) = layers[0]["features"]
+    assert f["geometry"][0]["points"] == [
+        lonlat_to_tile_px(lon, lat, z, tx, ty)
+    ]
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**53), max_value=2**53),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_duck_xxhash64_matches_python_reference(vals):
+    """The HUGEINT CTE chain equals a pure-Python XXH64 reference for
+    arbitrary signed longs (negatives exercise the two's-complement
+    normalization)."""
+    import duckdb
+
+    from map_v2_etl_spark.plans.duck_vec import xxhash64_ctes
+
+    P1, P2, P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    P4, P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def ref(v):
+        u = v & M
+        k1 = (u * P2) & M
+        k1 = rotl(k1, 31)
+        k1 = (k1 * P1) & M
+        h = (42 + P5 + 8) & M
+        h ^= k1
+        h = (rotl(h, 27) * P1 + P4) & M
+        h ^= h >> 33
+        h = (h * P2) & M
+        h ^= h >> 29
+        h = (h * P3) & M
+        h ^= h >> 32
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (vec_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got = dict(
+        con.sql(
+            f"WITH {xxhash64_ctes('hx', 't', keep='vec_id')} "
+            "SELECT vec_id, h FROM hx"
+        ).fetchall()
+    )
+    assert got == {v: ref(v) for v in vals}
+
+
+@given(
+    st.lists(
+        st.floats(-1.0, 1.0, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_duck_dec_mean_matches_decimal_reference(xs):
+    """dec_mean (the HUGEINT HALF_UP pipeline) equals the Python
+    decimal reference float(avg(Decimal(x).quantize(1e-12)))."""
+    import decimal
+
+    import duckdb
+
+    from map_v2_etl_spark.plans.duck_vec import dec_mean
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    (got,) = con.sql(f"SELECT {dec_mean('x')} AS m FROM t").fetchone()
+
+    q12 = decimal.Decimal(1).scaleb(-12)
+    total = sum(
+        decimal.Decimal(repr(x)).quantize(
+            q12, rounding=decimal.ROUND_HALF_UP
+        )
+        for x in xs
+    )
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        mean16 = (total / len(xs)).quantize(
+            decimal.Decimal(1).scaleb(-16), rounding=decimal.ROUND_HALF_UP
+        )
+    assert got == float(mean16)
