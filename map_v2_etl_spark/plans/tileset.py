@@ -223,7 +223,11 @@ def build_tileset_native(
     tagged = None
     for lname, df in sorted(layers.items()):
         cur = df.withColumn("layer", F.lit(lname))
-        tagged = cur if tagged is None else tagged.unionByName(cur)
+        tagged = (
+            cur
+            if tagged is None
+            else tagged.unionByName(cur, allowMissingColumns=True)
+        )
     tiles = encode_tiles(tagged, zoom, id_col=id_col)
     fields = {
         lname: {

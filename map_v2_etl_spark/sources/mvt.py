@@ -320,7 +320,9 @@ def encode_layer(
             continue
         tags: list[int] = []
         for k, v in (f.get("properties") or {}).items():
-            if v is None:
+            # skip missing values: None, and the NaN that pandas uses
+            # for nulls when layers with different columns union
+            if v is None or (isinstance(v, float) and v != v):
                 continue
             if k not in key_ix:
                 key_ix[k] = len(keys)
@@ -610,6 +612,34 @@ def write_mbtiles(
             )
             n += 1
         con.commit()
+        return n
+    finally:
+        con.close()
+
+
+def mbtiles_to_dir(mbtiles_path: str, out_dir: str) -> int:
+    """S9 natively: unpack an .mbtiles into a z/x/y.pbf tile directory
+    plus metadata.json — tile-join --output-to-directory without the
+    binary (reference build.sh:220-223). Tiles stay gzip-compressed on
+    disk, which is why the deploy manifest marks *.pbf with
+    content-encoding gzip (upload_manifest). Returns the tile count."""
+    con = sqlite3.connect(mbtiles_path)
+    try:
+        meta = dict(con.execute("SELECT name, value FROM metadata"))
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "metadata.json"), "w") as fh:
+            json.dump(meta, fh, sort_keys=True)
+        n = 0
+        for z, x, tms_y, blob in con.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data "
+            "FROM tiles ORDER BY 1, 2, 3"
+        ):
+            y = (1 << z) - 1 - tms_y  # TMS -> slippy
+            d = os.path.join(out_dir, str(z), str(x))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{y}.pbf"), "wb") as fh:
+                fh.write(blob)
+            n += 1
         return n
     finally:
         con.close()

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import gzip
 import json
+import os
 import sqlite3
 
 from pyspark.sql import functions as F
@@ -303,3 +304,95 @@ def test_encode_pyramid_with_density_drop(spark, tmp_path):
         sqlite3.connect(path).execute("SELECT name, value FROM metadata")
     )
     assert (meta["minzoom"], meta["maxzoom"]) == ("2", "6")
+
+
+def test_reference_pipeline_native_tileset_and_deploy(spark, tmp_path):
+    """The reference's tileset + deploy arc with ZERO external binaries:
+    wide table -> tile_layers -> native .mbtiles (S8) -> tile directory
+    (S9, mbtiles_to_dir) -> S3 upload manifest (S7) against moto when
+    available, LocalObjectStore otherwise."""
+    from map_v2_etl_spark.plans.pipeline import build_wide, tile_layers
+    from map_v2_etl_spark.plans.tileset import (
+        LocalObjectStore,
+        build_tileset_native,
+        execute_manifest,
+        upload_manifest,
+    )
+    from map_v2_etl_spark.sources.mvt import decode_tile, mbtiles_to_dir
+
+    src = tmp_path / "long.csv"
+    src.write_text(
+        "id,year,name,parent_location,population,eviction_rate,"
+        "eviction_filing_rate,renter_occupied_households\n"
+        "01,2000,A,US,100,1.0,2.0,40\n"
+        "02,2000,B,US,50,0.5,0.7,20\n"
+    )
+    wide = build_wide(spark, str(src), "raw")
+    shapes = spark.createDataFrame(
+        [
+            (
+                "01",
+                '{"type":"Polygon","coordinates":'
+                "[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}",
+            ),
+            (
+                "02",
+                '{"type":"Polygon","coordinates":'
+                "[[[2,0],[3,0],[3,1],[2,1],[2,0]]]}",
+            ),
+        ],
+        ["GEOID", "geometry"],
+    )
+    layers = tile_layers(wide, shapes, "raw")
+    # layer keys are "bubble/00-09" / "choropleth/00-09" etc.
+    dec00 = {
+        name.split("/")[0] + "-00": df
+        for name, df in layers.items()
+        if name.endswith("/00-09")
+    }
+    assert set(dec00) == {"bubble-00", "choropleth-00"}
+
+    mb = str(tmp_path / "states-00.mbtiles")
+    n = build_tileset_native(dec00, mb, "states-00", zoom=6, id_col="id")
+    assert n >= 1
+
+    tile_dir = str(tmp_path / "states-00")
+    assert mbtiles_to_dir(mb, tile_dir) == n
+    # the directory mirrors the sqlite content: every pbf decodes and
+    # carries both layers' features with GEOID properties
+    import glob
+    import gzip as _gzip
+
+    pbfs = glob.glob(os.path.join(tile_dir, "**", "*.pbf"), recursive=True)
+    assert len(pbfs) == n
+    seen_layers = set()
+    for p in pbfs:
+        with open(p, "rb") as fh:
+            layers_dec = decode_tile(_gzip.decompress(fh.read()))
+        for lyr in layers_dec:
+            seen_layers.add(lyr["name"])
+            assert "GEOID" in lyr["keys"]
+    assert seen_layers == {"bubble-00", "choropleth-00"}
+
+    m = upload_manifest("states", tile_dirs={"states-00": tile_dir})
+    try:
+        import boto3
+        import moto
+
+        with moto.mock_aws():
+            client = boto3.client("s3", region_name="us-east-1")
+            client.create_bucket(Bucket="tileset-output")
+            n_up = execute_manifest(m, client)
+            keys = {
+                o["Key"]
+                for o in client.list_objects_v2(Bucket="tileset-output")[
+                    "Contents"
+                ]
+            }
+    except ImportError:
+        store = LocalObjectStore(str(tmp_path / "store"))
+        n_up = execute_manifest(m, store)
+        keys = set(store.list_objects(Bucket="tileset-output"))
+    assert n_up == n + 1  # every pbf + metadata.json
+    assert any(k.endswith(".pbf") for k in keys)
+    assert "states-00/metadata.json" in keys
