@@ -535,12 +535,23 @@ def q_geo_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("tile_x", "tile_y", "c_custkey")
 
 
-@query("geo_interior_points", None, tags=["geo", "interior-point"])
+_DUCK_INTERIOR = (
+    "SELECT n_nationkey, CAST(n_nationkey + 1 AS DOUBLE) AS ip_x, "
+    "CAST(n_nationkey + 1 AS DOUBLE) AS ip_y FROM nation"
+)
+
+
+@query(
+    "geo_interior_points", _DUCK_INTERIOR, tags=["geo", "interior-point"]
+)
 def q_geo_interior_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interior points (G1, mapshaper -points inner) of synthetic square
-    polygons via the Arrow-batched pandas UDF. Non-SQL (pure-Python
-    geometry) -> rows-only check; exactness covered in
-    tests/test_geo_pipeline.py."""
+    polygons via the Arrow-batched pandas UDF. The geometry algorithm is
+    pure Python (not SQL-replicable in general), but the registry inputs
+    are axis-aligned 2x2 squares whose interior point has the CLOSED
+    FORM (k+1, k+1) — exact in float arithmetic — so the oracle checks
+    the engine's values bit-for-bit on these inputs; algorithmic
+    generality stays pinned in tests/test_geo_pipeline.py."""
     n = load_table(spark, "nation", sf_dir)
     sq = n.select(
         "n_nationkey",
@@ -919,12 +930,25 @@ def q_events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_gapfill(ev, window_sec=300)
 
 
-@query("geo_simplify", None, tags=["geo", "simplification"])
+_DUCK_SIMPLIFY = (
+    "SELECT n_nationkey, printf("
+    "'{\"type\":\"Polygon\",\"coordinates\":[[[%d.0,%d.0],[%d.0,%d.0],"
+    "[%d.0,%d.0],[%d.0,%d.0],[%d.0,%d.0]]]}', "
+    "n_nationkey, n_nationkey, n_nationkey + 2, n_nationkey, "
+    "n_nationkey + 2, n_nationkey + 2, n_nationkey, n_nationkey + 2, "
+    "n_nationkey, n_nationkey) AS simplified FROM nation"
+)
+
+
+@query("geo_simplify", _DUCK_SIMPLIFY, tags=["geo", "simplification"])
 def q_geo_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker polygon simplification (G2 — tippecanoe
     --simplification in-engine) over synthetic sawtooth polygons; pure-
-    Python geometry under an Arrow-batched UDF -> rows-only; exactness
-    covered in tests/test_geo_pipeline.py."""
+    Python geometry under an Arrow-batched UDF. The registry input is a
+    sawtooth square whose DP result at tolerance 0.5 has the CLOSED
+    FORM (the four corners, first vertex repeated), so the oracle
+    reproduces the exact serialized ring and value-hashes the output;
+    algorithmic generality stays pinned in tests/test_geo_pipeline.py."""
     from ..operators.geo import simplify_geometry
 
     n = load_table(spark, "nation", sf_dir)
