@@ -144,16 +144,42 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_decode_stats", None, tags=["multimodal", "decode"])
+_DUCK_DECODE_STATS = """
+WITH a AS (
+  SELECT doc_id AS media_id, 'audio' AS kind, CAST(844 AS BIGINT) AS n_bytes,
+         CAST(400 AS BIGINT) AS n_units, CAST(8000 AS BIGINT) AS rate_or_width,
+    (SELECT CAST(MAX(abs(CAST(trunc(
+       sin((2*pi()*(200 + doc_id % 800)) * (n/8000.0)) * 20000) AS BIGINT)))
+     AS BIGINT) FROM range(0,400) t(n)) AS peak
+  FROM documents WHERE doc_id % 2 = 0),
+i AS (
+  SELECT doc_id AS media_id, 'image' AS kind, CAST(246 AS BIGINT) AS n_bytes,
+         CAST(64 AS BIGINT) AS n_units, CAST(8 AS BIGINT) AS rate_or_width,
+    (SELECT CAST(MAX(GREATEST((s*4 + doc_id) % 256, (s*8 + doc_id*3) % 256,
+                              (s*16 + doc_id*7) % 256)) AS BIGINT)
+     FROM range(0,15) t(s)) AS peak
+  FROM documents WHERE doc_id % 2 = 1)
+SELECT * FROM a UNION ALL SELECT * FROM i
+"""
+
+
+@query(
+    "media_decode_stats", _DUCK_DECODE_STATS, tags=["multimodal", "decode"]
+)
 def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode: deterministic WAV (16-bit PCM sine) and BMP
     (24-bit gradient) payloads synthesized per doc_id inside Arrow
     batches, then decoded back by the codec boundary — audio rows
     report (n_samples, sample_rate, int16 peak), image rows (n_pixels,
-    width, max channel). Integer-only output; decode correctness (sine
-    peak, gradient values, round-trips) is pinned in
-    tests/test_multimodal.py. Python-side by necessity (codec work) ⇒
-    rows-only check."""
+    width, max channel). The codec work is Python by necessity, but the
+    synthesized inputs have CLOSED-FORM decode stats — 844-byte WAV
+    container (44-byte header + 800 PCM bytes), sine peak
+    max|trunc(sin(2π·f·n/8000)·20000)| reproducing NumPy's evaluation
+    order exactly, 246-byte BMP (54-byte headers + 8x3x8 rows), and the
+    gradient max as pure integer mod arithmetic — so the driver
+    value-hashes the whole decode loop (sin boundary-flip probability
+    ~1e-6 across the corpus; decode round-trips additionally pinned in
+    tests/test_multimodal.py)."""
     from ..operators.multimodal import decode_stats, synth_real_media
 
     docs = load_table(spark, "documents", sf_dir)
