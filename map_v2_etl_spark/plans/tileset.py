@@ -197,28 +197,51 @@ def build_tileset(
     return done
 
 
+#: native-path zoom ranges per region size class — the min/max zooms of
+#: the reference's tippecanoe options above (BUBBLE_OPTS base-zoom is a
+#: tile-generation detail, not a pyramid bound)
+NATIVE_ZOOMS: dict[str, tuple[int, int]] = {
+    "states": (0, 6),
+    "counties": (0, 7),
+    "cities": (2, 9),
+    "tracts": (7, 10),
+    "block-groups": (8, 10),
+}
+
+
 def build_tileset_native(
     layers: dict[str, "DataFrame"],
     out_path: str,
     name: str,
-    zoom: int,
+    zoom: int | None = None,
     id_col: str | None = None,
+    region: str | None = None,
+    max_per_tile: int | None = None,
+    weight_col: str | None = None,
 ) -> int:
     """tippecanoe-free tileset build: the engine's own MVT encoder +
     SQLite writer (sources/mvt.py — hand-encoded protobuf, verified by
     an independent decoder in tests/test_mvt.py).
 
     ``layers`` maps layer name -> features DataFrame (geometry +
-    property columns). Tile assignment and per-tile pbf encoding run
-    DISTRIBUTED (groupBy(z,x,y) + applyInPandas); only finished blobs
-    are collected into the single-file .mbtiles artifact, the same
-    output-bounded posture as csv_io.write_sorted_csv. Use this where
-    tippecanoe is unavailable or a pure-engine pipeline is preferred;
+    property columns). Zoom range comes from ``zoom`` (single level) or
+    ``region`` (the reference's per-region-class range, NATIVE_ZOOMS —
+    build.sh:124-129,146-152); with ``max_per_tile``+``weight_col`` the
+    dense-tile drop rule (tippecanoe --drop-densest-as-needed) applies
+    per zoom. Tile assignment and per-tile pbf encoding run DISTRIBUTED
+    (groupBy(z,x,y) + applyInPandas); only finished blobs are collected
+    into the single-file .mbtiles artifact, the same output-bounded
+    posture as csv_io.write_sorted_csv. Use this where tippecanoe is
+    unavailable or a pure-engine pipeline is preferred;
     ``build_tileset`` remains the binary-parity path. Returns the tile
     count."""
     from pyspark.sql import functions as F
 
-    from ..sources.mvt import encode_tiles, write_mbtiles
+    from ..sources.mvt import encode_pyramid, encode_tiles, write_mbtiles
+
+    if (zoom is None) == (region is None):
+        raise ValueError("pass exactly one of zoom= or region=")
+    minz, maxz = (zoom, zoom) if zoom is not None else NATIVE_ZOOMS[region]
 
     tagged = None
     for lname, df in sorted(layers.items()):
@@ -228,7 +251,13 @@ def build_tileset_native(
             if tagged is None
             else tagged.unionByName(cur, allowMissingColumns=True)
         )
-    tiles = encode_tiles(tagged, zoom, id_col=id_col)
+    if minz == maxz and max_per_tile is None:
+        tiles = encode_tiles(tagged, minz, id_col=id_col)
+    else:
+        tiles = encode_pyramid(
+            tagged, minz, maxz, id_col=id_col,
+            max_per_tile=max_per_tile, weight_col=weight_col,
+        )
     fields = {
         lname: {
             c: "String" for c in df.columns if c not in ("geometry",)
@@ -236,7 +265,7 @@ def build_tileset_native(
         for lname, df in layers.items()
     }
     return write_mbtiles(
-        tiles, out_path, name, minzoom=zoom, maxzoom=zoom,
+        tiles, out_path, name, minzoom=minz, maxzoom=maxz,
         layer_fields=fields,
     )
 

@@ -396,3 +396,36 @@ def test_reference_pipeline_native_tileset_and_deploy(spark, tmp_path):
     assert n_up == n + 1  # every pbf + metadata.json
     assert any(k.endswith(".pbf") for k in keys)
     assert "states-00/metadata.json" in keys
+
+
+def test_build_tileset_native_region_pyramid(spark, tmp_path):
+    """region= selects the reference's per-class zoom range (states:
+    0-6) and builds the full pyramid in one artifact."""
+    from map_v2_etl_spark.plans.tileset import build_tileset_native
+
+    feats = spark.createDataFrame(
+        [
+            ("01", 9.0, '{"type":"Point","coordinates":[-86.9,32.5]}'),
+            ("02", 1.0, '{"type":"Point","coordinates":[-100.3,35.7]}'),
+        ],
+        "GEOID STRING, pop DOUBLE, geometry STRING",
+    )
+    mb = str(tmp_path / "states.mbtiles")
+    n = build_tileset_native(
+        {"states-centers": feats}, mb, "states", region="states",
+        max_per_tile=1, weight_col="pop",
+    )
+    con = sqlite3.connect(mb)
+    zooms = sorted(
+        z for (z,) in con.execute("SELECT DISTINCT zoom_level FROM tiles")
+    )
+    assert zooms == list(range(0, 7))
+    # z0: one world tile, only the heaviest point survives the cap
+    (blob,) = con.execute(
+        "SELECT tile_data FROM tiles WHERE zoom_level = 0"
+    ).fetchone()
+    layers = decode_tile(gzip.decompress(blob))
+    assert sum(len(l["features"]) for l in layers) == 1
+    meta = dict(con.execute("SELECT name, value FROM metadata"))
+    assert (meta["minzoom"], meta["maxzoom"]) == ("0", "6")
+    con.close()
