@@ -418,6 +418,7 @@ def encode_tiles(
     geom_col: str = "geometry",
     id_col: str | None = None,
     clip_buf: int | None = 64,
+    simplify_px: float | None = None,
 ) -> DataFrame:
     """(layer, geometry, props...) -> one MVT pbf per (z, x, y).
 
@@ -429,11 +430,27 @@ def encode_tiles(
     ``clip_buf=None`` falls back to single-tile assignment by
     representative point (cheaper; fine for point layers).
 
+    ``simplify_px`` applies Douglas-Peucker BEFORE tiling, with the
+    tolerance given in tile pixels at this zoom (tippecanoe
+    --simplification): tolerance_deg = px * 360 / (2^z * extent). At
+    low zooms that collapses sub-pixel vertex detail so world-view
+    tiles stay small; at high zooms the same pixel tolerance converges
+    to no-op. Simplification is a per-feature Arrow-batched UDF over
+    ONE pass of the input, before the tile fan-out duplicates anything.
+
     The per-tile encode is applyInPandas, so every tile's blob is
     built by exactly one task; the shuffle carries each feature once
     per overlapped tile (bounded by MAX_TILES_PER_FEATURE). All
     non-geometry, non-layer columns become feature properties."""
     from ..operators.geo import tile_xy, with_interior_points
+
+    if simplify_px is not None:
+        from ..operators.geo import simplify_geometry
+
+        tol = simplify_px * 360.0 / ((2 ** zoom) * EXTENT)
+        feats = feats.withColumn(
+            geom_col, simplify_geometry(tol)(F.col(geom_col))
+        )
 
     if clip_buf is None:
         pts = with_interior_points(feats, geom_col)  # ip_x/ip_y lon/lat
@@ -508,6 +525,7 @@ def encode_pyramid(
     clip_buf: int | None = 64,
     max_per_tile: int | None = None,
     weight_col: str | None = None,
+    simplify_px: float | None = None,
 ) -> DataFrame:
     """Full tile pyramid (tippecanoe's -Z/-z): one (z, x, y, pbf) frame
     covering every zoom in [minzoom, maxzoom].
@@ -542,7 +560,7 @@ def encode_pyramid(
                 tie_cols=[id_col] if id_col else None,
             ).drop("tile_z", "tile_x", "tile_y", "ip_x", "ip_y")
         tiles_z = encode_tiles(
-            src, z, layer_col, geom_col, id_col, clip_buf
+            src, z, layer_col, geom_col, id_col, clip_buf, simplify_px
         )
         out = tiles_z if out is None else out.unionByName(tiles_z)
     return out

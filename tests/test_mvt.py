@@ -429,3 +429,35 @@ def test_build_tileset_native_region_pyramid(spark, tmp_path):
     meta = dict(con.execute("SELECT name, value FROM metadata"))
     assert (meta["minzoom"], meta["maxzoom"]) == ("0", "6")
     con.close()
+
+
+def test_simplify_px_reduces_vertices(spark):
+    """tippecanoe --simplification parity: a sawtooth square encoded
+    with a pixel tolerance collapses to its 4 corners at low zoom but
+    keeps its detail when encoded without simplification."""
+    import math
+
+    pts = []
+    for i in range(20):  # noisy top edge: 20 points with tiny jitter
+        pts.append([i * 0.5, 0.02 * (i % 2)])
+    ring = pts + [[9.5, 10.0], [0.0, 10.0], [0.0, 0.0]]
+    geom = json.dumps({"type": "Polygon", "coordinates": [ring]})
+    feats = spark.createDataFrame(
+        [("A", geom, "poly")], "GEOID STRING, geometry STRING, layer STRING"
+    )
+
+    def n_vertices(tiles):
+        return sum(
+            len(part["points"])
+            for r in tiles
+            for lyr in decode_tile(bytes(r["pbf"]))
+            for f in lyr["features"]
+            for part in f["geometry"]
+        )
+
+    plain = encode_tiles(feats, zoom=3, clip_buf=None).collect()
+    simp = encode_tiles(
+        feats, zoom=3, clip_buf=None, simplify_px=8.0
+    ).collect()
+    assert n_vertices(simp) < n_vertices(plain)
+    assert n_vertices(simp) >= 4
