@@ -97,6 +97,11 @@ HEADLINE = [
     "spatial_join_pip",
     "events_late_audit",
     "incremental_agg_merge",
+    # round 4
+    "hll_sql_counts",
+    "media_features",
+    "geo_mvt_tiles",
+    "embedding_kmeans",
 ]
 
 

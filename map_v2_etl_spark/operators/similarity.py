@@ -835,69 +835,69 @@ def pq_encode(
     """(id, codes array<int>[m]) — nearest codeword per subspace, ties to
     the lowest code.
 
-    Codewords ride in as a BROADCAST DataFrame (m·ksub rows) joined to
-    the per-subspace exploded corpus, then min_by picks each code and a
-    sorted collect reassembles the m-array — the same broadcast+min_by
-    shape as kmeans assign_clusters. Folding all m·ksub·(dim/m)
-    codeword floats into the plan as literals was measured at ~3 s of
-    Catalyst/codegen time per run locally and grows with the codebook;
-    the join path keeps the plan constant-size and the shuffle narrow
-    (m compact rows per vector). The 8-16x compression (dim floats ->
-    m codes) is what lets a 100 TB embedding corpus fit scan-speed ANN."""
+    ONE narrow mapInPandas over the corpus: the codebook (m·ksub·dim/m
+    floats — small by construction) ships in the task closure, and each
+    Arrow batch assigns all m codes in vectorized NumPy whose dim-loop
+    accumulation reproduces the JVM fold's rounding bit-for-bit (see
+    the inline note). No explode, no join, no shuffle — this replaced
+    a broadcast-join + interpreted-HOF-fold + min_by formulation that
+    was the dominant cost of pq_cosine_topk (2.8 s of 4.7 s at sf0.1;
+    whole query 3.3 s → 2.5 s after). The 8-16x compression (dim
+    floats -> m codes) is what lets a 100 TB embedding corpus fit
+    scan-speed ANN."""
+    import numpy as np
+    from pyspark.sql import types as T
+
     m = len(codebooks)
     sublen = len(codebooks[0][0])
-    spark = corpus.sparkSession
-    cw = spark.createDataFrame(
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
         [
-            (s, c, [float(v) for v in book[c]])
-            for s, book in enumerate(codebooks)
-            for c in range(len(book))
-        ],
-        "sub INT, code INT, cent ARRAY<DOUBLE>",
+            T.StructField(id_col, id_type),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
     )
-    subs = corpus.select(
-        F.col(id_col), _unit(F.col(vec_col)).alias("uvec")
-    ).select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.slice("uvec", s * sublen + 1, sublen).alias("sv"),
-                )
-                for s in range(m)
-            ])
-        ).alias("e"),
-    ).select(id_col, "e.sub", "e.sv")
-    d_expr = F.aggregate(
-        F.zip_with(
-            F.col("sv"), F.col("cent"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = (
-        subs.join(F.broadcast(cw), "sub")
-        .withColumn("d", d_expr)
-        .groupBy(id_col, "sub")
-        .agg(
-            F.min_by(F.col("code"), F.struct("d", "code")).alias("code")
-        )
-    )
-    return (
-        assigned.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("sub", "code"))
-            ).alias("_sc")
-        )
-        .select(
-            F.col(id_col),
-            F.transform(F.col("_sc"), lambda s: s["code"])
-            .cast("array<int>")
-            .alias("codes"),
-        )
-    )
+
+    # Arrow-batched exact-fold assignment. The previous formulation
+    # (explode to (id, sub) rows, broadcast-join the codeword table,
+    # HOF fold per joined row, min_by, re-assemble) was the dominant
+    # cost of pq_cosine_topk (2.8 s of 4.7 s at sf0.1): Spark evaluates
+    # higher-order-function lambdas interpreted, and the join touched
+    # |corpus|·m·ksub rows. Here each Arrow batch normalizes and
+    # assigns in vectorized NumPy whose dim-loop accumulation
+    # reproduces the JVM fold's rounding sequence EXACTLY (the
+    # _pq_train_local discipline), so codes are bit-identical to the
+    # old plan and to the DuckDB oracle — ties to the lowest code via
+    # argmin's first-occurrence rule. One narrow map over the corpus:
+    # no explode, no join, no aggregation, no shuffle.
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            sq = np.zeros(len(V), dtype=np.float64)
+            for j in range(V.shape[1]):
+                sq = sq + V[:, j] * V[:, j]
+            nrm = np.sqrt(sq)
+            nrm[nrm == 0] = 1.0  # zero vector stays zeros (_unit)
+            U = V / nrm[:, None]
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                X = U[:, s * sublen : (s + 1) * sublen]
+                C = books[s]
+                d = np.zeros((len(X), len(C)), dtype=np.float64)
+                for j in range(sublen):
+                    diff = X[:, j, None] - C[None, :, j]
+                    d = d + diff * diff
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes.tolist())}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
 
 
 def pq_cosine_topk(
