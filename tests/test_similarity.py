@@ -246,3 +246,17 @@ def test_pq_oracle_assumptions(spark, sf_dir):
         ).fetchall()
     )
     assert spark_h == duck_h
+
+
+def test_lloyd_regimes_bit_identical(spark, sf_dir):
+    """kmeans' gate-bounded NumPy Lloyd and the distributed loop publish
+    identical centroids (same contract as the PQ regimes)."""
+    from map_v2_etl_spark.operators.similarity import lloyd_centroids
+    from map_v2_etl_spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < 300
+    )
+    local = lloyd_centroids(emb, k=6, iters=3)
+    dist = lloyd_centroids(emb, k=6, iters=3, gate_rows=10)
+    assert local == dist
