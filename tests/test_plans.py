@@ -93,3 +93,63 @@ def test_decontaminate_bloom_prunes_scan(spark, sf_dir):
     aggregation)."""
     plan = plan_of("decontaminate_bloom", spark, sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_is_one_narrow_map(spark, sf_dir):
+    """The PQ corpus encode must stay a single narrow mapInPandas over
+    one scan — no join, no aggregation, no shuffle (the r4 rewrite's
+    contract; the old broadcast-join encode was the dominant cost of
+    pq_cosine_topk)."""
+    from pyspark.sql import functions as F
+
+    from map_v2_etl_spark.operators.similarity import pq_encode, pq_train
+    from map_v2_etl_spark.sources.registry import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < 300
+    )
+    books = pq_train(emb, m=4, ksub=8, iters=1)
+    plan = (
+        pq_encode(emb, books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1
+    for op in ("Exchange", "Join", "HashAggregate", "Sort"):
+        assert op not in plan, f"{op} crept into the encode plan"
+
+
+def test_mvt_encode_tiles_single_tile_shuffle(spark):
+    """encode_tiles: exactly one Exchange (the groupBy(z,x,y) that
+    routes each tile to one task); the bbox fan-out stays narrow."""
+    import json as _json
+
+    from map_v2_etl_spark.sources.mvt import encode_tiles
+
+    feats = spark.createDataFrame(
+        [
+            (
+                "01",
+                _json.dumps(
+                    {
+                        "type": "Polygon",
+                        "coordinates": [
+                            [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+                        ],
+                    }
+                ),
+                "poly",
+            )
+        ],
+        "GEOID STRING, geometry STRING, layer STRING",
+    )
+    plan = (
+        encode_tiles(feats, zoom=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
