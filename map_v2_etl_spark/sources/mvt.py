@@ -219,7 +219,7 @@ def _encode_geometry(
         out: list[int] = []
         cx = cy = 0
         for rings in polys:
-            for ring in rings:
+            for ring_ix, ring in enumerate(rings):
                 # GeoJSON rings repeat the first point; MVT closes with
                 # ClosePath instead
                 pts = ring[:-1] if ring and ring[0] == ring[-1] else ring
@@ -237,6 +237,21 @@ def _encode_geometry(
                         extent + clip_buf,
                         extent + clip_buf,
                     )
+                # MVT 4.3.4.4 winding: in tile coords (y down) the
+                # exterior ring must enclose POSITIVE shoelace area
+                # (clockwise on screen) and interior rings negative.
+                # GeoJSON-compliant input arrives correct automatically
+                # (the Mercator y-flip inverts RFC 7946's CCW/CW), but
+                # arbitrary input must be rewound — tippecanoe does the
+                # same — or renderers invert fills and holes.
+                area2 = sum(
+                    fpts[i][0] * fpts[(i + 1) % len(fpts)][1]
+                    - fpts[(i + 1) % len(fpts)][0] * fpts[i][1]
+                    for i in range(len(fpts))
+                )
+                want_positive = ring_ix == 0
+                if len(fpts) >= 3 and (area2 > 0) != want_positive and area2 != 0:
+                    fpts = fpts[::-1]
                 coords = [
                     (int(round(fx)), int(round(fy))) for fx, fy in fpts
                 ]

@@ -59,7 +59,11 @@ def test_encode_decode_polygon_roundtrip():
         "move", "line", "close",
     )
     got = move["points"] + line["points"]
-    want = [lonlat_to_tile_px(x, y, 0, 0, 0) for x, y in ring[:-1]]
+    # MVT 4.3.4.4: exterior rings need POSITIVE shoelace area on the
+    # y-down tile grid; a GeoJSON-compliant CCW exterior computes
+    # negative there, so the encoder rewinds it — the decoded ring is
+    # the input reversed (same polygon, spec-correct winding)
+    want = [lonlat_to_tile_px(x, y, 0, 0, 0) for x, y in ring[:-1]][::-1]
     assert got == want
 
 
@@ -461,3 +465,47 @@ def test_simplify_px_reduces_vertices(spark):
     ).collect()
     assert n_vertices(simp) < n_vertices(plain)
     assert n_vertices(simp) >= 4
+
+
+def test_polygon_hole_winding():
+    """Donut polygon: exterior encodes with positive shoelace area in
+    tile coords (y-down screen CW), the hole negative — and a
+    wrong-wound input is rewound to the same result (MVT 4.3.4.4 /
+    tippecanoe rewind behavior)."""
+    outer = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]
+    hole = [[3.0, 3.0], [3.0, 6.0], [6.0, 6.0], [6.0, 3.0], [3.0, 3.0]]
+
+    def area2(pts):
+        return sum(
+            pts[i][0] * pts[(i + 1) % len(pts)][1]
+            - pts[(i + 1) % len(pts)][0] * pts[i][1]
+            for i in range(len(pts))
+        )
+
+    def rings_of(geomdict):
+        blob = encode_layer(
+            "l",
+            [{"geometry": geomdict, "properties": {}}],
+            2, 2, 1,
+        )
+        (f,) = decode_tile(blob)[0]["features"]
+        rings, cur = [], None
+        for part in f["geometry"]:
+            if part["cmd"] == "move":
+                cur = list(part["points"])
+            elif part["cmd"] == "line":
+                cur += part["points"]
+            else:
+                rings.append(cur)
+        return rings
+
+    good = rings_of({"type": "Polygon", "coordinates": [outer, hole]})
+    assert area2(good[0]) > 0  # exterior: screen-CW
+    assert area2(good[1]) < 0  # hole: screen-CCW
+    # same polygon with BOTH rings wound wrong -> identical encoding
+    bad = rings_of(
+        {"type": "Polygon", "coordinates": [outer[::-1], hole[::-1]]}
+    )
+    assert area2(bad[0]) > 0
+    assert area2(bad[1]) < 0
+    assert {tuple(p) for p in bad[0]} == {tuple(p) for p in good[0]}
