@@ -336,17 +336,115 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+#: minimal deterministic raw-video container for the frame-sampling
+#: stage: b"M2EV" + width u16 LE + height u16 LE + n_frames u16 LE,
+#: then n_frames grayscale frames of width*height bytes. A stand-in
+#: for a real codec (none ships in this environment) with REAL
+#: container parsing, offsets, and batch plumbing — the charter's
+#: "deterministic fake" decode boundary.
+_M2EV_MAGIC = b"M2EV"
+
+
+def synth_video(docs: DataFrame, width: int = 8, height: int = 6) -> DataFrame:
+    """Deterministic M2EV video per doc_id: 12 + id%20 frames, pixel
+    (x, y) of frame f = (x + y*width + 3*f + id) mod 256 — closed-form
+    content so frame statistics are verifiable cross-engine."""
+    import struct
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_frames = 12 + i % 20
+                yx = np.indices((height, width))
+                base = yx[1] + yx[0] * width + i
+                frames = np.stack(
+                    [(base + 3 * f) % 256 for f in range(n_frames)]
+                ).astype("uint8")
+                payloads.append(
+                    _M2EV_MAGIC
+                    + struct.pack("<HHH", width, height, n_frames)
+                    + frames.tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["video"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+def _decode_m2ev(payload: bytes):
+    """(width, height, frames uint8 ndarray (n, h, w)); raises on a
+    foreign container — the same fail-loudly contract as the WAV/BMP
+    decoders."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != _M2EV_MAGIC:
+        raise ValueError("not an M2EV container")
+    w, h, n = struct.unpack("<HHH", payload[4:10])
+    frames = np.frombuffer(
+        payload[10 : 10 + n * w * h], dtype=np.uint8
+    ).reshape(n, h, w)
+    return w, h, frames
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ix", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_px", T.LongType()),
+    ]
+)
+
+
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling stage — stub: one output row per sampled
-    frame once a codec is wired into _decode_payload."""
+    """REAL video frame sampling: decode the container, keep frames
+    0, every_n, 2*every_n, ..., one output row per kept frame with
+    integer content stats (exact pixel sum — hash-stable across
+    engines and partitionings).
+
+    mapInPandas over (media_id, kind, payload): the decode runs inside
+    Arrow batches, non-video rows are filtered in-plan so the payload
+    column of other kinds is never shipped. At 100 TB the output is
+    |videos| x (frames/every_n) compact rows — the frame-index fan-out
+    happens AFTER the batch decode, never by duplicating payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf["payload"] = pdf.apply(
-                lambda r: _decode_payload(r["kind"], r["payload"]), axis=1
-            )
-            yield pdf
+            out = {k: [] for k in
+                   ("media_id", "frame_ix", "width", "height", "sum_px")}
+            for r in pdf.itertuples(index=False):
+                w, h, frames = _decode_m2ev(bytes(r.payload))
+                for ix in range(0, len(frames), every_n):
+                    out["media_id"].append(r.media_id)
+                    out["frame_ix"].append(ix)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_px"].append(int(frames[ix].sum()))
+            yield pd.DataFrame(out)
 
-    return media.filter(F.col("kind") == "video").mapInPandas(
-        run, media.schema
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .withColumn("kind", F.lit("video"))
+        .select("media_id", "kind", "payload")
+        .mapInPandas(run, FRAME_SAMPLE_SCHEMA)
     )

@@ -568,6 +568,35 @@ def q_geo_interior_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_interior_points(sq).select("n_nationkey", "ip_x", "ip_y")
 
 
+_DUCK_FRAME_SAMPLE = """
+SELECT d.doc_id AS media_id, CAST(f.f AS INTEGER) AS frame_ix,
+       CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+       (SELECT CAST(SUM((s + d.doc_id + 3 * f.f) % 256) AS BIGINT)
+        FROM range(0, 48) t(s)) AS sum_px
+FROM documents d,
+     LATERAL (SELECT unnest(range(0, 12 + d.doc_id % 20, 5)) AS f) f
+"""
+
+
+@query(
+    "media_frame_sample",
+    _DUCK_FRAME_SAMPLE,
+    tags=["multimodal", "video", "frame-sample", "mapInPandas"],
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 5th frame) over deterministic M2EV
+    containers synthesized per doc — REAL container parsing and
+    Arrow-batched decode (operators/multimodal.sample_frames), integer
+    frame statistics. Frame pixel (x, y) of frame f is
+    (x + y*w + 3f + id) mod 256, so each sampled frame's exact pixel
+    sum has the closed form the oracle computes with pure mod
+    arithmetic — the whole decode-and-sample loop value-hashes."""
+    from ..operators.multimodal import sample_frames, synth_video
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frames(synth_video(docs), every_n=5)
+
+
 @query("geo_mvt_tiles", None, tags=["geo", "mvt", "mbtiles", "sink"])
 def q_geo_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native MVT tile encode (S8 without tippecanoe): synthetic square

@@ -130,3 +130,39 @@ def test_resize_images_real_bmp(spark, sf_dir):
     for r in resized:
         img = _decode_bmp(bytes(r["payload"]))
         assert img.shape == (4, 4, 3)
+
+
+def test_m2ev_roundtrip_and_sampling(spark, sf_dir):
+    """M2EV container round-trip: synth -> decode recovers dimensions
+    and exact pixel content; sample_frames keeps exactly frames
+    0, n, 2n, ... and reports exact integer sums."""
+    import numpy as np
+
+    from map_v2_etl_spark.operators.multimodal import (
+        _decode_m2ev,
+        sample_frames,
+        synth_video,
+    )
+    from map_v2_etl_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("doc_id") < 20
+    )
+    media = synth_video(docs)
+    row = media.filter(F.col("media_id") == 7).collect()[0]
+    w, h, frames = _decode_m2ev(bytes(row["payload"]))
+    assert (w, h) == (8, 6)
+    assert len(frames) == 12 + 7 % 20
+    yx = np.indices((6, 8))
+    want0 = (yx[1] + yx[0] * 8 + 7) % 256
+    assert (frames[0] == want0).all()
+
+    sampled = sample_frames(media, every_n=5).collect()
+    by_id = {}
+    for r in sampled:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ix"])
+    for mid, ixs in by_id.items():
+        n_frames = 12 + mid % 20
+        assert sorted(ixs) == list(range(0, n_frames, 5))
+    r7 = [r for r in sampled if r["media_id"] == 7 and r["frame_ix"] == 5]
+    assert r7[0]["sum_px"] == int(((want0 + 15) % 256).sum())
