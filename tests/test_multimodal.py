@@ -1,6 +1,7 @@
 """Multimodal binary-column plumbing (operators/multimodal.py)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from map_v2_etl_spark.operators.multimodal import (
     FEATURE_BINS,
