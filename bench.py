@@ -102,6 +102,7 @@ HEADLINE = [
     "media_features",
     "geo_mvt_tiles",
     "embedding_kmeans",
+    "media_frame_sample",
 ]
 
 
