@@ -413,9 +413,19 @@ def _geom_bbox(geom: pd.Series) -> pd.DataFrame:
             for sub in c:
                 yield from walk(sub)
 
+    supported = {
+        "Point", "LineString", "Polygon",
+        "MultiPolygon", "MultiLineString",
+    }
     for g in geom:
         try:
-            pts = list(walk(json.loads(g)["coordinates"]))
+            gd = json.loads(g)
+            if gd.get("type") not in supported:
+                # unsupported type: null bbox -> dropped by the filter
+                # AND surfaced by invalid_geometries, instead of
+                # crashing the encode task later
+                raise ValueError(gd.get("type"))
+            pts = list(walk(gd["coordinates"]))
             out["xmin"].append(min(p[0] for p in pts))
             out["ymin"].append(min(p[1] for p in pts))
             out["xmax"].append(max(p[0] for p in pts))
@@ -528,6 +538,19 @@ def encode_tiles(
     return tiled.groupBy("_tx", "_ty").applyInPandas(
         encode, schema=_TILE_SCHEMA
     )
+
+
+def invalid_geometries(
+    feats: DataFrame, geom_col: str = "geometry"
+) -> DataFrame:
+    """The rows encode_tiles will DROP (unparseable/empty geometry) —
+    the no-silent-caps audit for the tile sink. Both assignment paths
+    filter bad geometries in-plan (null bbox / null interior point);
+    run this against the same input to count and inspect what fell
+    out, the way corrupt_record_quarantine audits the JSONL source."""
+    return feats.withColumn("_bb", _geom_bbox(F.col(geom_col))).filter(
+        F.col("_bb.xmin").isNull()
+    ).drop("_bb")
 
 
 def encode_pyramid(

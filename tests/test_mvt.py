@@ -509,3 +509,55 @@ def test_polygon_hole_winding():
     assert area2(bad[0]) > 0
     assert area2(bad[1]) < 0
     assert {tuple(p) for p in bad[0]} == {tuple(p) for p in good[0]}
+
+
+def test_invalid_geometries_audit(spark):
+    """Bad geometries don't crash the tile encode — they drop, and the
+    audit surfaces exactly the dropped rows (no-silent-caps)."""
+    from map_v2_etl_spark.sources.mvt import invalid_geometries
+
+    feats = spark.createDataFrame(
+        [
+            ("ok", '{"type":"Point","coordinates":[1.0,2.0]}', "l"),
+            ("bad-json", "{not json", "l"),
+            ("bad-type", '{"type":"Sphere","coordinates":[]}', "l"),
+        ],
+        "GEOID STRING, geometry STRING, layer STRING",
+    )
+    tiles = encode_tiles(feats, zoom=2).collect()
+    kept = [
+        f
+        for r in tiles
+        for lyr in decode_tile(bytes(r["pbf"]))
+        for f in lyr["features"]
+    ]
+    assert len(kept) == 1
+    dropped = {r["GEOID"] for r in invalid_geometries(feats).collect()}
+    assert dropped == {"bad-json", "bad-type"}
+
+
+def test_unsupported_type_with_plausible_coords_drops_not_crashes(spark):
+    feats = spark.createDataFrame(
+        [
+            ("ok", '{"type":"Point","coordinates":[1.0,2.0]}', "l"),
+            (
+                "sphere",
+                '{"type":"Sphere","coordinates":[[1.0,2.0],[3.0,4.0]]}',
+                "l",
+            ),
+        ],
+        "GEOID STRING, geometry STRING, layer STRING",
+    )
+    tiles = encode_tiles(feats, zoom=2).collect()  # must not raise
+    kept = [
+        f
+        for r in tiles
+        for lyr in decode_tile(bytes(r["pbf"]))
+        for f in lyr["features"]
+    ]
+    assert len(kept) == 1
+    from map_v2_etl_spark.sources.mvt import invalid_geometries
+
+    assert {r["GEOID"] for r in invalid_geometries(feats).collect()} == {
+        "sphere"
+    }
