@@ -30,6 +30,9 @@ CASES = [
     "dedup_clusters",
     "media_features",
     "quality_gopher_rules",
+    "dedup_minhash_pairs",
+    "tfidf_similar_pairs",
+    "curation_pipeline",
 ]
 
 
