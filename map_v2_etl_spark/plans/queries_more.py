@@ -1008,12 +1008,27 @@ def q_geo_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_stateful_running", None, tags=["streaming", "stateful"])
+_DUCK_STATEFUL = (
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list(value ORDER BY value)), (acc, x) -> acc + x) AS total_value "
+    "FROM events GROUP BY user_id"
+)
+
+
+@query(
+    "events_stateful_running", _DUCK_STATEFUL, tags=["streaming", "stateful"]
+)
 def q_events_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): runs a
     REAL Structured Streaming query over the events parquet and returns
-    the per-user running totals. Non-SQL by nature (stateful streaming) ->
-    rows-only; batch-parity asserted in tests/test_streaming.py."""
+    the per-user running totals. The operator accumulates each batch in
+    CANONICAL value-sorted fold order (shuffle arrival order must never
+    leak into a float result), so the single-batch replay this query
+    performs is bit-deterministic and the DuckDB oracle — the same
+    sorted fold in SQL — value-hashes a genuine Structured Streaming
+    run, state store and all. Batch-parity additionally asserted in
+    tests/test_streaming.py."""
     from ..streaming.stateful import running_user_totals
     from ..streaming.windows import run_stream_on_parquet
 

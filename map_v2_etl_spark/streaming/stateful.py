@@ -43,7 +43,17 @@ def _update(
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # CANONICAL in-batch accumulation: fold in value-sorted order,
+        # not pandas' arbitrary-arrival pairwise sum. Shuffle arrival
+        # order inside a group is nondeterministic, so a float result
+        # must not depend on it — sorted-fold makes each batch's total
+        # a pure function of the value multiset (ties of equal values
+        # are interchangeable under a sequential fold), which is what
+        # lets a single-batch replay value-hash against a SQL oracle.
+        # Across MULTIPLE batches totals still depend on batch
+        # composition — inherent to running state.
+        for v in pdf["value"].sort_values(kind="mergesort"):
+            total += float(v)
     state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
