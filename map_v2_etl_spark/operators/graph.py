@@ -175,8 +175,13 @@ def _pagerank_local(
 
     # Arrow toPandas, not collect(): the gate admits up to 2M edge rows,
     # and columnar transfer + a C-speed Series.map is ~5x the row-object
-    # path at that size
-    ids = nodes.select(F.col(id_col).alias("id")).toPandas()["id"].tolist()
+    # path at that size. ids are SORTED so index order == id order —
+    # every float accumulation below is then a DETERMINISTIC fold in id
+    # order, a pure function of the graph rather than of arrival order
+    # (and therefore replicable bit-for-bit by the DuckDB oracle).
+    ids = sorted(
+        nodes.select(F.col(id_col).alias("id")).toPandas()["id"].tolist()
+    )
     idx = {v: i for i, v in enumerate(ids)}
     e_pdf = edges.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("t")
@@ -187,15 +192,31 @@ def _pagerank_local(
     n = n_nodes
     s = si[keep].to_numpy(dtype=np.int64)
     t = ti[keep].to_numpy(dtype=np.int64)
+    # sort edges by (target, source): np.add.at applies its updates
+    # sequentially in array order (unbuffered; pinned by
+    # tests/test_wave8.py::test_np_add_at_is_sequential_fold), so each
+    # inflow[v] becomes a left fold over v's contributions in ascending
+    # src order
+    if len(s):
+        order = np.lexsort((s, t))
+        s, t = s[order], t[order]
     deg = np.zeros(n)
     if len(s):
         np.add.at(deg, s, 1.0)
+    dang_ix = np.flatnonzero(deg == 0)  # ascending id order
     r = np.full(n, 1.0 / n)
     for _ in range(iters):
         inflow = np.zeros(n)
         if len(s):
             np.add.at(inflow, t, r[s] / deg[s])
-        dm = float(r[deg == 0].sum())
+        # dangling mass: the same sequential-fold trick into ONE cell,
+        # id-ascending — never a pairwise .sum()
+        acc = np.zeros(1)
+        if len(dang_ix):
+            np.add.at(
+                acc, np.zeros(len(dang_ix), dtype=np.int64), r[dang_ix]
+            )
+        dm = float(acc[0])
         r = (1.0 - damping) / n + damping * (inflow + dm / n)
     spark = nodes.sparkSession
     return spark.createDataFrame(

@@ -186,14 +186,71 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(synth_real_media(docs))
 
 
-@query("doc_pagerank", None, tags=["graph", "pagerank", "dedup"])
+def _duck_pagerank_sql(iters: int = 10) -> str:
+    from .queries_ext import _DUCK_SIMHASH_FPS
+
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}), "
+        "(acc, x) -> acc + x)"
+    )
+    parts = [
+        f"fps AS MATERIALIZED ({_DUCK_SIMHASH_FPS})",
+        "prs AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst "
+        "FROM fps a JOIN fps b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.fp, b.fp)) <= 3)",
+        "edges AS MATERIALIZED (SELECT src, dst FROM prs "
+        "UNION ALL SELECT dst AS src, src AS dst FROM prs)",
+        "nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents)",
+        "deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS "
+        "deg FROM edges GROUP BY src)",
+        "params AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT id, "
+        "1.0 / (SELECT n FROM params) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        infl = fold.format(lst="list(r.rank / d.deg ORDER BY e.src)")
+        dmf = fold.format(lst="list(r.rank ORDER BY r.id)")
+        parts.append(
+            f"inf{i} AS MATERIALIZED (SELECT e.dst AS id, {infl} AS "
+            f"infl FROM edges e JOIN r{p} r ON r.id = e.src "
+            f"JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"dm{i} AS MATERIALIZED (SELECT coalesce({dmf}, 0.0) AS dm "
+            f"FROM r{p} r LEFT JOIN deg d ON d.src = r.id "
+            f"WHERE d.src IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT nodes.id, "
+            f"((1.0 - 0.85) / (SELECT n FROM params)) + 0.85 * ("
+            f"coalesce(i.infl, 0.0) + (SELECT dm FROM dm{i}) / "
+            f"(SELECT n FROM params)) AS rank "
+            f"FROM nodes LEFT JOIN inf{i} i ON i.id = nodes.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT id, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+@query(
+    "doc_pagerank", _duck_pagerank_sql(), tags=["graph", "pagerank", "dedup"]
+)
 def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the SimHash hamming≤3 near-dup graph: rank mass
     concentrates on documents central to duplicate neighborhoods —
-    the canonical-survivor signal. Iterative power iteration (10
-    rounds, damping 0.85) ⇒ rows-only; NumPy-twin parity in
-    tests/test_wave8.py. Output rounded to 9 decimals so partition-
-    order float noise cannot flip downstream comparisons."""
+    the canonical-survivor signal (10 rounds, damping 0.85).
+
+    Value-hash oracle: the gate-bounded NumPy path now accumulates
+    every float in DETERMINISTIC id-order folds (edges sorted (dst,
+    src) under sequential np.add.at; dangling mass folded id-ascending
+    — pinned in tests/test_wave8.py), so a 10-iteration unrolled DuckDB
+    power iteration with the same fold orders reproduces the ranks bit
+    for bit before the final 1e-9 rounding. NumPy-twin parity also in
+    tests/test_wave8.py. Output rounded to 9 decimals so float noise
+    cannot flip downstream comparisons."""
     from ..operators.dedup import simhash_pairs
     from ..operators.graph import pagerank
 

@@ -94,3 +94,25 @@ def test_curation_pipeline_gate_consistency(spark, sf_dir):
         )
         assert all(f in (0, 1) for f in flags)
         assert r["keep"] == int(all(f == 1 for f in flags))
+
+
+def test_np_add_at_is_sequential_fold():
+    """_pagerank_local's determinism rests on np.add.at applying its
+    updates SEQUENTIALLY in array order (unbuffered). Pin that with
+    magnitudes spanning 40 orders: any pairwise/reordered accumulation
+    diverges from the Python left fold with overwhelming probability."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    vals = np.array(
+        [rng.uniform(-1, 1) * 10 ** rng.randint(-20, 20) for _ in range(5000)]
+    )
+    idx = np.array([rng.randrange(7) for _ in range(5000)])
+    acc = np.zeros(7)
+    np.add.at(acc, idx, vals)
+    ref = [0.0] * 7
+    for i, v in zip(idx, vals):
+        ref[i] += float(v)
+    assert acc.tolist() == ref
