@@ -33,6 +33,11 @@ CASES = [
     "dedup_minhash_pairs",
     "tfidf_similar_pairs",
     "curation_pipeline",
+    # newly-claimed deterministic float accumulations (round 4):
+    # id-order folds in the pagerank fast path, value-sorted folds in
+    # the stateful streaming batch update
+    "doc_pagerank",
+    "events_stateful_running",
 ]
 
 
