@@ -152,14 +152,27 @@ def with_interior_points(df: DataFrame, geom_col: str = "geometry") -> DataFrame
 # tile keys (G3) — pure column math, no UDF
 # --------------------------------------------------------------------------
 
+def tile_xy_frac(
+    lon: Column, lat: Column, zoom: int
+) -> tuple[Column, Column]:
+    """Continuous (unfloored, unclamped) Web-Mercator tile coordinates
+    at `zoom` — the fractional position inside the tile grid. Used by
+    the tile sink to expand a feature's tile range by the clip buffer
+    (tippecanoe --buffer semantics) before flooring."""
+    n = F.lit(float(2 ** zoom))
+    xf = (lon + 180.0) / 360.0 * n
+    lat_r = F.radians(lat)
+    yf = (
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi) / 2.0 * n
+    )
+    return xf, yf
+
+
 def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
     """Slippy-map tile indices at `zoom` (Web-Mercator)."""
-    n = F.lit(float(2 ** zoom))
-    x = F.floor((lon + 180.0) / 360.0 * n).cast("int")
-    lat_r = F.radians(lat)
-    y = F.floor(
-        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi) / 2.0 * n
-    ).cast("int")
+    xf, yf = tile_xy_frac(lon, lat, zoom)
+    x = F.floor(xf).cast("int")
+    y = F.floor(yf).cast("int")
     clamp = lambda c: F.greatest(F.lit(0), F.least(c, F.lit(2 ** zoom - 1)))  # noqa: E731
     return clamp(x), clamp(y)
 

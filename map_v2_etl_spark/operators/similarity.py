@@ -507,8 +507,15 @@ def _lloyd_local(
         q, r = divmod(abs(ssum) * 10**4, n)
         if 2 * r >= n:
             q += 1
-        # |mean| stays unit-scale, so q < 2^53 and /1e16 is correctly
-        # rounded — equal to Python's float(decimal(31,16))
+        # q/1e16 matches the duck_vec.dec_mean oracle bit-for-bit
+        # unconditionally (both do int->double then /1e16, identical
+        # roundings). It also equals the distributed path's
+        # float(decimal(31,16)) — a SINGLE rounding — whenever
+        # q <= 2^53, i.e. |mean| <= 2^53/1e16 ~ 0.9007; above that the
+        # int->double step can double-round 1 ulp away. Embedding
+        # component means are ≪ 0.9 in magnitude, and the gate/fallback
+        # pair is exercised against each other in tests at this scale;
+        # the bound is documented rather than papered over.
         return sign * q / 1e16
 
     C = np.asarray(cents, dtype=np.float64)

@@ -69,7 +69,11 @@ def dec_mean(x: str) -> str:
     Returns an aggregate expression over column expression ``x`` (a
     float/double scalar): quantize each input onto the 1e-12 grid, sum
     as HUGEINT (exact), then one HALF_UP division to scale 16 and a
-    correctly-rounded /1e16 to double."""
+    /1e16 to double. The final CAST(q AS DOUBLE)/1e16 performs the
+    same two roundings as the local twin's q/1e16 (bit-identical to
+    _lloyd_local.dec_mean16 unconditionally); both equal Spark's
+    single-rounded float(decimal(31,16)) when q <= 2^53, i.e.
+    |mean| <= ~0.9007 — see the dec_mean16 comment for the bound."""
     se12 = f"CAST(SUM(CAST(CAST({x} AS DECIMAL(27,12)) * 1000000000000 AS HUGEINT)) AS HUGEINT)"
     n = "COUNT(*)"
     pos = f"((({se12}) * 10000 * 2 + {n}) // (2 * {n}))"

@@ -389,6 +389,49 @@ _TILE_SCHEMA = T.StructType(
 MAX_TILES_PER_FEATURE = 256
 
 
+def _with_tile_span(
+    feats: DataFrame,
+    geom_col: str,
+    zoom: int,
+    clip_buf: int | None,
+) -> DataFrame:
+    """Adds ``_bb`` (lon/lat bbox) and the clamped tile-range columns
+    ``_x0/_x1/_y0/_y1`` the feature overlaps at ``zoom``.
+
+    The range is expanded by ``clip_buf`` TILE-FRACTION units
+    (clip_buf px / EXTENT px per tile) before flooring, so a feature
+    lying within the buffer distance OUTSIDE a tile is still assigned
+    to it and encoded into that tile's buffer zone — tippecanoe's
+    --buffer semantics. Without the expansion, strokes/fills pop at
+    tile edges because the neighbor tile never saw the feature.
+
+    Rows with unparseable geometry keep a null ``_bb.xmin`` (callers
+    filter or audit them); the range columns share the bbox pandas UDF
+    between the encode path and the dropped_features audit so the two
+    always agree on what spans what."""
+    from ..operators.geo import tile_xy_frac
+
+    buft = float(clip_buf or 0) / float(EXTENT)
+    nmax = F.lit(2 ** zoom - 1)
+    clampi = lambda c: F.greatest(  # noqa: E731
+        F.lit(0), F.least(c.cast("int"), nmax)
+    )
+    bb = feats.withColumn("_bb", _geom_bbox(F.col(geom_col)))
+    # south (ymin) maps to the LARGER fractional y, north to the smaller
+    xf_min, yf_big = tile_xy_frac(
+        F.col("_bb.xmin"), F.col("_bb.ymin"), zoom
+    )
+    xf_max, yf_small = tile_xy_frac(
+        F.col("_bb.xmax"), F.col("_bb.ymax"), zoom
+    )
+    return (
+        bb.withColumn("_x0", clampi(F.floor(xf_min - buft)))
+        .withColumn("_x1", clampi(F.floor(xf_max + buft)))
+        .withColumn("_y0", clampi(F.floor(yf_small - buft)))
+        .withColumn("_y1", clampi(F.floor(yf_big + buft)))
+    )
+
+
 @F.pandas_udf(
     T.StructType(
         [
@@ -484,13 +527,9 @@ def encode_tiles(
             F.col("ip_x").isNotNull()
         )
     else:
-        bb = feats.withColumn("_bb", _geom_bbox(F.col(geom_col))).filter(
+        spanned = _with_tile_span(feats, geom_col, zoom, clip_buf).filter(
             F.col("_bb.xmin").isNotNull()
         )
-        x0, y1 = tile_xy(F.col("_bb.xmin"), F.col("_bb.ymin"), zoom)
-        x1, y0 = tile_xy(F.col("_bb.xmax"), F.col("_bb.ymax"), zoom)
-        spanned = bb.withColumn("_x0", x0).withColumn("_x1", x1)
-        spanned = spanned.withColumn("_y0", y0).withColumn("_y1", y1)
         spanned = spanned.filter(
             (F.col("_x1") - F.col("_x0") + 1)
             * (F.col("_y1") - F.col("_y0") + 1)
@@ -515,9 +554,17 @@ def encode_tiles(
         y = int(pdf["_ty"].iloc[0])
         blob = b""
         for lname, grp in pdf.groupby(layer_col, sort=True):
-            grp = grp.sort_values(
-                id_col if id_col else prop_cols[0], kind="mergesort"
+            # stable COMPOSITE key: id first (when present), then every
+            # property, then the geometry string. Shuffle arrival order
+            # inside a tile is nondeterministic, so a single-column key
+            # with ties would leave tile bytes run-dependent (and an
+            # empty prop_cols would crash a prop_cols[0] key) — the
+            # full composite makes encode_layer's "reproducible blob"
+            # contract hold unconditionally.
+            sort_cols = (
+                ([id_col] if id_col else []) + prop_cols + [geom_col]
             )
+            grp = grp.sort_values(sort_cols, kind="mergesort")
             features = [
                 {
                     "geometry": r[geom_col],
@@ -547,10 +594,40 @@ def invalid_geometries(
     the no-silent-caps audit for the tile sink. Both assignment paths
     filter bad geometries in-plan (null bbox / null interior point);
     run this against the same input to count and inspect what fell
-    out, the way corrupt_record_quarantine audits the JSONL source."""
+    out, the way corrupt_record_quarantine audits the JSONL source.
+    This surfaces only the null-bbox class; ``dropped_features`` is the
+    full audit (adds the MAX_TILES_PER_FEATURE span drops)."""
     return feats.withColumn("_bb", _geom_bbox(F.col(geom_col))).filter(
         F.col("_bb.xmin").isNull()
     ).drop("_bb")
+
+
+def dropped_features(
+    feats: DataFrame,
+    zoom: int,
+    geom_col: str = "geometry",
+    clip_buf: int | None = 64,
+) -> DataFrame:
+    """EVERY row encode_tiles will drop at ``zoom``, with a
+    ``drop_reason`` column: ``invalid_geometry`` (unparseable/empty —
+    null bbox) or ``tile_span_exceeded`` (the buffered bbox overlaps
+    more than MAX_TILES_PER_FEATURE tiles, the runaway-geometry guard).
+    The span math is the SAME ``_with_tile_span`` plan the encoder
+    uses, so the audit and the sink can never disagree — the
+    no-silent-caps rule for the one bounded drop the tile path has."""
+    sp = _with_tile_span(feats, geom_col, zoom, clip_buf)
+    span = (F.col("_x1") - F.col("_x0") + 1) * (
+        F.col("_y1") - F.col("_y0") + 1
+    )
+    invalid = sp.filter(F.col("_bb.xmin").isNull()).withColumn(
+        "drop_reason", F.lit("invalid_geometry")
+    )
+    over = sp.filter(
+        F.col("_bb.xmin").isNotNull() & (span > MAX_TILES_PER_FEATURE)
+    ).withColumn("drop_reason", F.lit("tile_span_exceeded"))
+    return invalid.unionByName(over).drop(
+        "_bb", "_x0", "_x1", "_y0", "_y1"
+    )
 
 
 def encode_pyramid(

@@ -41,18 +41,23 @@ def _update(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        # CANONICAL in-batch accumulation: fold in value-sorted order,
-        # not pandas' arbitrary-arrival pairwise sum. Shuffle arrival
-        # order inside a group is nondeterministic, so a float result
-        # must not depend on it — sorted-fold makes each batch's total
-        # a pure function of the value multiset (ties of equal values
-        # are interchangeable under a sequential fold), which is what
-        # lets a single-batch replay value-hash against a SQL oracle.
-        # Across MULTIPLE batches totals still depend on batch
-        # composition — inherent to running state.
-        for v in pdf["value"].sort_values(kind="mergesort"):
+    # CANONICAL in-batch accumulation: concatenate ALL Arrow chunks of
+    # the group first (a large group arrives as several pdfs split at
+    # arbitrary maxRecordsPerBatch boundaries), then fold in
+    # value-sorted order — not pandas' arbitrary-arrival pairwise sum.
+    # Shuffle arrival order and chunk boundaries inside a group are
+    # both nondeterministic, so a float result must not depend on
+    # either: the single whole-batch sorted fold makes each batch's
+    # total a pure function of the batch's value multiset (ties of
+    # equal values are interchangeable under a sequential fold), which
+    # is what lets a single-batch replay value-hash against a SQL
+    # oracle. Across MULTIPLE batches totals still depend on batch
+    # composition — inherent to running state.
+    chunks = list(pdfs)
+    if chunks:
+        batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        n += len(batch)
+        for v in batch["value"].sort_values(kind="mergesort"):
             total += float(v)
     state.update((n, total))
     yield pd.DataFrame(

@@ -288,14 +288,16 @@ def test_encode_pyramid_with_density_drop(spark, tmp_path):
         assert n_tile <= 5
         z2_total += n_tile
     assert z2_total < 30
-    # deep zoom keeps everything
-    z6_feats = [
-        f
+    # deep zoom keeps everything (count DISTINCT ids: a point within
+    # the clip buffer of a tile edge is encoded in the neighbor tile's
+    # buffer zone too — tippecanoe --buffer semantics)
+    z6_ids = {
+        f["id"]
         for r in by_zoom[6]
         for lyr in decode_tile(bytes(r["pbf"]))
         for f in lyr["features"]
-    ]
-    assert len(z6_feats) == 30
+    }
+    assert len(z6_ids) == 30
 
     from map_v2_etl_spark.sources.mvt import write_mbtiles
 
@@ -518,7 +520,11 @@ def test_invalid_geometries_audit(spark):
 
     feats = spark.createDataFrame(
         [
-            ("ok", '{"type":"Point","coordinates":[1.0,2.0]}', "l"),
+            # tile-center point: stays a SINGLE encoded copy (a point
+            # within 64 px of a tile edge is also encoded into the
+            # neighbor's buffer zone, which isn't what this test is
+            # counting)
+            ("ok", '{"type":"Point","coordinates":[45.0,40.0]}', "l"),
             ("bad-json", "{not json", "l"),
             ("bad-type", '{"type":"Sphere","coordinates":[]}', "l"),
         ],
@@ -539,7 +545,8 @@ def test_invalid_geometries_audit(spark):
 def test_unsupported_type_with_plausible_coords_drops_not_crashes(spark):
     feats = spark.createDataFrame(
         [
-            ("ok", '{"type":"Point","coordinates":[1.0,2.0]}', "l"),
+            # tile-center point (edge-adjacent points buffer-duplicate)
+            ("ok", '{"type":"Point","coordinates":[45.0,40.0]}', "l"),
             (
                 "sphere",
                 '{"type":"Sphere","coordinates":[[1.0,2.0],[3.0,4.0]]}',
@@ -561,3 +568,210 @@ def test_unsupported_type_with_plausible_coords_drops_not_crashes(spark):
     assert {r["GEOID"] for r in invalid_geometries(feats).collect()} == {
         "sphere"
     }
+
+
+def test_buffer_zone_assignment(spark):
+    """A feature within clip_buf px OUTSIDE a tile is still encoded
+    into that tile's buffer zone (tippecanoe --buffer): strokes/fills
+    must not pop at tile edges. z2 tiles are 90 deg wide; lon 0 is the
+    x=1|x=2 boundary, so a point at lon 0.5 (just inside x=2, ~23 px
+    from the edge) must also appear in x=1's buffer."""
+    feats = spark.createDataFrame(
+        [("p", '{"type":"Point","coordinates":[0.5,40.0]}', "l")],
+        "GEOID STRING, geometry STRING, layer STRING",
+    )
+    tiles = {(r["x"], r["y"]): bytes(r["pbf"])
+             for r in encode_tiles(feats, zoom=2).collect()}
+    assert (2, 1) in tiles  # home tile
+    assert (1, 1) in tiles  # buffer-zone neighbor
+    # in the neighbor the point sits past the right edge, inside buffer
+    (lyr,) = decode_tile(tiles[(1, 1)])
+    (f,) = lyr["features"]
+    px = f["geometry"][0]["points"][0][0]
+    assert EXTENT < px <= EXTENT + 64
+    # a tile-CENTER point must NOT duplicate
+    feats_c = spark.createDataFrame(
+        [("c", '{"type":"Point","coordinates":[45.0,40.0]}', "l")],
+        "GEOID STRING, geometry STRING, layer STRING",
+    )
+    assert len(encode_tiles(feats_c, zoom=2).collect()) == 1
+
+
+def test_dropped_features_audit(spark):
+    """dropped_features surfaces BOTH drop classes with reasons: null
+    bbox AND the MAX_TILES_PER_FEATURE span cap (which encode_tiles
+    silently enforced before this audit existed)."""
+    from map_v2_etl_spark.sources.mvt import (
+        MAX_TILES_PER_FEATURE,
+        dropped_features,
+    )
+
+    world = [[-179.9, -60.0], [179.9, -60.0], [179.9, 60.0],
+             [-179.9, 60.0], [-179.9, -60.0]]
+    feats = spark.createDataFrame(
+        [
+            # 45.7 is mid-tile at zoom 8 (45.0 is exactly a z8 tile
+            # boundary and would buffer-duplicate)
+            ("ok", '{"type":"Point","coordinates":[45.7,40.0]}', "l"),
+            ("bad", "{not json", "l"),
+            (
+                "world",
+                json.dumps({"type": "Polygon", "coordinates": [world]}),
+                "l",
+            ),
+        ],
+        "GEOID STRING, geometry STRING, layer STRING",
+    )
+    # zoom 8: the world polygon spans ~256x~200 tiles >> 256 cap
+    audit = {
+        r["GEOID"]: r["drop_reason"]
+        for r in dropped_features(feats, zoom=8).collect()
+    }
+    assert audit == {
+        "bad": "invalid_geometry",
+        "world": "tile_span_exceeded",
+    }
+    # and encode_tiles agrees: only "ok" is encoded
+    kept_tags = [
+        f
+        for r in encode_tiles(feats, zoom=8).collect()
+        for lyr in decode_tile(bytes(r["pbf"]))
+        for f in lyr["features"]
+    ]
+    assert len(kept_tags) == 1
+    # at zoom 0 the world polygon fits -> audit shrinks to the bad row
+    audit0 = {
+        r["GEOID"]: r["drop_reason"]
+        for r in dropped_features(feats, zoom=0).collect()
+    }
+    assert audit0 == {"bad": "invalid_geometry"}
+
+
+def test_encode_tiles_no_props_no_id_deterministic(spark):
+    """id_col=None with ZERO property columns must not crash (the old
+    sort key indexed prop_cols[0]) and must yield identical bytes
+    across runs with different partitioning (composite sort key)."""
+    rows = [
+        (json.dumps({"type": "Point",
+                     "coordinates": [10.0 + i, 40.0 + (i % 7)]}), "l")
+        for i in range(40)
+    ]
+    blobs = []
+    for parts in (1, 7):
+        feats = spark.createDataFrame(
+            rows, "geometry STRING, layer STRING"
+        ).repartition(parts)
+        tiles = {
+            (r["z"], r["x"], r["y"]): bytes(r["pbf"])
+            for r in encode_tiles(feats, zoom=3, id_col=None).collect()
+        }
+        blobs.append(tiles)
+    assert blobs[0] == blobs[1]
+
+
+def test_encode_tiles_duplicate_sort_key_deterministic(spark):
+    """Non-unique first property (the old single-column sort key) no
+    longer leaves tile bytes shuffle-order-dependent."""
+    rows = [
+        ("same", f"{i:03d}",
+         json.dumps({"type": "Point",
+                     "coordinates": [40.0 + i * 0.01, 40.0]}), "l")
+        for i in range(50)
+    ]
+    blobs = []
+    for parts in (1, 13):
+        feats = spark.createDataFrame(
+            rows, "grp STRING, uid STRING, geometry STRING, layer STRING"
+        ).repartition(parts)
+        tiles = {
+            (r["x"], r["y"]): bytes(r["pbf"])
+            for r in encode_tiles(feats, zoom=4, id_col=None).collect()
+        }
+        blobs.append(tiles)
+    assert blobs[0] == blobs[1]
+
+
+def test_multipolygon_with_hole_roundtrip(spark):
+    """tippecanoe's --detect-shared-borders / --coalesce flags exist
+    for exactly this shape class: a multipolygon whose first part has
+    a hole. Decode must give back both parts, ring winding per MVT
+    spec 4.3.4.4 (exterior screen-CW = positive area2, hole negative),
+    and the hole must be inside its exterior."""
+    outer = [[10.0, 10.0], [30.0, 10.0], [30.0, 30.0], [10.0, 30.0],
+             [10.0, 10.0]]
+    hole = [[15.0, 15.0], [15.0, 25.0], [25.0, 25.0], [25.0, 15.0],
+            [15.0, 15.0]]
+    island = [[40.0, 12.0], [44.0, 12.0], [44.0, 16.0], [40.0, 16.0],
+              [40.0, 12.0]]
+    geom = {
+        "type": "MultiPolygon",
+        "coordinates": [[outer, hole], [island]],
+    }
+    feats = spark.createDataFrame(
+        [("mp", json.dumps(geom), "l")],
+        "GEOID STRING, geometry STRING, layer STRING",
+    )
+    tiles = encode_tiles(feats, zoom=2, id_col=None).collect()
+    # pick the tile containing the shape's core
+    def rings_from(pbf):
+        (lyr,) = decode_tile(bytes(pbf))
+        (f,) = lyr["features"]
+        assert f["type"] == 3  # POLYGON
+        rings, cur = [], None
+        for part in f["geometry"]:
+            if part["cmd"] == "move":
+                cur = list(part["points"])
+            elif part["cmd"] == "line":
+                cur.extend(part["points"])
+            elif part["cmd"] == "close":
+                rings.append(cur)
+        return rings
+
+    def area2(ring):
+        s = 0
+        pts = ring + [ring[0]]
+        for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+            s += ax * by - bx * ay
+        return s
+
+    # find the tile where all three rings survive clipping
+    full = None
+    for r in tiles:
+        rings = rings_from(r["pbf"])
+        if len(rings) == 3:
+            full = rings
+            break
+    assert full is not None, "no tile carried all three rings"
+    signs = [area2(rg) for rg in full]
+    # MVT winding: exterior positive (screen-CW), interior negative
+    assert signs[0] > 0 and signs[1] < 0 and signs[2] > 0
+    # the hole's points sit strictly inside the first exterior's bbox
+    ex_xs = [p[0] for p in full[0]]
+    ex_ys = [p[1] for p in full[0]]
+    for x, y in full[1]:
+        assert min(ex_xs) < x < max(ex_xs)
+        assert min(ex_ys) < y < max(ex_ys)
+
+
+def test_antimeridian_adjacent_tract(spark):
+    """A polygon hugging the antimeridian (the easternmost z-level
+    column) must clip to its home tiles without wrapping into x=0 and
+    without vertex overflow past the buffered clip box."""
+    ring = [[179.2, 50.0], [179.9, 50.0], [179.9, 53.0], [179.2, 53.0],
+            [179.2, 50.0]]
+    feats = spark.createDataFrame(
+        [("am", json.dumps({"type": "Polygon", "coordinates": [ring]}),
+          "l")],
+        "GEOID STRING, geometry STRING, layer STRING",
+    )
+    z = 3
+    tiles = encode_tiles(feats, zoom=z, id_col=None).collect()
+    xs = {r["x"] for r in tiles}
+    assert xs and xs <= {(1 << z) - 1}  # last column only, no x=0 wrap
+    for r in tiles:
+        (lyr,) = decode_tile(bytes(r["pbf"]))
+        for f in lyr["features"]:
+            for part in f["geometry"]:
+                for x, y in part.get("points", []):
+                    assert -64 <= x <= EXTENT + 64
+                    assert -64 <= y <= EXTENT + 64
