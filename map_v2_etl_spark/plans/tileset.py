@@ -229,15 +229,24 @@ def build_tileset_native(
     build.sh:124-129,146-152); with ``max_per_tile``+``weight_col`` the
     dense-tile drop rule (tippecanoe --drop-densest-as-needed) applies
     per zoom. Tile assignment and per-tile pbf encoding run DISTRIBUTED
-    (groupBy(z,x,y) + applyInPandas); only finished blobs are collected
-    into the single-file .mbtiles artifact, the same output-bounded
-    posture as csv_io.write_sorted_csv. Use this where tippecanoe is
-    unavailable or a pure-engine pipeline is preferred;
+    (groupBy(z,x,y) + applyInPandas). An ``out_path`` ending in
+    ``.mbtiles`` collects only the finished blobs into the single-file
+    SQLite artifact (output-bounded, same posture as
+    csv_io.write_sorted_csv); ANY OTHER path is treated as a tile
+    DIRECTORY and written fully distributed (write_tile_dir — each
+    executor writes its own z/x/y.pbf files, no driver collect), the
+    reference's served layout (build.sh:220-223). Use this where
+    tippecanoe is unavailable or a pure-engine pipeline is preferred;
     ``build_tileset`` remains the binary-parity path. Returns the tile
     count."""
     from pyspark.sql import functions as F
 
-    from ..sources.mvt import encode_pyramid, encode_tiles, write_mbtiles
+    from ..sources.mvt import (
+        encode_pyramid,
+        encode_tiles,
+        write_mbtiles,
+        write_tile_dir,
+    )
 
     if (zoom is None) == (region is None):
         raise ValueError("pass exactly one of zoom= or region=")
@@ -264,7 +273,10 @@ def build_tileset_native(
         }
         for lname, df in layers.items()
     }
-    return write_mbtiles(
+    sink = (
+        write_mbtiles if out_path.endswith(".mbtiles") else write_tile_dir
+    )
+    return sink(
         tiles, out_path, name, minzoom=minz, maxzoom=maxz,
         layer_fields=fields,
     )

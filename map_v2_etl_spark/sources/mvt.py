@@ -681,6 +681,31 @@ def encode_pyramid(
     return out
 
 
+def _tileset_metadata(
+    name: str,
+    minzoom: int,
+    maxzoom: int,
+    bounds: str,
+    layer_fields: dict[str, dict[str, str]] | None,
+) -> dict[str, str]:
+    """The tippecanoe-compatible metadata key/value set — shared by the
+    single-file .mbtiles writer and the distributed tile-directory sink
+    so metadata.json is byte-identical on both paths."""
+    vector_layers = [
+        {"id": lname, "fields": fields or {}}
+        for lname, fields in (layer_fields or {}).items()
+    ]
+    return {
+        "name": name,
+        "format": "pbf",
+        "minzoom": str(minzoom),
+        "maxzoom": str(maxzoom),
+        "bounds": bounds,
+        "type": "overlay",
+        "json": json.dumps({"vector_layers": vector_layers}),
+    }
+
+
 def write_mbtiles(
     tiles: DataFrame,
     path: str,
@@ -715,19 +740,9 @@ def write_mbtiles(
             "CREATE UNIQUE INDEX tile_index ON tiles "
             "(zoom_level, tile_column, tile_row)"
         )
-        vector_layers = [
-            {"id": lname, "fields": fields or {}}
-            for lname, fields in (layer_fields or {}).items()
-        ]
-        meta = {
-            "name": name,
-            "format": "pbf",
-            "minzoom": str(minzoom),
-            "maxzoom": str(maxzoom),
-            "bounds": bounds,
-            "type": "overlay",
-            "json": json.dumps({"vector_layers": vector_layers}),
-        }
+        meta = _tileset_metadata(
+            name, minzoom, maxzoom, bounds, layer_fields
+        )
         cur.executemany(
             "INSERT INTO metadata VALUES (?, ?)", list(meta.items())
         )
@@ -776,6 +791,58 @@ def mbtiles_to_dir(mbtiles_path: str, out_dir: str) -> int:
         return n
     finally:
         con.close()
+
+
+def write_tile_dir(
+    tiles: DataFrame,
+    out_dir: str,
+    name: str,
+    minzoom: int,
+    maxzoom: int,
+    bounds: str = "-180.0,-85,180,85",
+    layer_fields: dict[str, dict[str, str]] | None = None,
+) -> int:
+    """DISTRIBUTED S9: write a (z, x, y, pbf) DataFrame straight to a
+    z/x/y.pbf tile directory + metadata.json — the reference's served
+    layout (build.sh:220-223 tile-join --output-to-directory) with NO
+    driver-side collect: every executor writes its own partition's
+    tiles, so a planet-scale pyramid streams to storage in parallel
+    instead of funneling blobs through one process (write_mbtiles'
+    documented bound). On a cluster, point ``out_dir`` at a shared
+    filesystem or an object-store mount; tasks only create dirs and
+    write files, both idempotent under retry (atomic tmp+rename, last
+    writer wins on the same (z,x,y) bytes).
+
+    Files are gzip-compressed with mtime=0 and metadata.json is the
+    same sorted-key dump as the .mbtiles metadata table, so the output
+    is byte-identical to write_mbtiles -> mbtiles_to_dir (asserted in
+    tests/test_mvt.py). Returns the tile count (LongAccumulator — an
+    exact count because foreachPartition is a single action)."""
+    meta = _tileset_metadata(name, minzoom, maxzoom, bounds, layer_fields)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "metadata.json"), "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    sel = tiles.select("z", "x", "y", "pbf")
+    acc = sel.sparkSession.sparkContext.accumulator(0)
+
+    def write_partition(rows) -> None:
+        import gzip as _gzip
+        import os as _os
+
+        n = 0
+        for r in rows:
+            d = _os.path.join(out_dir, str(r["z"]), str(r["x"]))
+            _os.makedirs(d, exist_ok=True)
+            final = _os.path.join(d, f"{r['y']}.pbf")
+            tmp = f"{final}.tmp-{_os.getpid()}"
+            with open(tmp, "wb") as out:
+                out.write(_gzip.compress(bytes(r["pbf"]), mtime=0))
+            _os.replace(tmp, final)
+            n += 1
+        acc.add(n)
+
+    sel.foreachPartition(write_partition)
+    return acc.value
 
 
 # --------------------------------------------------------------------------

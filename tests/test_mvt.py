@@ -775,3 +775,80 @@ def test_antimeridian_adjacent_tract(spark):
                 for x, y in part.get("points", []):
                     assert -64 <= x <= EXTENT + 64
                     assert -64 <= y <= EXTENT + 64
+
+
+def test_write_tile_dir_matches_collected_path(spark, tmp_path):
+    """The distributed z/x/y sink (executor-side foreachPartition, no
+    driver collect) produces a directory BYTE-IDENTICAL to the
+    collected path (write_mbtiles -> mbtiles_to_dir), metadata.json
+    included — so the scale path and the bounded path are
+    interchangeable artifacts."""
+    import random
+
+    from map_v2_etl_spark.sources.mvt import (
+        encode_pyramid,
+        mbtiles_to_dir,
+        write_tile_dir,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        lon, lat = -120 + rng.random() * 100, 20 + rng.random() * 30
+        rows.append(
+            (f"{i:04d}",
+             json.dumps({"type": "Point", "coordinates": [lon, lat]}),
+             "pts")
+        )
+    feats = spark.createDataFrame(
+        rows, "GEOID STRING, geometry STRING, layer STRING"
+    ).repartition(6)
+    tiles = encode_pyramid(feats, 1, 4, id_col="GEOID")
+    fields = {"pts": {"GEOID": "String"}}
+
+    mb = str(tmp_path / "t.mbtiles")
+    d_collected = str(tmp_path / "via_mbtiles")
+    n1 = write_mbtiles(tiles, mb, "t", 1, 4, layer_fields=fields)
+    assert mbtiles_to_dir(mb, d_collected) == n1
+
+    d_dist = str(tmp_path / "distributed")
+    n2 = write_tile_dir(tiles, d_dist, "t", 1, 4, layer_fields=fields)
+    assert n2 == n1 and n1 > 4
+
+    def tree(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = open(p, "rb").read()
+        return out
+
+    t1, t2 = tree(d_collected), tree(d_dist)
+    assert set(t1) == set(t2)
+    assert t1 == t2  # byte-identical, metadata.json included
+
+
+def test_build_tileset_native_directory_target(spark, tmp_path):
+    """build_tileset_native with a non-.mbtiles out_path takes the
+    distributed directory sink."""
+    from map_v2_etl_spark.plans.tileset import build_tileset_native
+
+    feats = spark.createDataFrame(
+        [("01", '{"type":"Point","coordinates":[-86.5,32.6]}'),
+         ("02", '{"type":"Point","coordinates":[-100.1,35.2]}')],
+        "GEOID STRING, geometry STRING",
+    )
+    out = str(tmp_path / "tiles")
+    n = build_tileset_native({"pts": feats}, out, "t", zoom=5,
+                             id_col=None)
+    assert n == 2
+    meta = json.load(open(os.path.join(out, "metadata.json")))
+    assert meta["format"] == "pbf" and meta["name"] == "t"
+    pbfs = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out) for f in fs if f.endswith(".pbf")
+    ]
+    assert len(pbfs) == 2
+    for p in pbfs:
+        layers = decode_tile(gzip.decompress(open(p, "rb").read()))
+        assert layers and layers[0]["features"]
