@@ -51,6 +51,18 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+        codec = os.environ.get("SPARK_GRAFT_REF_CODEC")
+        if codec:
+            spark.conf.set("spark.sql.parquet.compression.codec", codec)
+        # split the pivot job: COMPUTE (noop sink) vs parquet write, so
+        # a slow-disk episode is attributable (the write stays in the
+        # headline because the reference job also materializes wide)
+        t0 = time.time()
+        pivot_long_to_wide(
+            reference_long_table(spark, PLACES), "raw"
+        ).write.format("noop").mode("overwrite").save()
+        t_pivot_compute = round(time.time() - t0, 3)
+
         wide_path = os.path.join(tmp, "wide")
         t0 = time.time()
         pivot_long_to_wide(
@@ -74,6 +86,8 @@ def main() -> None:
                 "value": round(t_pivot + t_extents, 3),
                 "unit": "sec",
                 "queries": {"ref_pivot": t_pivot, "ref_extents": t_extents},
+                "ref_pivot_compute_noop": t_pivot_compute,
+                "parquet_codec": codec or "snappy (default)",
                 "places": PLACES,
                 "wide_columns": n_cols,
             }
