@@ -209,3 +209,59 @@ def test_duck_dec_mean_matches_decimal_reference(xs):
             decimal.Decimal(1).scaleb(-16), rounding=decimal.ROUND_HALF_UP
         )
     assert got == float(mean16)
+
+
+def test_tile_span_matches_python_reference(spark):
+    """_with_tile_span's buffered, clamped tile ranges (Spark column
+    math) equal an independent pure-Python computation for a seeded
+    random batch of bboxes — guards the Mercator + buffer-expansion
+    arithmetic against silent drift."""
+    import json
+    import random
+
+    from map_v2_etl_spark.sources.mvt import EXTENT as EXT
+    from map_v2_etl_spark.sources.mvt import _with_tile_span
+
+    rng = random.Random(42)
+    zoom, buf = 7, 64
+    rows = []
+    for i in range(300):
+        lon = -179.5 + rng.random() * 359.0
+        lat = -84.0 + rng.random() * 168.0
+        dlon = rng.random() * 2.0
+        dlat = rng.random() * 2.0
+        ring = [[lon, lat], [min(lon + dlon, 180.0), lat],
+                [min(lon + dlon, 180.0), min(lat + dlat, 85.0)],
+                [lon, min(lat + dlat, 85.0)], [lon, lat]]
+        rows.append(
+            (i, json.dumps({"type": "Polygon", "coordinates": [ring]}))
+        )
+    feats = spark.createDataFrame(rows, "i LONG, geometry STRING")
+    got = {
+        r["i"]: (r["_x0"], r["_x1"], r["_y0"], r["_y1"])
+        for r in _with_tile_span(feats, "geometry", zoom, buf).collect()
+    }
+
+    def frac(lon, lat):
+        n = float(2 ** zoom)
+        xf = (lon + 180.0) / 360.0 * n
+        lr = math.radians(lat)
+        yf = (1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr))
+              / math.pi) / 2.0 * n
+        return xf, yf
+
+    bt = buf / float(EXT)
+    nmax = 2 ** zoom - 1
+    clamp = lambda v: max(0, min(int(math.floor(v)), nmax))  # noqa: E731
+    for i, g in rows:
+        ring = json.loads(g)["coordinates"][0]
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        xf0, yf_big = frac(min(xs), min(ys))
+        xf1, yf_small = frac(max(xs), max(ys))
+        want = (
+            clamp(xf0 - bt), clamp(xf1 + bt),
+            clamp(yf_small - bt), clamp(yf_big + bt),
+        )
+        assert got[i] == want, (i, got[i], want)
+        assert got[i][0] <= got[i][1] and got[i][2] <= got[i][3]
