@@ -845,6 +845,79 @@ def write_tile_dir(
     return acc.value
 
 
+def write_tile_objects(
+    tiles: DataFrame,
+    bucket: str,
+    prefix: str,
+    name: str,
+    minzoom: int,
+    maxzoom: int,
+    bounds: str = "-180.0,-85,180,85",
+    layer_fields: dict[str, dict[str, str]] | None = None,
+    client_factory=None,
+) -> int:
+    """DISTRIBUTED deploy (S7+S9 fused): upload a (z, x, y, pbf)
+    DataFrame straight to an object store as
+    ``s3://{bucket}/{prefix}/z/x/y.pbf`` with the reference's deploy
+    metadata (content-type application/x-protobuf, content-encoding
+    gzip — build.sh:222-227), each executor partition uploading its own
+    tiles through its own client. The reference (and ``write_tile_dir``
+    + ``upload_manifest``) stages a local directory and uploads it from
+    ONE process; at planetary tile counts that single uploader is the
+    bottleneck, so this sink lets every executor PUT in parallel and
+    nothing ever funnels through the driver except the one-object
+    metadata.json.
+
+    ``client_factory``: a PICKLABLE zero-arg callable returning a
+    boto3-shaped client (``put_object(Bucket=, Key=, Body=,
+    ContentType=, ContentEncoding=)``) — e.g. a module-level function
+    or ``functools.partial`` closing over an endpoint URL. Defaults to
+    a plain ``boto3.client("s3")`` (instance-role credentials on a real
+    cluster). Each partition calls it once; clients are never shipped
+    over the wire. Object PUTs are atomic and idempotent, so Spark task
+    retries are safe (last writer wins with identical bytes).
+
+    Returns the tile count (LongAccumulator over the single action)."""
+    if client_factory is None:
+        client_factory = _default_s3_client
+    meta = _tileset_metadata(name, minzoom, maxzoom, bounds, layer_fields)
+    client_factory().put_object(
+        Bucket=bucket,
+        Key=f"{prefix}/metadata.json",
+        Body=json.dumps(meta, sort_keys=True).encode(),
+        ContentType="application/json",
+    )
+    sel = tiles.select("z", "x", "y", "pbf")
+    acc = sel.sparkSession.sparkContext.accumulator(0)
+
+    def put_partition(rows) -> None:
+        import gzip as _gzip
+
+        client = None
+        n = 0
+        for r in rows:
+            if client is None:  # lazy: empty partitions skip the client
+                client = client_factory()
+            client.put_object(
+                Bucket=bucket,
+                Key=f"{prefix}/{r['z']}/{r['x']}/{r['y']}.pbf",
+                Body=_gzip.compress(bytes(r["pbf"]), mtime=0),
+                ContentType="application/x-protobuf",
+                ContentEncoding="gzip",
+            )
+            n += 1
+        acc.add(n)
+
+    sel.foreachPartition(put_partition)
+    return acc.value
+
+
+def _default_s3_client():
+    import boto3
+
+    return boto3.client("s3")
+
+
 # --------------------------------------------------------------------------
 # decoding (for tests / verification — not a renderer)
 # --------------------------------------------------------------------------

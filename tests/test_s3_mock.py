@@ -135,3 +135,106 @@ def test_tile_pyramid_upload_via_moto(spark, tmp_path, s3):
     listed = s3.list_objects_v2(Bucket="tileset-output")
     keys = {o["Key"] for o in listed.get("Contents", [])}
     assert keys == {"states-00/4/3/2.pbf", "states-00/metadata.json"}
+
+
+# --------------------------------------------------------------------------
+# executor-side object-store tile upload (write_tile_objects)
+# --------------------------------------------------------------------------
+
+def test_write_tile_objects_distributed_upload(spark, tmp_path):
+    """write_tile_objects PUTs tiles from EXECUTOR partitions (not the
+    driver), so it must work against a real wire-level S3 endpoint
+    reachable from worker processes — moto's in-process mock can't see
+    them. ThreadedMotoServer provides that endpoint; the uploaded
+    objects must be byte-identical to write_tile_dir's files with the
+    reference's deploy metadata (build.sh:222-227)."""
+    import json as _json
+
+    from moto.server import ThreadedMotoServer
+
+    from map_v2_etl_spark.sources.mvt import (
+        decode_tile,
+        encode_pyramid,
+        write_tile_dir,
+        write_tile_objects,
+    )
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    try:
+        host, port = server._server.server_address
+        url = f"http://127.0.0.1:{port}"
+
+        def factory():
+            # a CLOSURE, not a test-module function: executors cannot
+            # import test modules, but cloudpickle ships closures by
+            # value (boto3 imported worker-side)
+            import boto3 as _b
+
+            return _b.client(
+                "s3",
+                endpoint_url=url,
+                region_name="us-east-1",
+                aws_access_key_id="testing",
+                aws_secret_access_key="testing",
+            )
+        factory().create_bucket(Bucket="tileset-output")
+
+        rows = [
+            (f"{i:03d}",
+             _json.dumps({"type": "Point",
+                          "coordinates": [-120.0 + i * 2.3,
+                                          25.0 + (i * 7) % 30]}),
+             "pts")
+            for i in range(25)
+        ]
+        feats = spark.createDataFrame(
+            rows, "GEOID STRING, geometry STRING, layer STRING"
+        ).repartition(5)
+        tiles = encode_pyramid(feats, 2, 4, id_col="GEOID")
+        fields = {"pts": {"GEOID": "String"}}
+
+        n = write_tile_objects(
+            tiles, "tileset-output", "states-00", "states-00", 2, 4,
+            layer_fields=fields, client_factory=factory,
+        )
+        assert n > 4
+
+        # mirror to a local dir: keys and bytes must match exactly
+        d = str(tmp_path / "dir")
+        assert write_tile_dir(
+            tiles, d, "states-00", 2, 4, layer_fields=fields
+        ) == n
+
+        client = factory()
+        keys = []
+        token = {}
+        while True:
+            resp = client.list_objects_v2(
+                Bucket="tileset-output", Prefix="states-00/", **token
+            )
+            keys += [o["Key"] for o in resp.get("Contents", [])]
+            if not resp.get("IsTruncated"):
+                break
+            token = {"ContinuationToken": resp["NextContinuationToken"]}
+        assert len(keys) == n + 1  # tiles + metadata.json
+
+        local = {}
+        for dirpath, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                local[os.path.relpath(p, d)] = open(p, "rb").read()
+        for k in keys:
+            rel = k[len("states-00/"):]
+            obj = client.get_object(Bucket="tileset-output", Key=k)
+            body = obj["Body"].read()
+            assert body == local[rel], rel
+            if k.endswith(".pbf"):
+                assert obj["ContentType"] == "application/x-protobuf"
+                assert obj["ContentEncoding"] == "gzip"
+                assert decode_tile(gzip.decompress(body)) is not None
+            else:
+                assert obj["ContentType"] == "application/json"
+                assert _json.loads(body)["format"] == "pbf"
+    finally:
+        server.stop()
