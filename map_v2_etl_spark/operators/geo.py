@@ -95,7 +95,13 @@ def interior_point_py(geojson_geom: str) -> tuple[float, float] | None:
     between vertex rows (guaranteed inside for any simple polygon)."""
     if not geojson_geom:
         return None
-    g = json.loads(geojson_geom)
+    try:
+        g = json.loads(geojson_geom)
+    except ValueError:
+        # malformed geometry -> null point, dropped by the caller's
+        # isNotNull filter and surfaced by the dropped_features audit
+        # (same contract as the bbox path's null bbox)
+        return None
     t, coords = g.get("type"), g.get("coordinates")
     if t == "Polygon":
         polys = [coords]

@@ -41,6 +41,7 @@ import math
 import os
 import sqlite3
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -342,7 +343,14 @@ def encode_layer(
             if k not in key_ix:
                 key_ix[k] = len(keys)
                 keys.append(k)
-            vk = (type(v).__name__, v)
+            try:
+                vk = (type(v).__name__, v)
+                hash(vk)
+            except TypeError:
+                # unhashable (numpy array / list / dict) values intern
+                # by their str form — the same representation
+                # _value_msg encodes them as
+                vk = (type(v).__name__, str(v))
             if vk not in val_ix:
                 val_ix[vk] = len(vals)
                 vals.append(_value_msg(v))
@@ -553,17 +561,28 @@ def encode_tiles(
         x = int(pdf["_tx"].iloc[0])
         y = int(pdf["_ty"].iloc[0])
         blob = b""
-        for lname, grp in pdf.groupby(layer_col, sort=True):
-            # stable COMPOSITE key: id first (when present), then every
-            # property, then the geometry string. Shuffle arrival order
-            # inside a tile is nondeterministic, so a single-column key
-            # with ties would leave tile bytes run-dependent (and an
-            # empty prop_cols would crash a prop_cols[0] key) — the
-            # full composite makes encode_layer's "reproducible blob"
-            # contract hold unconditionally.
-            sort_cols = (
-                ([id_col] if id_col else []) + prop_cols + [geom_col]
+        # stable COMPOSITE key: id first (when present), then every
+        # SORTABLE property, then the geometry string. Shuffle arrival
+        # order inside a tile is nondeterministic, so a single-column
+        # key with ties would leave tile bytes run-dependent (and an
+        # empty prop_cols would crash a prop_cols[0] key) — the full
+        # composite makes encode_layer's "reproducible blob" contract
+        # hold unconditionally. Array/struct-typed properties (numpy
+        # arrays/dicts via Arrow) are excluded from the KEY — pandas
+        # cannot compare them — but still encode as properties; the
+        # geometry string keeps the key discriminating.
+        def comparable(c: str) -> bool:
+            s = pdf[c].dropna()
+            return s.empty or not isinstance(
+                s.iloc[0], (np.ndarray, list, dict, set)
             )
+
+        sort_cols = (
+            ([id_col] if id_col else [])
+            + [c for c in prop_cols if comparable(c)]
+            + [geom_col]
+        )
+        for lname, grp in pdf.groupby(layer_col, sort=True):
             grp = grp.sort_values(sort_cols, kind="mergesort")
             features = [
                 {
@@ -608,25 +627,41 @@ def dropped_features(
     geom_col: str = "geometry",
     clip_buf: int | None = 64,
 ) -> DataFrame:
-    """EVERY row encode_tiles will drop at ``zoom``, with a
-    ``drop_reason`` column: ``invalid_geometry`` (unparseable/empty —
-    null bbox) or ``tile_span_exceeded`` (the buffered bbox overlaps
-    more than MAX_TILES_PER_FEATURE tiles, the runaway-geometry guard).
-    The span math is the SAME ``_with_tile_span`` plan the encoder
-    uses, so the audit and the sink can never disagree — the
-    no-silent-caps rule for the one bounded drop the tile path has."""
+    """EVERY row ``encode_tiles(..., zoom, clip_buf=clip_buf)`` will
+    drop, with a ``drop_reason`` column, mirroring the encode path the
+    arguments select:
+
+    * ``clip_buf`` int (bbox fan-out path): ``invalid_geometry``
+      (unparseable/empty — null bbox) or ``tile_span_exceeded`` (the
+      buffered bbox overlaps more than MAX_TILES_PER_FEATURE tiles,
+      the runaway-geometry guard). The span math is the SAME
+      ``_with_tile_span`` plan the encoder uses, so audit and sink
+      cannot disagree — the no-silent-caps rule for the one bounded
+      drop the tile path has. ONE pass: a single when/when projection
+      over one bbox-UDF evaluation, not a union of re-scans.
+    * ``clip_buf=None`` (interior-point single-tile path): that path
+      has NO span cap — its only drop is a null interior point, so the
+      audit reports exactly those rows as ``invalid_geometry``."""
+    if clip_buf is None:
+        from ..operators.geo import with_interior_points
+
+        pts = with_interior_points(feats, geom_col)
+        return (
+            pts.filter(F.col("ip_x").isNull())
+            .drop("ip_x", "ip_y")
+            .withColumn("drop_reason", F.lit("invalid_geometry"))
+        )
     sp = _with_tile_span(feats, geom_col, zoom, clip_buf)
     span = (F.col("_x1") - F.col("_x0") + 1) * (
         F.col("_y1") - F.col("_y0") + 1
     )
-    invalid = sp.filter(F.col("_bb.xmin").isNull()).withColumn(
-        "drop_reason", F.lit("invalid_geometry")
-    )
-    over = sp.filter(
-        F.col("_bb.xmin").isNotNull() & (span > MAX_TILES_PER_FEATURE)
-    ).withColumn("drop_reason", F.lit("tile_span_exceeded"))
-    return invalid.unionByName(over).drop(
-        "_bb", "_x0", "_x1", "_y0", "_y1"
+    reason = F.when(
+        F.col("_bb.xmin").isNull(), F.lit("invalid_geometry")
+    ).when(span > MAX_TILES_PER_FEATURE, F.lit("tile_span_exceeded"))
+    return (
+        sp.withColumn("drop_reason", reason)
+        .filter(F.col("drop_reason").isNotNull())
+        .drop("_bb", "_x0", "_x1", "_y0", "_y1")
     )
 
 
@@ -816,9 +851,17 @@ def write_tile_dir(
     Files are gzip-compressed with mtime=0 and metadata.json is the
     same sorted-key dump as the .mbtiles metadata table, so the output
     is byte-identical to write_mbtiles -> mbtiles_to_dir (asserted in
-    tests/test_mvt.py). Returns the tile count (LongAccumulator — an
+    tests/test_mvt.py). A pre-existing ``out_dir`` is REMOVED first —
+    the same replace-the-artifact semantics as write_mbtiles — so a
+    rebuild that produces fewer tiles can't leave stale z/x/y.pbf files
+    from the previous build being served (and walked by
+    upload_manifest). Returns the tile count (LongAccumulator — an
     exact count because foreachPartition is a single action)."""
+    import shutil
+
     meta = _tileset_metadata(name, minzoom, maxzoom, bounds, layer_fields)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "metadata.json"), "w") as fh:
         json.dump(meta, fh, sort_keys=True)

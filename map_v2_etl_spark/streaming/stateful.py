@@ -117,9 +117,15 @@ class _RunningTotals(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         n, total = self._state.get() if self._state.exists() else (0, 0.0)
-        for pdf in rows:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
+        # same canonical fold as _update: concat ALL Arrow chunks, then
+        # value-sorted accumulation — the twin must be deterministic
+        # under the same chunk-boundary/arrival nondeterminism
+        chunks = list(rows)
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            n += len(batch)
+            for v in batch["value"].sort_values(kind="mergesort"):
+                total += float(v)
         self._state.update((n, total))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}

@@ -852,3 +852,87 @@ def test_build_tileset_native_directory_target(spark, tmp_path):
     for p in pbfs:
         layers = decode_tile(gzip.decompress(open(p, "rb").read()))
         assert layers and layers[0]["features"]
+
+
+def test_write_tile_dir_replaces_stale_output(spark, tmp_path):
+    """Rebuilding into the same directory target must not leave tiles
+    from the previous (larger) build being served."""
+    from map_v2_etl_spark.sources.mvt import write_tile_dir
+
+    def pts(n):
+        rows = [
+            (f"{i:02d}",
+             json.dumps({"type": "Point",
+                         "coordinates": [-120.0 + i * 11.0, 40.0]}),
+             "pts")
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "GEOID STRING, geometry STRING, layer STRING"
+        )
+
+    d = str(tmp_path / "tiles")
+    n1 = write_tile_dir(encode_tiles(pts(8), 5, id_col="GEOID"),
+                        d, "t", 5, 5)
+    n2 = write_tile_dir(encode_tiles(pts(2), 5, id_col="GEOID"),
+                        d, "t", 5, 5)
+    assert n1 > n2
+    on_disk = sum(
+        1 for dp, _, fs in os.walk(d) for f in fs if f.endswith(".pbf")
+    )
+    assert on_disk == n2  # no orphans from the first build
+
+
+def test_encode_tiles_array_property_survives(spark):
+    """Array-typed property columns must not crash the composite sort
+    key (pandas cannot compare numpy arrays) and still encode as
+    feature properties via the str() value fallback."""
+    rows = [
+        ("02", [3, 4], '{"type":"Point","coordinates":[45.7,40.0]}', "l"),
+        ("01", [1, 2], '{"type":"Point","coordinates":[45.7,40.1]}', "l"),
+    ]
+    feats = spark.createDataFrame(
+        rows,
+        "GEOID STRING, vec ARRAY<INT>, geometry STRING, layer STRING",
+    )
+    tiles = encode_tiles(feats, zoom=6, id_col="GEOID").collect()
+    got = [
+        f
+        for r in tiles
+        for lyr in decode_tile(bytes(r["pbf"]))
+        for f in lyr["features"]
+    ]
+    assert len(got) == 2
+
+
+def test_dropped_features_point_path_matches_encoder(spark):
+    """clip_buf=None audit parity: the interior-point path has NO span
+    cap, so a world-spanning polygon is ENCODED (one tile) and must not
+    appear in the audit; only null-interior-point rows drop."""
+    from map_v2_etl_spark.sources.mvt import dropped_features
+
+    world = [[-179.9, -60.0], [179.9, -60.0], [179.9, 60.0],
+             [-179.9, 60.0], [-179.9, -60.0]]
+    feats = spark.createDataFrame(
+        [
+            ("world",
+             json.dumps({"type": "Polygon", "coordinates": [world]}),
+             "l"),
+            ("bad", "{not json", "l"),
+        ],
+        "GEOID STRING, geometry STRING, layer STRING",
+    )
+    audit = {
+        r["GEOID"]: r["drop_reason"]
+        for r in dropped_features(
+            feats, zoom=8, clip_buf=None
+        ).collect()
+    }
+    assert audit == {"bad": "invalid_geometry"}
+    encoded = [
+        f
+        for r in encode_tiles(feats, zoom=8, clip_buf=None).collect()
+        for lyr in decode_tile(bytes(r["pbf"]))
+        for f in lyr["features"]
+    ]
+    assert len(encoded) == 1  # the world polygon, via interior point

@@ -197,7 +197,17 @@ def test_full_reference_arc(spark, tmp_path, s3):
         tile_dirs=tile_dirs,
     )
     n_obj = execute_manifest(m, s3)
-    assert n_obj == 3 + len(m) - 3  # everything in the manifest landed
+    # independent expected count: 3 CSV artifacts + every .pbf walked
+    # on disk + one metadata.json per tileset (NOT len(m) — that would
+    # be a tautology blind to manifest under-collection)
+    n_pbf = sum(
+        1
+        for d in tile_dirs.values()
+        for dp, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".pbf")
+    )
+    assert n_obj == 3 + n_pbf + len(tile_dirs)
 
     # wide + extents land byte-identical at the reference's keys
     got_wide = s3.get_object(
