@@ -256,7 +256,14 @@ def simplify_py(geojson_geom: str, tolerance: float) -> str | None:
     4 points (degenerate results fall back to the original ring)."""
     if not geojson_geom:
         return None
-    g = json.loads(geojson_geom)
+    try:
+        g = json.loads(geojson_geom)
+    except ValueError:
+        # pass malformed geometry through UNCHANGED: simplify runs as a
+        # pre-pass before tiling, and the downstream bbox/interior
+        # filters + dropped_features audit own the drop decision — a
+        # crash here would kill the task before they could
+        return geojson_geom
     t = g.get("type")
 
     def ring(r):

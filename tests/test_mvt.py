@@ -936,3 +936,29 @@ def test_dropped_features_point_path_matches_encoder(spark):
         for f in lyr["features"]
     ]
     assert len(encoded) == 1  # the world polygon, via interior point
+
+
+def test_simplify_prepass_tolerates_bad_geometry(spark):
+    """encode_tiles(simplify_px=...) must not crash on a malformed
+    geometry row — the bbox filter downstream owns the drop."""
+    feats = spark.createDataFrame(
+        [
+            ("ok",
+             json.dumps({"type": "Polygon", "coordinates": [[
+                 [10.0, 10.0], [20.0, 10.0], [20.0, 20.0],
+                 [10.0, 20.0], [10.0, 10.0]]]}),
+             "l"),
+            ("bad", "{not json", "l"),
+        ],
+        "GEOID STRING, geometry STRING, layer STRING",
+    )
+    tiles = encode_tiles(
+        feats, zoom=3, id_col=None, simplify_px=2.0
+    ).collect()  # must not raise
+    kept = [
+        f
+        for r in tiles
+        for lyr in decode_tile(bytes(r["pbf"]))
+        for f in lyr["features"]
+    ]
+    assert kept  # the good polygon survived
