@@ -3,9 +3,15 @@
 Reproduces /root/reference/scripts/extract-extents.js: for every wide
 metric column, emit one row ``id,min,max,q1,q99`` where q1/q99 are the
 d3.quantile values — R-7 linear interpolation over the sorted non-null
-numerics (extract-extents.js:44-50). Spark's exact ``percentile`` uses the
-same R-7 interpolation, so values match the reference bit-for-bit; the
-approximate ``percentile_approx`` would NOT and is deliberately not used.
+numerics (extract-extents.js:44-50). Spark's exact ``percentile`` is the
+same R-7 rule, selecting the same order statistics; its interpolation
+form ``lower*(k+1-h) + higher*(h-k)`` can differ from d3's
+``a + (b-a)*(h-k)`` in the LAST ULP when it interpolates between
+unequal neighbors (see _interp), so the bit-for-bit contract this repo
+tests is against Catalyst's Percentile — all three layouts here and the
+DuckDB oracle reproduce THAT arithmetic exactly. The approximate
+``percentile_approx`` matches neither and is deliberately not used for
+the exact surface.
 
 Spark-first design: unpivot (melt) the wide table so the aggregation is one
 ``groupBy(column_id)`` over (column, value) pairs — partial min/max collapse
@@ -18,11 +24,14 @@ no nondeterministic driver ordering.
 Scale note: percentile over a 100 TB fact table would gather per-column
 value lists on reducers; with ~500 wide columns each reducer holds one
 column's values (~rows/col doubles). For truly huge column cardinalities the
-engine exposes approx_extents() (t-digest percentile_approx) as the
-documented approximate path.
+engine exposes approx_extents() (Greenwald-Khanna percentile_approx) as the
+documented approximate path, and sketch_extents()/arrow_extents() as the
+exact bounded-memory paths.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,6 +41,52 @@ from pyspark.sql import functions as F
 # gathers across reducers; below it, one wide aggregation avoids shuffling
 # any cell values at all (only partial agg buffers move).
 WIDE_AGG_MAX_COLS = 64
+
+
+def _interp(lower: float, higher: float, n: int, p: float) -> float:
+    """EXACTLY org.apache.spark.sql.catalyst.expressions.Percentile:
+    integral positions return the order statistic; fractional ones use
+    the symmetric weighted form lower*(k+1-h) + higher*(h-k) — NOT
+    d3's a+(b-a)*f, whose rounding can differ in the last ulp. This is
+    the ONE copy of the bit-exactness-critical arithmetic; every
+    bounded-gather path and driver-side merge must call it (a second
+    copy that drifts would silently break the cross-path hash-match
+    the twin tests pin)."""
+    h = (n - 1) * p
+    k = math.floor(h)
+    if k == math.ceil(h) or lower == higher:
+        # Spark also short-circuits equal keys before interpolating
+        return lower
+    return lower * (k + 1 - h) + higher * (h - k)
+
+
+def _nan_safe(v):
+    """d3.min/max/quantile DROP NaN (extract-extents.js:24-27); Spark
+    sorts NaN greatest, so max/q99 would return NaN. NaN -> null:
+    every agg ignores nulls, reproducing the drop exactly."""
+    return F.when(~F.isnan(v), v)
+
+
+def _exact_melt_quantiles(
+    wide_df: DataFrame,
+    cols: list[str],
+    q_low: float,
+    q_high: float,
+) -> dict[str, tuple]:
+    """The exact-percentile fallback shared by the bounded-gather paths:
+    melt ``cols`` (try_cast + NaN->null, the standard cell
+    normalization) and run the fused exact percentile per column.
+    Returns {col: (q1, q99)}."""
+    ps = F.array(F.lit(q_low), F.lit(q_high))
+    melted = wide_df.select(
+        [_nan_safe(F.col(c).try_cast("double")).alias(c) for c in cols]
+    ).unpivot([], cols, "id", "value")
+    return {
+        r["id"]: (r["q"][0], r["q"][1])
+        for r in melted.groupBy("id")
+        .agg(F.percentile("value", ps).alias("q"))
+        .collect()
+    }
 
 
 def column_extents(
@@ -54,6 +109,13 @@ def column_extents(
       * ``melt``  (many columns): unpivot -> groupBy(column id) so each
         reducer gathers ONE column's values for the exact percentile —
         memory per task stays bounded by one column, not the whole table.
+
+    CONTRACT NOTE: when auto-dispatch selects the Arrow path (wide
+    ALL-NUMERIC input, > WIDE_AGG_MAX_COLS columns), the call executes
+    its two scan passes EAGERLY and returns a small materialized frame —
+    unlike the wide/melt layouts, which stay lazy. Callers that only
+    want to CONSTRUCT a plan (EXPLAIN, conditional writes) should pass
+    ``layout="melt"`` explicitly.
     """
     from ..sources.registry import widen_partitions
 
@@ -94,16 +156,10 @@ def column_extents(
             return F.percentile(col, ps)
         return F.percentile_approx(col, ps, F.lit(10000))
 
-    def nan_safe(v):
-        # d3.min/max/quantile DROP NaN (extract-extents.js:24-27); Spark
-        # sorts NaN greatest, so max/q99 would return NaN. NaN -> null:
-        # every agg ignores nulls, reproducing the drop exactly.
-        return F.when(~F.isnan(v), v)
-
     if layout == "wide":
         aggs = []
         for c in metric_cols:
-            v = nan_safe(F.col(c).try_cast("double"))
+            v = _nan_safe(F.col(c).try_cast("double"))
             aggs += [
                 F.min(v).alias(f"{c}__min"),
                 F.max(v).alias(f"{c}__max"),
@@ -127,7 +183,7 @@ def column_extents(
     # melt: unpivot keeps one scan; values try_cast to double — blanks and
     # junk become null (ANSI-safe), matching the reference's isNaN-drop
     melted = wide_df.select(
-        [nan_safe(F.col(c).try_cast("double")).alias(c) for c in metric_cols]
+        [_nan_safe(F.col(c).try_cast("double")).alias(c) for c in metric_cols]
     ).unpivot([], metric_cols, "id", "value")
     agg = melted.groupBy("id").agg(
         F.min("value").alias("min"),
@@ -145,7 +201,7 @@ def column_extents(
 
 
 def approx_extents(wide_df: DataFrame, **kw) -> DataFrame:
-    """t-digest approximate variant for columns too hot for exact gather."""
+    """Greenwald-Khanna (percentile_approx) variant for columns too hot\n    for the exact gather — uniform RANK-error bound n/accuracy, not a\n    t-digest-style relative tail accuracy."""
     return column_extents(wide_df, exact=False, **kw)
 
 
@@ -170,12 +226,18 @@ def sketch_extents(
                        the shuffle carries compressed sketch buffers per
                        (partition, column), never cell values.
       pass B (melt):   per column, count of values strictly below the
-                       bracket and the SORTED in-bracket values
-                       (a ~10/accuracy fraction of the column). GK rank
-                       error is a hard <= n/accuracy bound, so the
-                       bracket provably contains both order statistics;
-                       an index-range assertion re-checks at runtime and
-                       any violating column falls back to the exact agg.
+                       bracket and the in-bracket values COMPRESSED to
+                       (value, count) runs — ties collapse, so a heavy
+                       tie mass at a bracket endpoint costs one row, and
+                       the reducer buffer is bounded by DISTINCT
+                       in-bracket values (<= the ~10/accuracy fraction).
+                       GK rank error is a hard <= n/accuracy bound, so
+                       the bracket provably contains both order
+                       statistics; a rank-range check re-verifies at
+                       runtime and any violating column falls back to
+                       the exact agg. A side already solved (zero-width
+                       bracket) carries NULL bounds so it gathers
+                       nothing.
       driver:          R-7 interpolation from the two order statistics —
                        identical IEEE arithmetic to d3.quantile and
                        Spark's Percentile (a + (b-a)*(h-floor(h))).
@@ -188,19 +250,14 @@ def sketch_extents(
 
     Output is identical to column_extents (same schema, same input-column
     row order) and hash-matches the same DuckDB oracle."""
-    import math
-
     from ..sources.registry import widen_partitions
 
     metric_cols = [c for c in wide_df.columns if c not in exclude]
     wide_df = widen_partitions(wide_df)
     delta = 5.0 / accuracy
 
-    def nan_safe(v):
-        return F.when(~F.isnan(v), v)
-
     melted = wide_df.select(
-        [nan_safe(F.col(c).try_cast("double")).alias(c) for c in metric_cols]
+        [_nan_safe(F.col(c).try_cast("double")).alias(c) for c in metric_cols]
     ).unpivot([], metric_cols, "id", "value")
 
     probe_ps = [
@@ -220,18 +277,6 @@ def sketch_extents(
         )
         .collect()
     }
-
-    def interp(lower: float, higher: float, n: int, p: float) -> float:
-        # EXACTLY org.apache.spark.sql.catalyst.expressions.Percentile:
-        # integral positions return the order statistic; fractional ones
-        # use the symmetric weighted form lower*(k1-h) + higher*(h-k) —
-        # NOT a+(b-a)*f, whose rounding differs in the last ulp
-        h = (n - 1) * p
-        k = math.floor(h)
-        if k == math.ceil(h) or lower == higher:
-            # Spark also short-circuits equal keys before interpolating
-            return lower
-        return lower * (k + 1 - h) + higher * (h - k)
 
     def order_stat_ranks(n: int, p: float) -> tuple[int, int]:
         h = (n - 1) * p
@@ -253,8 +298,8 @@ def sketch_extents(
             lo1, hi1, lo9, hi9 = r["br"]
             # zero-width bracket: both order statistics equal the endpoint
             # -> run the same interpolation with lower == higher
-            q1 = interp(lo1, hi1, r["n"], q_low) if lo1 == hi1 else None
-            q9 = interp(lo9, hi9, r["n"], q_high) if lo9 == hi9 else None
+            q1 = _interp(lo1, hi1, r["n"], q_low) if lo1 == hi1 else None
+            q9 = _interp(lo9, hi9, r["n"], q_high) if lo9 == hi9 else None
             if q1 is not None and q9 is not None:
                 solved[c] = (q1, q9)
             else:
@@ -262,58 +307,95 @@ def sketch_extents(
 
     if bracket_cols:
         spark = wide_df.sparkSession
+        # a side already solved (zero-width) gets NULL bounds so its
+        # between() never matches: without this, a heavy-tie column
+        # whose q1 is pre-solved would still gather every value equal
+        # to that endpoint — the exact blowup the zero-width guard
+        # exists to prevent
         br_df = spark.createDataFrame(
-            [(c, *v[:4]) for c, v in bracket_cols.items()],
+            [
+                (
+                    c,
+                    *((None, None) if v[4] is not None else (v[0], v[1])),
+                    *((None, None) if v[5] is not None else (v[2], v[3])),
+                )
+                for c, v in bracket_cols.items()
+            ],
             "id string, lo1 double, hi1 double, lo9 double, hi9 double",
         )
         v = F.col("value")
-        gathered = {
+        joined = melted.join(F.broadcast(br_df), "id")
+        below = {
             r["id"]: r
-            for r in melted.join(F.broadcast(br_df), "id")
-            .groupBy("id")
+            for r in joined.groupBy("id")
             .agg(
                 F.sum((v < F.col("lo1")).cast("long")).alias("below1"),
-                F.sort_array(
-                    F.collect_list(F.when(v.between(F.col("lo1"), F.col("hi1")), v))
-                ).alias("b1"),
                 F.sum((v < F.col("lo9")).cast("long")).alias("below9"),
-                F.sort_array(
-                    F.collect_list(F.when(v.between(F.col("lo9"), F.col("hi9")), v))
-                ).alias("b9"),
             )
             .collect()
         }
+        # in-bracket values COMPRESSED to (value, count): ties collapse
+        # to one row, so a reducer's buffer is bounded by the DISTINCT
+        # in-bracket values (<= the ~10/accuracy fraction, and tiny when
+        # an endpoint carries a large tie mass — the case a raw
+        # collect_list would gather O(n) values for)
+        vc_rows = (
+            joined.filter(
+                v.between(F.col("lo1"), F.col("hi1"))
+                | v.between(F.col("lo9"), F.col("hi9"))
+            )
+            .groupBy("id", "value")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        vcs: dict[str, list] = {c: [] for c in bracket_cols}
+        for r in vc_rows:
+            vcs[r["id"]].append((r["value"], r["cnt"]))
+        for c in vcs:
+            vcs[c].sort(key=lambda t: t[0])
+
+        def order_stat(vc: list, lo, hi, below: int, rank: int):
+            """rank-th (0-based, global) value via cumulative counts of
+            the side's in-bracket (value, count) runs; None if the rank
+            falls outside the bracket (sketch bound violated)."""
+            r = rank - below
+            if r < 0:
+                return None
+            cum = 0
+            for val, cnt in vc:
+                if not (lo <= val <= hi):
+                    continue
+                cum += cnt
+                if r < cum:
+                    return val
+            return None
+
         for c, (lo1, hi1, lo9, hi9, q1, q9) in bracket_cols.items():
-            g = gathered[c]
             n = stats[c]["n"]
             out = []
-            for p, qpre, below, vals in (
-                (q_low, q1, g["below1"], g["b1"]),
-                (q_high, q9, g["below9"], g["b9"]),
+            for p, qpre, bel, lo, hi in (
+                (q_low, q1, below[c]["below1"], lo1, hi1),
+                (q_high, q9, below[c]["below9"], lo9, hi9),
             ):
                 if qpre is not None:
                     out.append(qpre)
                     continue
                 k, k1 = order_stat_ranks(n, p)
-                i, j = k - below, k1 - below
-                if i < 0 or j >= len(vals):
+                a = order_stat(vcs[c], lo, hi, bel, k)
+                b = order_stat(vcs[c], lo, hi, bel, k1)
+                if a is None or b is None:
                     out.append(None)  # sketch bound violated -> exact
                     continue
-                out.append(interp(vals[i], vals[j], n, p))
+                out.append(_interp(a, b, n, p))
             if out[0] is None or out[1] is None:
                 exact_cols.append(c)
             else:
                 solved[c] = tuple(out)
 
     if exact_cols:
-        ps = F.array(F.lit(q_low), F.lit(q_high))
-        for r in (
-            melted.filter(F.col("id").isin(exact_cols))
-            .groupBy("id")
-            .agg(F.percentile("value", ps).alias("q"))
-            .collect()
-        ):
-            solved[r["id"]] = (r["q"][0], r["q"][1])
+        solved.update(
+            _exact_melt_quantiles(wide_df, exact_cols, q_low, q_high)
+        )
 
     rows = []
     for c in metric_cols:
@@ -361,15 +443,17 @@ def arrow_extents(
               melt/wide layouts and the DuckDB oracle.
 
     Scale: both passes shuffle NOTHING — summaries stream back to the
-    driver sized |cols| x |batches|. Driver holds in-bracket values:
-    ~2*delta*n per column by construction when the envelope is tight
-    (0.4% of the column at the default delta); a pathological column
-    blows past that only by also failing verification, where it pays
-    the exact aggregate instead. Python cost is one vectorized NumPy
-    pass per batch — no per-row Python anywhere.
+    driver sized |cols| x |batches|. Driver memory is bounded BY
+    CONSTRUCTION, not by hope: a zero-width envelope (near-constant
+    column, heavy tie mass at the quantile) ships tie COUNTS instead of
+    values and verifies rank membership arithmetically; any batch whose
+    in-bracket selection exceeds ~4x the bracket's expected share
+    (endpoint tie mass, value-clustered/sorted input) flags overflow
+    and the column takes the exact aggregate instead of shipping the
+    blowup. The tight-envelope common case gathers ~2*delta*n per
+    column (0.4% at the default delta). Python cost is one vectorized
+    NumPy pass per batch — no per-row Python anywhere.
     """
-    import math
-
     import numpy as np
     import pandas as pd
 
@@ -436,13 +520,6 @@ def arrow_extents(
             b[2] = cand[2] if b[2] is None else min(b[2], cand[2])
             b[3] = cand[3] if b[3] is None else max(b[3], cand[3])
 
-    def interp(lower, higher, nn, p):
-        h = (nn - 1) * p
-        k = math.floor(h)
-        if k == math.ceil(h) or lower == higher:
-            return lower
-        return lower * (k + 1 - h) + higher * (h - k)
-
     probe = {
         i: tuple(br[i]) for i in range(ncols) if n[i] > 0
     }
@@ -452,7 +529,8 @@ def arrow_extents(
 
     def pass_b(batches):
         for pdf in batches:
-            out = {"i": [], "below1": [], "below9": [], "b1": [], "b9": []}
+            out = {"i": [], "below1": [], "below9": [], "eq1": [],
+                   "eq9": [], "of1": [], "of9": [], "b1": [], "b9": []}
             for i, c in enumerate(metric_cols):
                 pb = probe.get(i)
                 if pb is None:
@@ -462,65 +540,90 @@ def arrow_extents(
                 )
                 v = v[~np.isnan(v)]
                 lo1, hi1, lo9, hi9 = pb
+                # per-batch gather allowance: ~4x the bracket's expected
+                # share of this batch. A zero-width bracket ships COUNTS
+                # only (a tie mass at the quantile costs 0 bytes), and a
+                # batch whose selection blows past the allowance (huge
+                # endpoint ties, value-clustered input) flags overflow
+                # instead of shipping it — the column falls back to the
+                # exact aggregate, keeping driver memory bounded at
+                # ~8*delta*n per column by construction, not by hope.
+                cap = int(8.0 * delta * len(v)) + 1024
                 out["i"].append(i)
                 out["below1"].append(int((v < lo1).sum()))
                 out["below9"].append(int((v < lo9).sum()))
-                out["b1"].append(v[(v >= lo1) & (v <= hi1)])
-                out["b9"].append(v[(v >= lo9) & (v <= hi9)])
+                empty = np.array([], dtype="float64")
+                for lo, hi, eq_k, of_k, b_k in (
+                    (lo1, hi1, "eq1", "of1", "b1"),
+                    (lo9, hi9, "eq9", "of9", "b9"),
+                ):
+                    if lo == hi:
+                        out[eq_k].append(int((v == lo).sum()))
+                        out[of_k].append(False)
+                        out[b_k].append(empty)
+                    else:
+                        sel = v[(v >= lo) & (v <= hi)]
+                        over = len(sel) > cap
+                        out[eq_k].append(0)
+                        out[of_k].append(bool(over))
+                        out[b_k].append(empty if over else sel)
             yield pd.DataFrame(out)
 
     fallback: list[str] = []
     if probe:
         b_rows = wide_df.mapInPandas(
             pass_b,
-            "i int, below1 long, below9 long, "
-            "b1 array<double>, b9 array<double>",
+            "i int, below1 long, below9 long, eq1 long, eq9 long, "
+            "of1 boolean, of9 boolean, b1 array<double>, b9 array<double>",
         ).collect()
-        acc = {i: [0, 0, [], []] for i in probe}
+        acc = {i: [0, 0, 0, 0, False, False, [], []] for i in probe}
         for r in b_rows:
             a = acc[r["i"]]
             a[0] += r["below1"]
             a[1] += r["below9"]
-            a[2].append(np.asarray(r["b1"], dtype="float64"))
-            a[3].append(np.asarray(r["b9"], dtype="float64"))
-        for i, (below1, below9, c1, c2) in acc.items():
+            a[2] += r["eq1"]
+            a[3] += r["eq9"]
+            a[4] = a[4] or r["of1"]
+            a[5] = a[5] or r["of9"]
+            a[6].append(np.asarray(r["b1"], dtype="float64"))
+            a[7].append(np.asarray(r["b9"], dtype="float64"))
+        for i, (below1, below9, eq1, eq9, of1, of9, c1, c2) in acc.items():
             nn = n[i]
+            lo1, hi1, lo9, hi9 = probe[i]
             vals1 = np.sort(np.concatenate(c1)) if c1 else np.array([])
             vals9 = np.sort(np.concatenate(c2)) if c2 else np.array([])
             res = []
-            for p, below, vals in (
-                (q_low, below1, vals1), (q_high, below9, vals9)
+            for p, below, eq, over, lo, hi, vals in (
+                (q_low, below1, eq1, of1, lo1, hi1, vals1),
+                (q_high, below9, eq9, of9, lo9, hi9, vals9),
             ):
-                h = (nn - 1) * p
-                k = math.floor(h)
-                k1 = min(math.ceil(h), nn - 1)
+                k = math.floor((nn - 1) * p)
+                k1 = min(math.ceil((nn - 1) * p), nn - 1)
                 ii, jj = k - below, k1 - below
-                if ii < 0 or jj >= len(vals):
+                if over:
+                    res.append(None)  # gather cap hit -> exact fallback
+                elif lo == hi:
+                    # counts-only verification: both ranks must land in
+                    # the tie run at the (zero-width) envelope value
+                    if ii < 0 or jj >= eq:
+                        res.append(None)
+                    else:
+                        res.append(_interp(lo, hi, nn, p))
+                elif ii < 0 or jj >= len(vals):
                     res.append(None)  # envelope missed -> exact fallback
                 else:
-                    res.append(interp(float(vals[ii]), float(vals[jj]), nn, p))
+                    res.append(
+                        _interp(float(vals[ii]), float(vals[jj]), nn, p)
+                    )
             if res[0] is None or res[1] is None:
                 fallback.append(metric_cols[i])
             else:
                 solved[i] = tuple(res)
 
     if fallback:
-        ps = F.array(F.lit(q_low), F.lit(q_high))
-        melted = wide_df.select(
-            [
-                F.when(
-                    ~F.isnan(F.col(c).try_cast("double")),
-                    F.col(c).try_cast("double"),
-                ).alias(c)
-                for c in fallback
-            ]
-        ).unpivot([], fallback, "id", "value")
-        for r in (
-            melted.groupBy("id")
-            .agg(F.percentile("value", ps).alias("q"))
-            .collect()
-        ):
-            solved[metric_cols.index(r["id"])] = (r["q"][0], r["q"][1])
+        fb = _exact_melt_quantiles(wide_df, fallback, q_low, q_high)
+        for c, qs in fb.items():
+            solved[metric_cols.index(c)] = qs
 
     rows = [
         (metric_cols[i], mn[i], mx[i], *solved[i]) for i in range(ncols)

@@ -132,3 +132,99 @@ def test_arrow_extents_matches_melt_bit_for_bit(spark):
     melt = column_extents(df, layout="melt").collect()
     arrow = arrow_extents(df).collect()
     assert [tuple(r) for r in melt] == [tuple(r) for r in arrow]
+
+
+def test_arrow_extents_heavy_tie_counts_only_no_fallback(spark):
+    """A column whose q1 sits inside a large tie mass produces a
+    zero-width envelope; the fix ships tie COUNTS (no value gather) and
+    must solve it WITHOUT the exact fallback — and still bit-match the
+    melt layout."""
+    import random
+
+    import map_v2_etl_spark.operators.extents as X
+
+    rng = random.Random(3)
+    # ~30% zeros scattered everywhere -> every batch's [p-d, p+d]
+    # quantiles at p=0.01 are 0.0 -> zero-width envelope
+    rows = [
+        (0.0 if rng.random() < 0.3 else rng.uniform(1.0, 100.0),)
+        for _ in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "m DOUBLE").repartition(8)
+
+    calls: list = []
+    orig = X._exact_melt_quantiles
+
+    def spy(*a, **k):
+        calls.append(a[1])
+        return orig(*a, **k)
+
+    X._exact_melt_quantiles = spy
+    try:
+        arrow = X.arrow_extents(df, exclude=()).collect()
+    finally:
+        X._exact_melt_quantiles = orig
+    assert calls == []  # counts-only path solved it, zero fallback
+    melt = X.column_extents(df, exclude=(), layout="melt").collect()
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in melt]
+    assert arrow[0]["q1"] == 0.0
+
+
+def test_arrow_extents_value_clustered_overflow_falls_back_exact(spark):
+    """Value-clustered (range-partitioned) input makes the candidate
+    envelope span nearly the whole column; the per-batch gather cap
+    must flag overflow and route the column to the exact aggregate —
+    results still bit-match melt instead of OOMing the driver."""
+    import random
+
+    import map_v2_etl_spark.operators.extents as X
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = [(rng.uniform(0.0, 1000.0),) for _ in range(40000)]
+    df = (
+        spark.createDataFrame(rows, "m DOUBLE")
+        .repartitionByRange(8, F.col("m"))  # batches = value ranges
+    )
+
+    calls: list = []
+    orig = X._exact_melt_quantiles
+
+    def spy(*a, **k):
+        calls.append(list(a[1]))
+        return orig(*a, **k)
+
+    X._exact_melt_quantiles = spy
+    try:
+        arrow = X.arrow_extents(df, exclude=()).collect()
+    finally:
+        X._exact_melt_quantiles = orig
+    assert calls == [["m"]]  # overflow detected -> exact fallback ran
+    melt = X.column_extents(df, exclude=(), layout="melt").collect()
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in melt]
+
+
+def test_sketch_extents_presolved_side_gathers_nothing(spark):
+    """A heavy tie mass pre-solves q1 with a zero-width bracket; the
+    solved side's NULL bounds must keep pass B from gathering its tie
+    run, and the (value,count) compression bounds the other side.
+    Result bit-matches the exact layout."""
+    import random
+
+    from map_v2_etl_spark.operators.extents import (
+        column_extents,
+        sketch_extents,
+    )
+
+    rng = random.Random(7)
+    # accuracy=100 -> n > 4*accuracy engages the sketch path at n=20k;
+    # 35% zeros pre-solve q1; q99 needs the bracket gather
+    rows = [
+        (0.0 if rng.random() < 0.35 else rng.uniform(1.0, 500.0),)
+        for _ in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "m DOUBLE").repartition(8)
+    sk = [tuple(r) for r in sketch_extents(df, exclude=(), accuracy=100).collect()]
+    ex = [tuple(r) for r in column_extents(df, exclude=(), layout="melt").collect()]
+    assert sk == ex
+    assert sk[0][3] == 0.0  # q1 from the tie mass
