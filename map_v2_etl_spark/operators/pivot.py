@@ -19,29 +19,41 @@ ones (measured at reference scale — 240k places x 19 years x 30 metrics =
   1. row-level last-write-wins per (GEOID, yy): ONE ``max_by`` over a
      struct of all metric columns (file order captured as
      ``monotonically_increasing_id()`` at scan, so LWW is deterministic
-     under parallel read);
+     under parallel read); the LWW result is PERSISTED because two
+     downstream aggregations (identity and pivot) consume it — without
+     the persist each branch re-runs the scan + (GEOID, yy) shuffle,
+     and the two re-executions could rank duplicate rows differently
+     for a non-file upstream;
   2. ``groupBy(GEOID).pivot(yy, <explicit years>)`` with ``first(struct)``
-     — Spark's PivotFirst indexes the pivot key directly, one evaluation
-     per row; then a pure projection flattens struct fields to
-     ``{short}-{yy}`` columns.
+     — the struct aggregate keeps Spark off PivotFirst, so the physical
+     plan is one conditional ``first(if(yy<=>v, __s, null))`` PER YEAR
+     (O(|years|) conditionals per row, executed as SortAggregate);
+     a pure projection then flattens struct fields to ``{short}-{yy}``
+     columns.
 
 The naive formulation (570 ``max_by(when(yy=y, col), when(yy=y, ord))``
 aggregates in one groupBy) evaluates |rows| x |columns| x 2 conditionals —
 ~5 BILLION expression evaluations at the scale above, 164s wall-clock;
-this formulation does ~35 evaluations per row and runs the same build in
-a fraction of that (see docs/SCALE.md). No driver-side accumulation
-anywhere (the reference holds the whole wide table in a 4 GB Node heap,
+this formulation does ~|years| conditionals per row — the win is the
+O(|years| x |metrics|) -> O(|years|) conditional collapse from packing
+metrics into one struct, NOT PivotFirst's key indexing (which never
+engages for struct aggregates) — and runs the same build in a fraction
+of that (see docs/SCALE.md). No driver-side accumulation anywhere (the
+reference holds the whole wide table in a 4 GB Node heap,
 /root/reference/build.sh:80). The wide schema is total and deterministic
 (all metrics x all years), fixing the reference's first-row-derived-header
 quirk (SURVEY.md §1.4) — a documented improvement.
 
-At 100 TB scale: two shuffles — (GEOID, yy) then GEOID — each with
-map-side partial aggregation, shuffle volume bounded by
-|places| x |years| rows of structs. The identity columns (n, pl) take
-their global-LWW values through the same aggregates.
+At 100 TB scale: ONE scan + one (GEOID, yy) shuffle builds the persisted
+LWW table (map-side partial aggregation; spills to disk under memory
+pressure via MEMORY_AND_DISK); the identity and pivot branches then each
+shuffle it to GEOID, and their join adds no exchange. Shuffle volume is
+bounded by |places| x |years| rows of structs.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable  # noqa: F401  (annotation)
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -69,8 +81,14 @@ def pivot_long_to_wide(
     the dataset's column map x every year in ``years`` (default 2000-2018).
     """
     col_map = COL_MAPS[dataset_type]
-    years = years or YEARS
+    # explicit empty list means "no metric years", NOT the default set
+    years = years if years is not None else YEARS
     yys = [y[-2:] for y in years]
+    if len(set(yys)) != len(yys):
+        # cross-century collisions ('1999' and '2099' both -> '99')
+        # would emit duplicate pivot values and ambiguous output
+        # columns — fail fast instead
+        raise ValueError(f"duplicate 2-digit pivot keys in years: {yys}")
     metric_shorts = [v for k, v in col_map.items() if k not in ID_COLS]
     metric_srcs = {v: k for k, v in col_map.items() if k not in ID_COLS}
 
@@ -103,6 +121,15 @@ def pivot_long_to_wide(
         _last_by_order(F.col("pl"), ordc).alias("pl"),
         F.max(ordc).alias(ORDER_COL),
     )
+    # TWO branches (identity + pivot) consume lww; without the persist
+    # each re-runs the scan and the (GEOID, yy) shuffle (the pivot
+    # branch's yy filter defeats ReuseExchange), and for a non-file
+    # upstream the re-executed monotonically_increasing_id could rank
+    # duplicate rows differently between branches. MEMORY_AND_DISK:
+    # spills rather than recomputes at scale.
+    from pyspark import StorageLevel
+
+    lww = lww.persist(StorageLevel.MEMORY_AND_DISK)
 
     # identity columns take the GLOBAL last row's values (shape-data.js
     # overwrites name/parent_location on every row of the place)
@@ -111,8 +138,9 @@ def pivot_long_to_wide(
         _last_by_order(F.col("pl"), F.col(ORDER_COL)).alias("pl"),
     )
 
-    # stage 2: native pivot with explicit values (PivotFirst — no
-    # per-value conditionals), then flatten struct fields by projection
+    # stage 2: native pivot with explicit values (struct agg -> one
+    # conditional first() per year; see module docstring), then flatten
+    # struct fields by projection
     wide_structs = (
         lww.filter(F.col("yy").isin(yys))
         .groupBy("GEOID")
@@ -145,15 +173,17 @@ def pivot_generic(
     group_cols: list[str],
     pivot_col: str,
     pivot_values: list[str],
-    agg_exprs: dict[str, Column],
+    agg_exprs: dict[str, "Callable[[Column], Column]"],
     sep: str = "-",
 ) -> DataFrame:
     """General single-shuffle pivot with explicit values and agg per metric.
 
-    ``agg_exprs`` maps output prefix -> aggregate over a *filtered* column;
-    each (prefix, pivot value) pair becomes column ``{prefix}{sep}{value}``.
-    Used by the engine's query surface for pivots over arbitrary tables.
-    """
+    ``agg_exprs`` maps an input column name to an AGGREGATE-BUILDING
+    CALLABLE (e.g. ``{"price": F.max}``) applied to that column filtered
+    per pivot value; each (column, pivot value) pair becomes output
+    column ``{column}{sep}{value}``. Library surface for pivots over
+    arbitrary tables where the reference-shaped pivot_long_to_wide does
+    not fit (covered by tests/test_pivot.py)."""
     aggs = []
     for prefix, expr in agg_exprs.items():
         for v in pivot_values:

@@ -2,6 +2,7 @@
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from map_v2_etl_spark.operators.pivot import pivot_long_to_wide
 from map_v2_etl_spark.schemas import COL_MAP_RAW, long_schema, wide_columns
@@ -90,3 +91,49 @@ def test_modeled_map_differs(spark):
     assert "lf-00" not in cols  # low_flag is raw-only
     assert "e-00" in cols
     assert COL_MAP_RAW["judgements"] == "e"
+
+
+def test_pivot_generic_callable_aggs(spark):
+    """pivot_generic takes aggregate-building callables per column and
+    emits {column}-{value} outputs."""
+    from map_v2_etl_spark.operators.pivot import pivot_generic
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 5.0), ("a", "x", 3.0),
+         ("b", "y", 2.0)],
+        "g STRING, k STRING, price DOUBLE",
+    )
+    out = {
+        r["g"]: r
+        for r in pivot_generic(
+            df, ["g"], "k", ["x", "y"], {"price": F.max}
+        ).collect()
+    }
+    assert out["a"]["price-x"] == 3.0
+    assert out["a"]["price-y"] == 5.0
+    assert out["b"]["price-x"] is None
+    assert out["b"]["price-y"] == 2.0
+
+
+def test_pivot_empty_years_is_identity_only(spark):
+    """years=[] means NO metric years (identity columns only) — not the
+    default full year set."""
+    rows = [Row(**{f.name: None for f in long_schema("raw").fields})]
+    row = rows[0].asDict()
+    row.update(id="01", year="2000", name="Alpha", parent_location="P")
+    df = spark.createDataFrame([Row(**row)], long_schema("raw"))
+    wide = pivot_long_to_wide(df, "raw", years=[])
+    assert wide.columns == ["GEOID", "n", "pl"]
+    assert wide.collect()[0]["n"] == "Alpha"
+
+
+def test_pivot_cross_century_years_fail_fast(spark):
+    import pytest
+
+    from map_v2_etl_spark.operators.pivot import pivot_long_to_wide
+
+    row = {f.name: None for f in long_schema("raw").fields}
+    row.update(id="01", year="1999", name="A", parent_location="P")
+    df = spark.createDataFrame([Row(**row)], long_schema("raw"))
+    with pytest.raises(ValueError, match="duplicate 2-digit"):
+        pivot_long_to_wide(df, "raw", years=["1999", "2099"])
