@@ -142,9 +142,14 @@ def jaccard_pairs(
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # no broadcast HINT on the size tables: they are corpus-sized (one
+    # row per doc), so a forced broadcast would ship the whole corpus to
+    # every executor regardless of autoBroadcastJoinThreshold. AQE still
+    # broadcasts them when they actually fit; at scale they hash-join on
+    # the pair keys like any dimension.
     return (
-        common.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        common.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn(
             "jaccard", F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
         )
@@ -179,20 +184,29 @@ def minhash_signatures(
 
 
 def _minhash_columns(
-    df: DataFrame, id_col: str, text_col: str, n: int, num_perm: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """(id, h0..h{num_perm-1}) — signature as SEPARATE columns.
+    """(id, [carry...], h0..h{num_perm-1}) — signature as SEPARATE columns.
 
     Internal consumers (banding) reference individual mins; wrapping the
     64 agg outputs in one array() and indexing it per band duplicates the
     whole expression tree 16x, which measurably chokes analysis + codegen
-    (6s of plan build before a single task ran)."""
-    sh = _shingle_table(df, id_col, text_col, n)
+    (6s of plan build before a single task ran). This is the ONE copy of
+    the h_i(s) = xxhash64(i, s) signature aggregation — minhash_signatures
+    and the LSH banding both call it, so the hash family cannot drift
+    between the two APIs."""
+    carry = carry or []
+    sh = _shingle_table(df, id_col, text_col, n, carry=carry)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return sh.groupBy(id_col, *carry).agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -220,19 +234,29 @@ def minhash_lsh_pairs(
     incoming crawl increment against the already-ingested corpus
     (signatures on the existing side would be a precomputed table in
     production; one pass computes both here).
+
+    CACHE CONTRACT: the candidate-pair and candidate-shingle tables are
+    persisted and NOT unpersisted here — the returned DataFrame is lazy
+    and its plan references them (both are output-bounded: pairs, and
+    docs appearing in >= 1 pair). Callers running many LSH builds in
+    one session should ``spark.catalog.clearCache()`` between builds.
     """
+    if bands < 1 or num_perm % bands != 0:
+        # a non-dividing band count would silently ignore trailing
+        # permutations (changing the documented 1-(1-j^r)^b recall
+        # curve), and bands > num_perm would hash ZERO columns per band
+        raise ValueError(
+            f"bands must divide num_perm: num_perm={num_perm} bands={bands}"
+        )
     rows_per_band = num_perm // bands
     base = df
     extra_group: list[str] = []
     if new_side is not None:
         base = df.withColumn("__is_new", new_side.cast("int"))
         extra_group = ["__is_new"]
-    sh = _shingle_table(base, id_col, text_col, n, carry=extra_group)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    sigs = sh.groupBy(id_col, *extra_group).agg(*mins)
+    sigs = _minhash_columns(
+        base, id_col, text_col, n, num_perm, carry=extra_group
+    )
     banded = sigs.select(
         id_col,
         *extra_group,
@@ -364,25 +388,39 @@ def connected_components(
 
     from .iteration import iteration_partitions
 
+    # the vertex universe is vertices ∪ edge endpoints: an endpoint
+    # absent from `vertices` must still propagate (and be eligible as a
+    # min label) or the iterative path diverges from the union-find
+    # fast path, which has always unioned endpoints in
+    all_verts = (
+        vertices.select(F.col(id_col).alias("id"))
+        .union(edges.select(F.col(src_col).alias("id")))
+        .union(edges.select(F.col(dst_col).alias("id")))
+        .distinct()
+    )
     # iteration partitioning sized to the actual vertex count (the
     # pagerank discipline): a 5k-vertex label table over 32 partitions
     # pays rounds of near-empty-task scheduling for nothing
-    n_vertices = vertices.count()  # bounded driver scalar
+    n_vertices = all_verts.count()  # bounded driver scalar
     if n_vertices <= small_graph_vertices:
         # gate-bounded fast path (the pagerank/tfidf regime switch):
         # union-find on the driver in one edge pass — identical
         # min-label components, none of the per-round stage overhead
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        if edges.count() <= 2_000_000:
-            try:
+        edges_c = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # _components_local consumes the edge list eagerly
+            # (toPandas), so the finally-unpersist is safe on BOTH
+            # outcomes — previously a passed vertex gate + failed edge
+            # gate leaked the persisted edge set for the session
+            if edges_c.count() <= 2_000_000:
                 return _components_local(
-                    vertices, edges, id_col, src_col, dst_col
+                    all_verts, edges_c, "id", src_col, dst_col
                 )
-            finally:
-                edges.unpersist()
+        finally:
+            edges_c.unpersist()
     n_part = iteration_partitions(vertices.sparkSession, n_vertices)
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    labels = all_verts.select(
+        F.col("id"), F.col("id").alias("label")
     ).repartition(n_part, "id")
     # Self-loops are dropped (see _symmetrize): they never change a
     # label, and the round-1 convergence-count skip below relies on
@@ -400,6 +438,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    converged = False
     for it in range(max_iter):
         msgs = sym.join(labels, sym.a == labels.id).select(
             F.col("b").alias("id"), F.col("label")
@@ -422,9 +461,34 @@ def connected_components(
             )
             if changed == 0:
                 labels = new_labels
+                converged = True
                 break
         labels = new_labels
+    if not converged and max_iter > 1:
+        # detection trails production by one round — the final labels
+        # may already be stable; probe once before declaring failure
+        msgs = sym.join(labels, sym.a == labels.id).select(
+            F.col("b").alias("id"), F.col("label")
+        )
+        probe = (
+            labels.union(msgs).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        changed = (
+            probe.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        converged = changed == 0
     sym.unpersist()
+    if not converged and max_iter > 1:
+        # min-label propagation needs O(diameter) rounds; returning the
+        # partial labels would silently split one component into many
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise max_iter "
+            "or use connected_components_star (O(log d) rounds)"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 
@@ -552,6 +616,7 @@ def connected_components_star(
     cur = _oriented(_symmetrize(edges, src_col, dst_col)).localCheckpoint(
         eager=True
     )
+    converged = False
     for _ in range(max_iter):
         nxt = _oriented(_small_star(_large_star(cur))).localCheckpoint(
             eager=True
@@ -559,15 +624,44 @@ def connected_components_star(
         n_new, n_old = nxt.count(), cur.count()
         if n_new == n_old and nxt.subtract(cur).count() == 0:
             cur = nxt
+            converged = True
             break
         cur = nxt
+    if not converged:
+        # the final round's output may itself be the fixpoint (detection
+        # always trails production by one round) — probe once before
+        # declaring failure
+        probe = _oriented(_small_star(_large_star(cur))).localCheckpoint(
+            eager=True
+        )
+        if (
+            probe.count() == cur.count()
+            and probe.subtract(cur).count() == 0
+        ):
+            converged = True
+    if not converged:
+        # before the star-forest fixpoint a node can still appear as
+        # `a` with several targets — emitting labels then would
+        # duplicate ids with conflicting clusters
+        raise RuntimeError(
+            f"connected_components_star did not reach its star-forest "
+            f"fixpoint in {max_iter} rounds; raise max_iter"
+        )
 
     # fixpoint edge set is a star forest rooted at each component's min:
-    # every non-root points straight at its root
+    # every non-root points straight at its root. Label the SAME vertex
+    # universe as connected_components: vertices ∪ edge endpoints (an
+    # endpoint absent from `vertices` must not drop from the output —
+    # the two CC implementations are interchangeable).
     roots = cur.select(F.col("a").alias("id"), F.col("b").alias("label"))
-    labels = (
+    all_verts = (
         vertices.select(F.col(id_col).alias("id"))
-        .join(roots, "id", "left")
+        .union(edges.select(F.col(src_col).alias("id")))
+        .union(edges.select(F.col(dst_col).alias("id")))
+        .distinct()
+    )
+    labels = (
+        all_verts.join(roots, "id", "left")
         .select(
             "id", F.coalesce("label", F.col("id")).alias("cluster")
         )
@@ -593,7 +687,13 @@ def dup_clusters(
     The iterative CC runs only over vertices that appear in an edge —
     docs in no near-dup pair are singleton clusters by definition and
     join back afterwards, so label propagation touches |dup docs| rows,
-    not |corpus| rows."""
+    not |corpus| rows.
+
+    CACHE CONTRACT: the pair table is persisted and NOT unpersisted
+    here (it feeds both the vertex extraction and the CC edge joins of
+    the returned lazy plan; it is output-bounded — near-dup pairs
+    only). Sessions running many cluster builds should
+    ``spark.catalog.clearCache()`` between builds."""
     pair_fn = jaccard_pairs if exact else minhash_lsh_pairs
     pairs = pair_fn(
         df, threshold, id_col=id_col, text_col=text_col, n=n

@@ -230,3 +230,88 @@ def test_connected_components_star_long_chain_few_rounds(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_paths_agree_on_endpoints_outside_vertices(spark):
+    """Edge endpoints absent from `vertices` must label identically on
+    all THREE implementations (local union-find, iterative min-label,
+    star) — previously the iterative path could neither adopt them as
+    min labels nor propagate through them, and star dropped them."""
+    from map_v2_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    vertices = spark.createDataFrame([(5,)], "id LONG")
+    edges = spark.createDataFrame([(5, 3)], "src LONG, dst LONG")
+    want = {(5, 3), (3, 3)}
+    local = {
+        tuple(r)
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert local == want
+    iterative = {
+        tuple(r)
+        for r in connected_components(
+            vertices, edges, small_graph_vertices=0
+        ).collect()
+    }
+    assert iterative == want
+    star = {
+        tuple(r)
+        for r in connected_components_star(vertices, edges).collect()
+    }
+    assert star == want
+
+    # chain whose true min label (0) enters only via endpoints
+    vertices = spark.createDataFrame([(1,)], "id LONG")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 0)], "src LONG, dst LONG"
+    )
+    for impl in (
+        lambda: connected_components(vertices, edges),
+        lambda: connected_components(
+            vertices, edges, small_graph_vertices=0
+        ),
+        lambda: connected_components_star(vertices, edges),
+    ):
+        got = {tuple(r) for r in impl().collect()}
+        assert got == {(0, 0), (1, 0), (2, 0), (3, 0)}, got
+
+
+def test_cc_unconverged_raises_not_silent(spark):
+    """A diameter bigger than max_iter must raise, not silently return
+    a split component."""
+    import pytest
+
+    from map_v2_etl_spark.operators.dedup import connected_components
+
+    n = 8
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id LONG")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            vertices, edges, max_iter=3, small_graph_vertices=0
+        )
+    # the same graph converges fine via the star path's O(log d) rounds
+    from map_v2_etl_spark.operators.dedup import connected_components_star
+
+    got = {
+        tuple(r)
+        for r in connected_components_star(vertices, edges).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_minhash_lsh_band_validation(spark):
+    import pytest
+
+    from map_v2_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_lsh_pairs(df, num_perm=64, bands=10)
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_lsh_pairs(df, num_perm=8, bands=16)
