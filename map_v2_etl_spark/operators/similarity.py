@@ -6,12 +6,12 @@ North-star extension surface for the 100 TB pipeline:
                         broadcast; the corpus is scanned once; per-query
                         top-k via window. Baseline / ground truth.
   * lsh_cosine_topk   — random-hyperplane (sign) LSH bucketing: corpus is
-                        hashed into 2^planes buckets, queries probe their
-                        own bucket (+ optional multi-probe neighbors), and
-                        only same-bucket vectors are scored. The scale
-                        path: scoring cost drops from |corpus| x |queries|
-                        to bucket-local work; recall is tunable via planes
-                        and probes.
+                        hashed into 2^planes buckets per table, queries
+                        probe their own bucket in each of ``tables``
+                        independent tables, and only same-bucket vectors
+                        are scored. The scale path: scoring cost drops
+                        from |corpus| x |queries| to bucket-local work;
+                        recall is tunable via planes and tables.
 
 Cosine math is double-precision JVM expressions (functions/vectors.py);
 the projection matrix for LSH is a deterministic seeded constant folded
@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, l2_norm
 
 
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
@@ -82,6 +82,13 @@ def _signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
 
     Built from literal arrays + zip_with/aggregate so the whole thing is
     one codegen'd expression; the planes are constant-folded."""
+    if len(hyperplanes) > 64:
+        # JVM shiftleft wraps the distance mod 64, so plane 64 would
+        # silently alias onto bit 0 — distinct outcomes, same bucket
+        raise ValueError(
+            f"sign-LSH packs bits into one long: planes <= 64 "
+            f"(got {len(hyperplanes)})"
+        )
     sig = F.lit(0).cast("long")
     for j, h in enumerate(hyperplanes):
         dot = F.aggregate(
@@ -127,7 +134,9 @@ def _vec_dim(df: DataFrame, vec_col: str, dim: int | None) -> int | None:
     than TypeError, per round-1 advice)."""
     if dim is not None:
         return dim
-    row = df.select(vec_col).first()
+    # skip NULL embeddings: a null FIRST row must not masquerade as an
+    # empty corpus (which would silently drop every real pair downstream)
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if row is None or row[vec_col] is None:
         return None
     return len(row[vec_col])
@@ -234,6 +243,16 @@ def ivf_cosine_topk(
     cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
     )
+    if cents.limit(1).count() == 0:
+        # `id % stride` needs dense NUMERIC ids: it is NULL on string
+        # ids and can be empty on offset/sparse id spaces (pq_train's
+        # hash-mod sampler is the robust alternative) — fail loudly
+        # instead of returning an empty result for every query
+        raise ValueError(
+            "ivf_cosine_topk codebook is empty: id_col % "
+            f"{centroid_stride} matched no rows (string or sparse ids? "
+            "use a smaller centroid_stride or numeric dense ids)"
+        )
 
     # nearest centroid per corpus vector: broadcast cross + max_by — a
     # single partial-aggregated pass, deterministic tie-break on cent_id
@@ -457,14 +476,29 @@ def lloyd_centroids(
     the 100 TB path (centroid state is k x dim floats either way)."""
     cents = [
         [float(x) for x in r[vec_col]]
-        for r in emb.orderBy(id_col).limit(k).collect()
+        for r in emb.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
     ]
+    if len(cents) < k:
+        # same loud contract as pq_train: short corpora crash both
+        # regimes with opaque shape errors otherwise
+        raise ValueError(
+            f"k-means needs at least k={k} non-null vectors; "
+            f"corpus has {len(cents)}"
+        )
     dim = len(cents[0])
     if gate_rows is None:
         gate_rows = 16_000_000 // max(dim, 1)
     n_probe = emb.limit(gate_rows + 1).count()
     if n_probe <= gate_rows:
-        return _lloyd_local(emb, cents, k, iters, id_col, vec_col)
+        local = _lloyd_local(emb, cents, k, iters, id_col, vec_col)
+        if local is not None:
+            return local
+        # magnitude outside the exact-int64 envelope: fall through to
+        # the distributed decimal loop, which is exact at any scale
     for _ in range(iters):
         assigned = assign_clusters(emb, cents, id_col, vec_col)
         rows = (
@@ -489,17 +523,25 @@ def _lloyd_local(
     iters: int,
     id_col: str,
     vec_col: str,
-) -> list[list[float]]:
+) -> list[list[float]] | None:
     """Gate-bounded NumPy twin of the distributed Lloyd loop, bit-exact:
     distances accumulate in the JVM fold's order (dim loop), argmin's
     first-occurrence rule is min_by's lowest-cluster tie-break, and
     means run the decimal(27,12)-input scale-16 HALF_UP pipeline in
     exact integer arithmetic (float(avg(cast(x as decimal(27,12))))).
-    On RAW vectors — k-means does not normalize (unlike PQ)."""
+    On RAW vectors — k-means does not normalize (unlike PQ). Returns
+    None when the data sits outside the exact-int64 envelope (the
+    caller then runs the distributed decimal loop): _quantize_e12
+    packs x*1e12 into int64, so per-component SUMS stay exact only
+    while max|x| * n_rows < 2^63/1e12 ~ 9.2e6 — raw k-means vectors
+    are unbounded, and a silent overflow would corrupt centroids."""
     import numpy as np
 
     pdf = emb.select(id_col, vec_col).toPandas()
     V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    amax = float(np.abs(V).max()) if V.size else 0.0
+    if amax * max(len(V), 1) >= 9.2e6:
+        return None
     Q = _quantize_e12(V)
 
     def dec_mean16(ssum: int, n: int) -> float:
@@ -578,13 +620,10 @@ def _unit(vec: Column) -> Column:
     PQ approximates L2 distance; on unit vectors L2^2 = 2 - 2*cosine, so
     ADC ranking by L2 equals ranking by cosine — normalization is what
     makes a cosine ANN out of an L2 quantizer."""
-    n = F.sqrt(
-        F.aggregate(
-            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # the ONE norm expression (functions/vectors.l2_norm) — a second
+    # copy drifting by a cast or fold order would break the bit-match
+    # between the PQ paths and the cosine oracle twins
+    n = l2_norm(vec)
     # bind the norm once (transform-over-singleton; see dedup.word_shingles
     # — embedding the aggregate inside the per-element lambda would
     # re-reduce the whole vector per element on the interpreted HOF path)
@@ -666,7 +705,10 @@ def pq_train(
         # distributed regime on small data and assert the two regimes'
         # codebooks are IDENTICAL (the decimal-grid contract below)
         gate_rows = 16_000_000 // max(dim, 1)
-    n_probe = corpus.limit(gate_rows + 1).count()
+    # probe at least ksub rows so the smallness check below stays valid
+    # when gate_rows < ksub (the documented test override for forcing
+    # the distributed regime must not reject a large corpus)
+    n_probe = corpus.limit(max(gate_rows + 1, ksub)).count()
     if n_probe < ksub:
         # fail LOUDLY on a training set that cannot fill the codebooks —
         # silently returning < ksub codewords would mistrain (and the
@@ -942,6 +984,10 @@ def pq_encode(
 
     def run(batches):
         for pdf in batches:
+            # NULL embeddings encode to no row (the pre-refactor
+            # explode+join formulation dropped them the same way);
+            # without the mask np.array raises on the ragged list
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)

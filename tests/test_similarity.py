@@ -1,5 +1,6 @@
 """Similarity search: exact brute force vs LSH recall."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from map_v2_etl_spark.operators import similarity as S
@@ -157,7 +158,6 @@ def test_pq_topk_recall_vs_exact(spark, sf_dir):
         pq_cosine_topk,
     )
     from map_v2_etl_spark.sources.registry import load_table
-    from pyspark.sql import functions as F
 
     emb = load_table(spark, "embeddings", sf_dir)
     qs = emb.filter(F.col("vec_id") % 50 == 0)
@@ -260,3 +260,100 @@ def test_lloyd_regimes_bit_identical(spark, sf_dir):
     local = lloyd_centroids(emb, k=6, iters=3)
     dist = lloyd_centroids(emb, k=6, iters=3, gate_rows=10)
     assert local == dist
+
+
+def test_vec_dim_skips_null_embeddings(spark):
+    """A NULL first row must not masquerade as an empty corpus."""
+    from map_v2_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [1.0, 0.001])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).coalesce(1).orderBy("vec_id")
+    pairs = embedding_near_dup_pairs(df, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 3)}
+
+
+def test_ivf_empty_codebook_raises(spark):
+    from map_v2_etl_spark.operators.similarity import ivf_cosine_topk
+
+    # ids 1..9 with stride 10 -> no centroid rows
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 10)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="codebook is empty"):
+        ivf_cosine_topk(df, df.limit(2), centroid_stride=10)
+
+
+def test_kmeans_fewer_rows_than_k_raises(spark):
+    from map_v2_etl_spark.operators.similarity import lloyd_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="at least k=8"):
+        lloyd_centroids(df, k=8, iters=1)
+
+
+def test_lsh_planes_over_64_raises(spark):
+    from map_v2_etl_spark.operators.similarity import lsh_cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="planes <= 64"):
+        lsh_cosine_topk(df, df, planes=65, tables=1).collect()
+
+
+def test_kmeans_large_magnitude_uses_distributed_exact_loop(spark):
+    """Raw vectors outside the int64 quantization envelope must not
+    silently corrupt centroids: the gate falls through to the decimal
+    distributed loop, whose result is exact at any magnitude."""
+    from map_v2_etl_spark.operators.similarity import lloyd_centroids
+
+    rows = [(i, [5.0e6 + i, float(i % 3)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = lloyd_centroids(df, k=2, iters=1)
+    # distributed loop ran (no int64 wrap garbage): centroids stay in
+    # the data's range
+    for c in cents:
+        assert 4.9e6 < c[0] < 5.1e6
+
+
+def test_pq_train_gate_override_on_large_corpus(spark):
+    """gate_rows < ksub (the documented distributed-regime override)
+    must not spuriously reject a corpus with plenty of vectors."""
+    from map_v2_etl_spark.operators.similarity import pq_train
+
+    import random
+
+    rng = random.Random(1)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = pq_train(df, m=2, ksub=16, iters=1, gate_rows=5)
+    assert len(books) == 2 and len(books[0]) == 16
+
+
+def test_pq_encode_null_embedding_dropped_not_crash(spark):
+    from map_v2_etl_spark.operators.similarity import pq_encode, pq_train
+
+    import random
+
+    rng = random.Random(2)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = pq_train(df, m=2, ksub=4, iters=1)
+    withnull = df.union(
+        spark.createDataFrame([(99, None)], df.schema)
+    )
+    codes = {r["vec_id"] for r in pq_encode(withnull, books).collect()}
+    assert codes == set(range(20))  # null row absent, no crash
