@@ -23,6 +23,8 @@ under AQE.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -45,30 +47,55 @@ def asof_join(
     with ``right.ts >= left.ts``. Left rows with no match keep nulls;
     ``tolerance`` (seconds) voids matches farther than that.
 
+    SQL-equi-join null semantics: right rows with a NULL key or NULL
+    timestamp never match (they are filtered out — Spark windows would
+    otherwise group null keys together and sort null timestamps first,
+    matching rows the oracle's ``ON l.k = r.k AND l.ts >= r.ts``
+    comparison leaves unmatched), and a left row with a NULL timestamp
+    keeps null payloads. Ties among right rows with identical
+    (key, ts) break deterministically on the packed payload struct.
+
     Implementation: tag both sides, union, and take the running
     ``last(right_struct, ignorenulls)`` over a window ordered by
-    (ts, side) — backward frames preceding..current with right sorting
-    first at equal ts; forward frames current..following as a running
-    ``first`` with right sorting after left at equal ts, so ties match
-    in both directions. Right columns travel inside ONE struct: a right
-    row whose payload column is legitimately null must still win over
-    an older row.
+    (ts, side, payload) — backward frames preceding..current with right
+    sorting first at equal ts; forward frames current..following as a
+    running ``first`` with right sorting after left at equal ts, so
+    ties match in both directions. Right columns travel inside ONE
+    struct: a right row whose payload column is legitimately null must
+    still win over an older row.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
+    collisions = [
+        c
+        for c in right_cols + [f"{right_ts}_right"]
+        if c in left.columns
+    ]
+    if collisions:
+        raise ValueError(
+            "asof_join output would duplicate column name(s) "
+            f"{collisions}: rename or subset right_cols"
+        )
     ts = "__asof_ts"
     side = "__asof_side"
     pack = "__asof_pack"
 
     l_tagged = left.withColumn(ts, F.col(left_ts)).withColumn(side, F.lit(1))
-    r_tagged = right.select(
+    # right rows with a null key or null ts can never satisfy the
+    # equi + range predicates — drop them so the window never picks one
+    r_valid = right.filter(F.col(right_ts).isNotNull())
+    for c in on:
+        r_valid = r_valid.filter(F.col(c).isNotNull())
+    r_tagged = r_valid.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias(ts),
         F.lit(0).alias(side),
-        F.struct(F.col(right_ts), *[F.col(c) for c in right_cols]).alias(pack),
+        F.struct(
+            F.col(f"`{right_ts}`"), *[F.col(f"`{c}`") for c in right_cols]
+        ).alias(pack),
     )
     # missing columns null-fill on either side with the other side's types
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
@@ -76,37 +103,59 @@ def asof_join(
     if direction == "backward":
         w = (
             W.partitionBy(*on)
-            .orderBy(F.col(ts), F.col(side))
+            .orderBy(F.col(ts), F.col(side), F.col(pack))
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         picked = F.last(pack, ignorenulls=True).over(w)
     else:
         w = (
             W.partitionBy(*on)
-            .orderBy(F.col(ts), F.desc(side))
+            .orderBy(F.col(ts), F.desc(side), F.col(pack))
             .rowsBetween(W.currentRow, W.unboundedFollowing)
         )
         picked = F.first(pack, ignorenulls=True).over(w)
     matched = unioned.withColumn(pack, picked).filter(F.col(side) == 1)
+    # a NULL left timestamp has no as-of position (SQL comparison is
+    # null): keep the left row, void any window pick
+    matched = matched.withColumn(
+        pack, F.when(F.col(ts).isNotNull(), F.col(pack))
+    )
 
     if tolerance is not None:
         # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike with
         # NO timezone conversion — an NTZ→LTZ cast here would warp the
         # gap across DST transitions in non-UTC sessions (wall-clock
         # 6300s reading as instant 2700s), silently accepting stale
-        # matches the oracle's wall-clock interval arithmetic rejects
-        gap = F.expr(
-            f"CAST(timestampdiff(SECOND, {pack}.{right_ts}, {ts}) AS DOUBLE)"
+        # matches the oracle's wall-clock interval arithmetic rejects.
+        # MICROSECOND, not SECOND: second-level diffs truncate, so a
+        # gap of tolerance+0.9s would pass a whole-second check while
+        # the oracle's exact interval comparison rejects it.
+        gap_us = F.expr(
+            f"CAST(timestampdiff(MICROSECOND, "
+            f"{pack}.`{right_ts}`, {ts}) AS DOUBLE)"
         )
-        in_tol = (gap if direction == "backward" else -gap) <= tolerance
+        signed = gap_us if direction == "backward" else -gap_us
+        in_tol = signed <= tolerance * F.lit(1_000_000.0)
         matched = matched.withColumn(
             pack, F.when(in_tol, F.col(pack))
         )
 
     out_cols = [F.col(c) for c in left.columns]
-    out_cols.append(F.col(f"{pack}.{right_ts}").alias(f"{right_ts}_right"))
+    out_cols.append(
+        F.col(f"{pack}.`{right_ts}`").alias(f"{right_ts}_right")
+    )
     out_cols += [F.col(f"{pack}.`{c}`").alias(c) for c in right_cols]
     return matched.select(*out_cols)
+
+
+#: join types bucketed_range_join supports — the exploded right side
+#: means unmatched RIGHT bucket copies would surface k times under
+#: right/full outer joins (one null-left row per bucket copy)
+_RANGE_JOIN_HOW = {
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "semi",
+    "left_anti", "leftanti", "anti",
+}
 
 
 def bucketed_range_join(
@@ -128,13 +177,29 @@ def bucketed_range_join(
     filter: a post-filter would silently turn outer joins into inner ones
     (unmatched left rows carry null lo/hi, BETWEEN evaluates null, filter
     drops them). In the condition, Spark still plans a shuffled hash join
-    keyed on the bucket equality with the range as a residual, and outer
-    semantics are preserved. A left row matches each covering interval
-    exactly once (its single bucket meets each interval's exploded copy at
-    most once), so no post-join dedup is needed.
+    keyed on the bucket equality with the range as a residual, and LEFT
+    outer semantics are preserved. A left row matches each covering
+    interval exactly once (its single bucket meets each interval's
+    exploded copy at most once), so no post-join dedup is needed.
+    RIGHT/FULL outer joins are rejected: each unmatched exploded bucket
+    copy of a right interval would emit its own null-left row (k
+    duplicates per interval) — use the transposed call instead.
+    Inverted intervals (lo > hi) match nothing by definition and are
+    filtered before the explode (sequence() would otherwise build a
+    DESCENDING bucket array — for a badly inverted row, a huge one).
     """
+    if how not in _RANGE_JOIN_HOW:
+        raise ValueError(
+            f"bucketed_range_join supports {sorted(_RANGE_JOIN_HOW)}; "
+            f"got how={how!r} (right/full outer would duplicate "
+            "unmatched intervals per bucket copy)"
+        )
+    if not (math.isfinite(bucket_width) and bucket_width > 0):
+        raise ValueError(f"bucket_width must be finite and > 0: {bucket_width}")
     bl, br = "__range_bucket_l", "__range_bucket_r"
-    r_exploded = right.withColumn(
+    r_exploded = right.filter(
+        F.col(right_lo) <= F.col(right_hi)
+    ).withColumn(
         br,
         F.explode(
             F.sequence(
@@ -146,7 +211,9 @@ def bucketed_range_join(
     l_bucketed = left.withColumn(
         bl, F.floor(F.col(left_val) / bucket_width).cast("long")
     )
-    cond = (F.col(bl) == F.col(br)) & F.col(left_val).between(
-        F.col(right_lo), F.col(right_hi)
-    )
+    # dataframe-qualified references: bare F.col would be ambiguous the
+    # moment a name exists on both sides
+    cond = (l_bucketed[bl] == r_exploded[br]) & l_bucketed[
+        left_val
+    ].between(r_exploded[right_lo], r_exploded[right_hi])
     return l_bucketed.join(r_exploded, on=cond, how=how).drop(bl, br)

@@ -315,3 +315,73 @@ def test_minhash_lsh_band_validation(spark):
         minhash_lsh_pairs(df, num_perm=64, bands=10)
     with pytest.raises(ValueError, match="bands must divide"):
         minhash_lsh_pairs(df, num_perm=8, bands=16)
+
+
+def test_asof_null_ts_and_null_key_semantics(spark):
+    """SQL equi/range null semantics: a right row with null key or null
+    ts never matches; a left row with null ts keeps null payloads —
+    previously Spark's nulls-first window ordering made the null-ts
+    right row a universal fallback match and null keys matched each
+    other."""
+    from map_v2_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00"),
+         (2, "u1", None),
+         (3, None, "2024-01-01 10:00:00")],
+        "event_id LONG, user_id STRING, ts STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u1", None, 99.0),            # null ts: never a match
+         (None, "2024-01-01 09:00:00", 77.0),  # null key: never a match
+         ("u1", "2024-01-01 09:30:00", 1.5)],
+        "user_id STRING, ts STRING, value DOUBLE",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: (r["ts_right"], r["value"])
+        for r in asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            right_cols=["value"],
+        ).collect()
+    }
+    assert got[1][1] == 1.5          # real match
+    assert got[2] == (None, None)    # null left ts -> no match
+    assert got[3] == (None, None)    # null left key -> no match
+    assert len(got) == 3             # every left row kept
+
+
+def test_asof_output_collision_raises(spark):
+    import pytest
+
+    from map_v2_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00", 5.0)],
+        "event_id LONG, user_id STRING, ts STRING, value DOUBLE",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 09:00:00", 1.0)],
+        "user_id STRING, ts STRING, value DOUBLE",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError, match="duplicate column"):
+        asof_join(left, right, on=["user_id"], left_ts="ts",
+                  right_ts="ts", right_cols=["value"])
+
+
+def test_range_join_guards(spark):
+    import pytest
+
+    from map_v2_etl_spark.operators.joins import bucketed_range_join
+
+    left = spark.createDataFrame([(5.0,)], "v DOUBLE")
+    right = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("bad", 1e9, 0.0)],  # one inverted interval
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    # inverted interval filtered (no sequence explosion), match correct
+    got = bucketed_range_join(left, right, "v", "lo", "hi", 10.0).collect()
+    assert [(r["v"], r["band"]) for r in got] == [(5.0, "a")]
+    with pytest.raises(ValueError, match="right/full outer"):
+        bucketed_range_join(left, right, "v", "lo", "hi", 10.0, how="full")
+    with pytest.raises(ValueError, match="bucket_width"):
+        bucketed_range_join(left, right, "v", "lo", "hi", 0.0)
