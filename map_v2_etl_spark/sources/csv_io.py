@@ -9,19 +9,78 @@ Write side (S5): the reference emits ONE file, header first, rows sorted
 (shape-data.js:105-124). A distributed engine writes a directory of parts;
 ``write_sorted_csv`` provides the compatibility single-file sink for small
 outputs (extents ~100 rows, per-region wide tables) while ``write_csv_dir``
-is the scale path (sorted within partitions via repartitionByRange, so a
-downstream merge preserves global order).
+is the scale path (sorted within partitions via repartitionByRange, so the
+part files are globally ordered).
 """
 
 from __future__ import annotations
 
+import csv as _csv
 import glob
+import gzip
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _first_line(p: str) -> str:
+    opener = gzip.open if p.endswith(".gz") else open
+    with opener(p, "rt", encoding="utf-8", errors="replace") as fh:
+        return fh.readline().rstrip("\r\n")
+
+
+def _peek_header_cols(
+    spark: SparkSession, path: str, sep: str, quote: str
+) -> list[str]:
+    """Column list from the header row(s) of ``path``.
+
+    For local files/directories every file's header is read and they
+    must AGREE: the raw read below binds positionally per file, so a
+    directory mixing column orders would silently cross-map values
+    (verified failure mode — part2 with a swapped header read its name
+    column into id). Non-local paths (object stores) peek the first
+    line Spark sees; multi-file consistency is the writer's contract
+    there."""
+    local: list[str] | None = None
+    if os.path.isdir(path):
+        local = sorted(
+            p
+            for p in glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(p)
+            and not os.path.basename(p).startswith((".", "_"))
+        )
+        if not local:
+            raise ValueError(f"no CSV files under directory: {path}")
+    elif os.path.isfile(path):
+        local = [path]
+
+    def parse(line: str, src: str) -> list[str]:
+        if not line:
+            raise ValueError(f"empty CSV (no header row): {src}")
+        # csv.reader honors quoting — a naive split(',') mis-parses
+        # quoted header names containing commas or escaped quotes
+        # (round-1 advice); the caller's sep/quote options apply to the
+        # header exactly as they do to the data read
+        return next(_csv.reader([line], delimiter=sep, quotechar=quote))
+
+    if local is not None:
+        headers = [parse(_first_line(p), p) for p in local]
+        for p, h in zip(local[1:], headers[1:]):
+            if h != headers[0]:
+                raise ValueError(
+                    f"inconsistent CSV headers under {path}: "
+                    f"{local[0]} has {headers[0]} but {p} has {h} — "
+                    "positional binding would corrupt data"
+                )
+        return headers[0]
+    rows = spark.read.text(path).limit(1).collect()
+    if not rows:
+        raise ValueError(f"empty CSV (no header row): {path}")
+    return parse(rows[0][0], path)
 
 
 def read_long_csv(
@@ -32,17 +91,14 @@ def read_long_csv(
     Spark's ``.schema()`` on CSV binds positionally, but the reference binds
     by header name (PapaParse ``header: true``, shape-data.js:76) and its
     inputs carry extra columns that must be silently dropped. So: peek at
-    the header, read every file column as string in file order, then
-    select+cast the declared columns by name (missing declared columns
-    become null, undeclared file columns are dropped — matching
-    shape-data.js:33).
+    the header (every file's header for local dirs — they must agree),
+    read every file column as string in file order, then select+cast the
+    declared columns by name (missing declared columns become null,
+    undeclared file columns are dropped — matching shape-data.js:33).
     """
-    import csv as _csv
-
-    header_line = spark.read.text(path).limit(1).collect()[0][0]
-    # csv.reader honors quoting — a naive split(',') mis-parses quoted
-    # header names containing commas or escaped quotes (round-1 advice)
-    file_cols = next(_csv.reader([header_line]))
+    sep = options.get("sep", options.get("delimiter", ","))
+    quote = options.get("quote", '"')
+    file_cols = _peek_header_cols(spark, path, sep, quote)
     raw_schema = T.StructType(
         [T.StructField(c, T.StringType(), True) for c in file_cols]
     )
@@ -53,24 +109,41 @@ def read_long_csv(
         .schema(raw_schema)
         .csv(path, **options)
     )
-    from pyspark.sql import functions as F
-
     cols = []
     for f in schema.fields:
         if f.name in file_cols:
-            cols.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
+            # backtick-quote (with `` escaping) so headers containing
+            # dots don't parse as struct-field access and embedded
+            # backticks stay literal
+            q = f.name.replace("`", "``")
+            cols.append(
+                F.col(f"`{q}`").try_cast(f.dataType).alias(f.name)
+            )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return raw.select(*cols)
 
 
-def write_csv_dir(df: DataFrame, path: str, sort_cols: list[str], compression: str | None = None):
-    """Scale sink: range-partitioned so part files are globally ordered."""
+def write_csv_dir(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    compression: str | None = None,
+    header: bool = True,
+):
+    """Scale sink: range-partitioned so part files are globally ordered.
+
+    With ``header=True`` (default) EVERY part file carries its own
+    header row — correct for per-file consumption (Spark/DuckDB/pandas
+    readers), but a raw byte-level ``cat part-*`` merge would interleave
+    header lines mid-data. For a cat-style merge pass ``header=False``
+    and prepend one header line yourself (or strip line 1 of every part
+    after the first)."""
     writer = (
         df.repartitionByRange(*sort_cols)
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
-        .option("header", True)
+        .option("header", header)
     )
     if compression:
         writer = writer.option("compression", compression)
@@ -88,6 +161,12 @@ def write_sorted_csv(df: DataFrame, path: str, sort_cols: list[str] | None):
     ``sort_cols=None`` preserves the DataFrame's existing order (for plans
     that already end in an orderBy, e.g. extents' input-column order).
     """
+    if os.path.isdir(path):
+        # shutil.move into an existing DIRECTORY would silently drop the
+        # part file inside it under its temp name instead of replacing
+        raise ValueError(
+            f"write_sorted_csv target is an existing directory: {path}"
+        )
     tmp = tempfile.mkdtemp(prefix="m2e_csv_")
     try:
         (

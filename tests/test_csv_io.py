@@ -78,3 +78,74 @@ def test_read_header_with_quoted_comma(spark, tmp_path):
     assert r["id"] == "01"
     assert r["name, full"] == "alpha"
     assert r["value"] == 3.5
+
+
+def test_read_multi_file_header_mismatch_raises(spark, tmp_path):
+    """A directory mixing column orders must raise — positional binding
+    to the first file's header would silently cross-map values."""
+    import pytest
+    from pyspark.sql import types as T
+
+    d = tmp_path / "csvs"
+    d.mkdir()
+    (d / "part1.csv").write_text("id,name\n01,alpha\n")
+    (d / "part2.csv").write_text("name,id\nbeta,02\n")
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()),
+         T.StructField("name", T.StringType())]
+    )
+    with pytest.raises(ValueError, match="inconsistent CSV headers"):
+        read_long_csv(spark, str(d), schema)
+    # consistent headers across files read fine
+    (d / "part2.csv").write_text("id,name\n02,beta\n")
+    rows = {r["id"]: r["name"]
+            for r in read_long_csv(spark, str(d), schema).collect()}
+    assert rows == {"01": "alpha", "02": "beta"}
+
+
+def test_read_custom_separator_header(spark, tmp_path):
+    """**options (sep) must apply to the header peek too."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "semi.csv"
+    p.write_text("id;name\n01;alpha\n")
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()),
+         T.StructField("name", T.StringType())]
+    )
+    rows = read_long_csv(spark, str(p), schema, sep=";").collect()
+    assert [(r["id"], r["name"]) for r in rows] == [("01", "alpha")]
+
+
+def test_read_dotted_column_name(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    p = tmp_path / "dots.csv"
+    p.write_text("id,pop.total\n01,5\n")
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()),
+         T.StructField("pop.total", T.DoubleType())]
+    )
+    rows = read_long_csv(spark, str(p), schema).collect()
+    assert rows[0]["pop.total"] == 5.0
+
+
+def test_read_empty_file_raises_clearly(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    p = tmp_path / "empty.csv"
+    p.write_text("")
+    schema = T.StructType([T.StructField("id", T.StringType())])
+    with pytest.raises(ValueError, match="empty CSV"):
+        read_long_csv(spark, str(p), schema)
+
+
+def test_write_sorted_csv_refuses_directory_target(spark, tmp_path):
+    import pytest
+
+    d = tmp_path / "existing"
+    d.mkdir()
+    df = spark.createDataFrame([("a",)], "x STRING")
+    with pytest.raises(ValueError, match="existing directory"):
+        write_sorted_csv(df, str(d), ["x"])
