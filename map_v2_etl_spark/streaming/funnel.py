@@ -102,7 +102,14 @@ def running_funnel(events: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     return (
-        events.select(
+        events
+        # only funnel stages reach state: other event types (signup,
+        # error, ...) would fire groups without changing state —
+        # emitting duplicate n_seen rows that break the "n_seen grows
+        # every time the group fires" tie-impossibility invariant —
+        # and needlessly shuffle ~40% extra rows into the stateful op
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
             "user_id",
             "event_type",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_micros"),

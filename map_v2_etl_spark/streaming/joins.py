@@ -75,21 +75,25 @@ def run_stream_join_on_parquet(
     parquet_path: str,
     query_name: str = "stream_join_out",
     lookback: str = "1 hour",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Drive stream_stream_interval_join as a REAL streaming query: two
     independent readStream sources over the same events parquet (one
     filtered to purchases, one to clicks), memory sink,
     processAllAvailable — the local-test analogue of two kafka topics.
+
+    ``watermark`` defaults to ``lookback`` — the callee requires
+    watermark >= lookback, and a fixed default smaller than a caller's
+    lookback would silently age out in-window matches across batches.
     """
+    from .windows import stage_stream_source
+
+    watermark = watermark if watermark is not None else lookback
     batch_df = spark.read.parquet(parquet_path)
     schema = batch_df.schema
-    if os.path.isfile(parquet_path):
-        staged = tempfile.mkdtemp(prefix="m2e_sjoin_")
-        os.symlink(
-            os.path.abspath(parquet_path),
-            os.path.join(staged, os.path.basename(parquet_path)),
-        )
-        parquet_path = staged
+    parquet_path, _staged = stage_stream_source(
+        parquet_path, prefix="m2e_sjoin_"
+    )
 
     def source() -> DataFrame:
         from .ts import normalize_event_time
@@ -101,7 +105,9 @@ def run_stream_join_on_parquet(
     purchases = source().filter(F.col("event_type") == "purchase")
     clicks = source().filter(F.col("event_type") == "click")
     q = (
-        stream_stream_interval_join(purchases, clicks, lookback=lookback)
+        stream_stream_interval_join(
+            purchases, clicks, lookback=lookback, watermark=watermark
+        )
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
@@ -119,23 +125,25 @@ def stream_static_enrich(
     dim: DataFrame,
     key: str = "user_id",
     dim_key: str = "c_custkey",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment: join a streaming fact to a BATCH
     dimension table, then aggregate per dimension attribute.
 
     The static side needs no watermark and holds no state — Spark
     re-plans it per micro-batch (picking up dim updates between
-    batches) and broadcasts it under the join when it fits, which is
-    the production shape for dimension enrichment at any scale: the
-    stream never shuffles on the join key.
+    batches). With ``broadcast_dim=True`` (default) the dimension is
+    broadcast-HINTED: right for dimension tables that fit executor
+    memory (the usual case), and the stream never shuffles on the join
+    key. For a dimension too big to broadcast pass False and let Spark
+    plan a shuffled join — the hint would force an OOM, not a fallback.
 
     Output: (c_mktsegment, n_events, total_value) with the sum through
     decimal — batch-equivalent when every event is replayed, so the
     streaming run is value-oracle-checkable (plans/queries_wave11).
     """
-    enriched = events.join(
-        F.broadcast(dim), events[key] == dim[dim_key]
-    )
+    dim_side = F.broadcast(dim) if broadcast_dim else dim
+    enriched = events.join(dim_side, events[key] == dim[dim_key])
     return (
         enriched.groupBy("c_mktsegment")
         .agg(

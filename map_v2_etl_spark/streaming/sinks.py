@@ -66,14 +66,22 @@ class IncrementalParquetUpsert:
     def _pointer(self) -> str:
         return os.path.join(self.target, "_LATEST")
 
-    def current(self) -> DataFrame | None:
+    def _current_version(self) -> str | None:
         if not os.path.exists(self._pointer()):
             return None
         with open(self._pointer()) as fh:
-            version = fh.read().strip()
+            return fh.read().strip()
+
+    def current(self) -> DataFrame | None:
+        version = self._current_version()
+        if version is None:
+            return None
         return self.spark.read.parquet(os.path.join(self.target, version))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        prev = self._current_version()
         new = latest_per_key(batch_df, self.key_cols, self.order_cols)
         base = self.current()
         if base is not None:
@@ -91,6 +99,19 @@ class IncrementalParquetUpsert:
         with open(tmp, "w") as fh:
             fh.write(vdir)
         os.replace(tmp, self._pointer())  # atomic pointer flip
+        # vacuum: every version except the new current and its
+        # immediate predecessor (kept for in-flight readers) is dead —
+        # without this the sink accumulates a FULL state snapshot per
+        # micro-batch forever
+        keep = {vdir, prev}
+        for d in os.listdir(self.target):
+            full = os.path.join(self.target, d)
+            if (
+                d.startswith("v")
+                and d not in keep
+                and os.path.isdir(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def run_stream_upsert_on_parquet(

@@ -35,30 +35,37 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _update(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
-    # CANONICAL in-batch accumulation: concatenate ALL Arrow chunks of
-    # the group first (a large group arrives as several pdfs split at
-    # arbitrary maxRecordsPerBatch boundaries), then fold in
-    # value-sorted order — not pandas' arbitrary-arrival pairwise sum.
-    # Shuffle arrival order and chunk boundaries inside a group are
-    # both nondeterministic, so a float result must not depend on
-    # either: the single whole-batch sorted fold makes each batch's
-    # total a pure function of the batch's value multiset (ties of
-    # equal values are interchangeable under a sequential fold), which
-    # is what lets a single-batch replay value-hash against a SQL
-    # oracle. Across MULTIPLE batches totals still depend on batch
-    # composition — inherent to running state.
+def _canonical_fold(pdfs, n: int, total: float) -> tuple[int, float]:
+    """CANONICAL in-batch accumulation, the ONE copy shared by the
+    applyInPandasWithState operator and its transformWithStateInPandas
+    twin (a drifting second copy would break their tested equivalence):
+    concatenate ALL Arrow chunks of the group first (a large group
+    arrives as several pdfs split at arbitrary maxRecordsPerBatch
+    boundaries), then fold in value-sorted order — not pandas'
+    arbitrary-arrival pairwise sum. Shuffle arrival order and chunk
+    boundaries inside a group are both nondeterministic, so a float
+    result must not depend on either: the single whole-batch sorted
+    fold makes each batch's total a pure function of the batch's value
+    multiset (ties of equal values are interchangeable under a
+    sequential fold), which is what lets a single-batch replay
+    value-hash against a SQL oracle. Across MULTIPLE batches totals
+    still depend on batch composition — inherent to running state."""
     chunks = list(pdfs)
     if chunks:
         batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         n += len(batch)
         for v in batch["value"].sort_values(kind="mergesort"):
             total += float(v)
+    return n, total
+
+
+def _update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    n, total = _canonical_fold(pdfs, n, total)
     state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
@@ -117,15 +124,7 @@ class _RunningTotals(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         n, total = self._state.get() if self._state.exists() else (0, 0.0)
-        # same canonical fold as _update: concat ALL Arrow chunks, then
-        # value-sorted accumulation — the twin must be deterministic
-        # under the same chunk-boundary/arrival nondeterminism
-        chunks = list(rows)
-        if chunks:
-            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            n += len(batch)
-            for v in batch["value"].sort_values(kind="mergesort"):
-                total += float(v)
+        n, total = _canonical_fold(rows, n, total)
         self._state.update((n, total))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}

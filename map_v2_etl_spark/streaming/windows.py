@@ -19,6 +19,7 @@ Spark's unified Dataset semantics make that an exact equality.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,50 +71,68 @@ def session_windows(
     )
 
 
+def stage_stream_source(path: str, prefix: str = "m2e_stream_") -> tuple[str, bool]:
+    """File-stream sources require a DIRECTORY; single files (testdata
+    ships one parquet per table) are staged behind a symlink dir.
+    Returns (source_path, is_staged) — callers remove a staged dir after
+    the query stops. ONE copy of this logic: three drivers previously
+    carried identical inline blocks that leaked their temp dirs."""
+    if os.path.isfile(path):
+        staged = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(
+            os.path.abspath(path),
+            os.path.join(staged, os.path.basename(path)),
+        )
+        return staged, True
+    return path, False
+
+
 def run_stream_on_parquet(
     spark: SparkSession,
     parquet_path: str,
     transform,
     query_name: str = "stream_out",
-    output_mode: str = "append",
+    *,
+    output_mode: str,
 ) -> DataFrame:
     """Drive `transform(stream_df)` as a real streaming query over a
     parquet directory and return the materialized result.
 
     Uses the memory sink + processAllAvailable for a synchronous, bounded
     run — the local-test analogue of a kafka-source production deployment.
-    """
+
+    ``output_mode`` is REQUIRED (keyword-only): the right mode depends on
+    the transform — "append" silently withholds windows the watermark
+    has not passed (incomplete results for a windowed agg) and raises
+    for unwatermarked aggregations, so a default would be a trap every
+    caller must remember to dodge."""
     batch_df = spark.read.parquet(parquet_path)
     schema = batch_df.schema
-    # the file stream source requires a directory; stage single files via a
-    # symlink dir (testdata ships one parquet file per table)
-    if os.path.isfile(parquet_path):
-        staged = tempfile.mkdtemp(prefix="m2e_stream_")
-        os.symlink(
-            os.path.abspath(parquet_path),
-            os.path.join(staged, os.path.basename(parquet_path)),
-        )
-        parquet_path = staged
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(parquet_path)
-    )
-    from .ts import normalize_event_time
-
-    stream = normalize_event_time(stream, schema)
-    q = (
-        transform(stream)
-        .writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    parquet_path, staged = stage_stream_source(parquet_path)
     try:
-        q.processAllAvailable()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(parquet_path)
+        )
+        from .ts import normalize_event_time
+
+        stream = normalize_event_time(stream, schema)
+        q = (
+            transform(stream)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(query_name)
     finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+        if staged:
+            shutil.rmtree(parquet_path, ignore_errors=True)
 
 
 def stream_to_parquet(
@@ -132,13 +151,7 @@ def stream_to_parquet(
     manifest, surviving restarts."""
     batch_df = spark.read.parquet(parquet_in)
     schema = batch_df.schema
-    if os.path.isfile(parquet_in):
-        staged = tempfile.mkdtemp(prefix="m2e_stream_")
-        os.symlink(
-            os.path.abspath(parquet_in),
-            os.path.join(staged, os.path.basename(parquet_in)),
-        )
-        parquet_in = staged
+    parquet_in, _staged = stage_stream_source(parquet_in)
     from .ts import normalize_event_time
 
     stream = normalize_event_time(
