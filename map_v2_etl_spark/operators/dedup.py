@@ -36,8 +36,15 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------------------
 
 def tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    """Lowercased whitespace tokens — the ONE canonical tokenizer
+    (fingerprint/shingles/minhash/simhash and the _DUCK_TOKENS oracle
+    fragment all share it). Strips ALL surrounding whitespace: trim()
+    only removes 0x20 while the \\s+ split treats tabs/newlines as
+    separators, so a leading tab or trailing newline would inject an
+    empty edge token into every downstream signature."""
+    from .text import whitespace_strip
+
+    return F.split(F.lower(whitespace_strip(text)), r"\s+")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

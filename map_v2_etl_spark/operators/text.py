@@ -12,6 +12,8 @@ oracle. Operates on the `documents` table shape (doc_id, text, ...).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -28,13 +30,29 @@ LANG_MARKERS: dict[str, list[str]] = {
 EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
-def _word_regex(words: list[str]) -> str:
-    return r"\b(" + "|".join(words) + r")\b"
+def _word_regex(words: list[str], word_boundaries: bool = True) -> str:
+    """Alternation over LITERAL words (re.escape guards future markers
+    containing metacharacters). ``word_boundaries=False`` drops the
+    \\b anchors — required for CJK markers, where Java's ASCII-word
+    \\b never matches between two CJK codepoints, so \\b的\\b
+    cannot match inside Chinese text at all."""
+    alts = "|".join(re.escape(w) for w in words)
+    if word_boundaries:
+        return r"\b(" + alts + r")\b"
+    return "(" + alts + ")"
+
+
+def whitespace_strip(text: Column) -> Column:
+    """Strip ALL leading/trailing whitespace. F.trim strips only 0x20
+    spaces while \\s+ tokenizers treat tabs/newlines as separators —
+    the mismatch injects empty edge tokens for '\\ttext' or
+    'text\\n' inputs (over-counting tokens, perturbing fingerprints)."""
+    return F.regexp_replace(text, r"^\s+|\s+$", "")
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (empty text -> 0)."""
-    t = F.trim(text)
+    """Whitespace token count (empty/whitespace-only text -> 0)."""
+    t = whitespace_strip(text)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     )
@@ -53,13 +71,24 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count(t)
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    # Unicode classes, not \\w (ASCII-only in Java regex AND RE2): with
+    # \\w every CJK/accented letter counted as punctuation, scoring
+    # Chinese text as pure punctuation soup (punct_ratio 1.0)
+    n_punct = F.size(
+        F.regexp_extract_all(t, F.lit(r"[^\p{L}\p{N}_\s]"), 0)
+    )
     n_stop = F.size(
         F.regexp_extract_all(F.lower(t), F.lit(_word_regex(EN_STOPWORDS)), 0)
     )
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
-    mean_word_len = (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1))
+    # total non-whitespace chars / tokens — exact for ANY whitespace
+    # shape (the old (n_chars - n_tokens + 1)/n_tokens closed form
+    # assumed exactly single-space separators and no padding)
+    n_word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_word_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        n_word_chars / n_tokens
+    )
     # composite: long enough, not punctuation soup, some function words
     score = (
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
@@ -82,7 +111,13 @@ def lang_scores(text: Column) -> dict[str, Column]:
     """Marker hits per language (per 'n-gram heuristic' language ID)."""
     lt = F.lower(text)
     return {
-        lang: F.size(F.regexp_extract_all(lt, F.lit(_word_regex(words)), 0))
+        lang: F.size(
+            F.regexp_extract_all(
+                lt,
+                F.lit(_word_regex(words, word_boundaries=lang != "zh")),
+                0,
+            )
+        )
         for lang, words in LANG_MARKERS.items()
     }
 
@@ -104,9 +139,13 @@ def lang_id(text: Column, default: str = "und") -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct
-    lowercased token set — invariant to token order and repetition, the
-    classic 'fingerprint clustering' key. md5 keeps it engine-portable."""
-    toks = F.array_sort(
-        F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    lowercased token set — invariant to token order, repetition, AND
+    surrounding whitespace (a doc with/without a trailing newline must
+    dedup together), the classic 'fingerprint clustering' key. md5
+    keeps it engine-portable. Tokenization is dedup.tokens — the ONE
+    canonical tokenizer the dedup stack and its oracles share."""
+    from .dedup import tokens
+
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
     )
-    return F.md5(F.array_join(toks, " "))

@@ -25,7 +25,15 @@ from .registry import query
 # shared DuckDB SQL fragments (mirror the Spark definitions exactly)
 # --------------------------------------------------------------------------
 
-_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+WSTRIP_SQL = r"regexp_replace(text, '^\s+|\s+$', '', 'g')"
+SPLIT_WS = r"\s+"
+
+_DUCK_TOKENS = (
+    # mirror of operators/dedup.tokens: full-whitespace strip (trim()
+    # only removes 0x20; a leading tab / trailing newline would inject
+    # an empty edge token into every signature)
+    r"string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')"
+)
 
 _DUCK_SHINGLES = (
     "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] "
@@ -275,8 +283,8 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_token_count",
     "SELECT doc_id, "
-    "CASE WHEN length(trim(text)) = 0 THEN 0 "
-    f"ELSE len({_DUCK_TOKENS.replace('lower(trim(text))', 'trim(text)')}) END AS n_tokens, "
+    f"CASE WHEN length({WSTRIP_SQL}) = 0 THEN 0 "
+    f"ELSE len(string_split_regex({WSTRIP_SQL}, '{SPLIT_WS}')) END AS n_tokens, "
     r"len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords "
     "FROM documents",
     tags=["text", "tokens"],
@@ -293,6 +301,11 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_RE = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
 
+_N_TOKENS_SQL = (
+    f"CASE WHEN length({WSTRIP_SQL}) = 0 THEN 0 "
+    f"ELSE len(string_split_regex({WSTRIP_SQL}, '{SPLIT_WS}')) END"
+)
+
 _DUCK_QUALITY = f"""
 SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
        LEAST(n_tokens / 100.0, 1.0) * 0.4
@@ -300,13 +313,11 @@ SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
        + LEAST(stop_ratio * 4, 1.0) * 0.3 AS quality
 FROM (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-    len(regexp_extract_all(text, '[^\\w\\s]'))
+    {_N_TOKENS_SQL} AS n_tokens,
+    len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]'))
       / GREATEST(length(text), 1) AS punct_ratio,
     len(regexp_extract_all(lower(text), '{_STOP_RE}'))
-      / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(string_split_regex(trim(text), '\\s+')) END, 1)
+      / GREATEST({_N_TOKENS_SQL}, 1)
       AS stop_ratio
   FROM documents
 )
@@ -324,11 +335,16 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_lang_id() -> str:
     score_cols = []
+    import re as _re
+
     for lang, words in X.LANG_MARKERS.items():
+        # identical pattern construction to operators/text._word_regex
+        # (escaped literals; no \b for CJK)
+        alts = "|".join(_re.escape(w) for w in words)
         if lang == "zh":
-            pat = "(" + "|".join(words) + ")"
+            pat = "(" + alts + ")"
         else:
-            pat = r"\b(" + "|".join(words) + r")\b"
+            pat = r"\b(" + alts + r")\b"
         score_cols.append(
             f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}"
         )

@@ -54,3 +54,77 @@ def test_quality_score_bounds(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = X.quality_features(docs).select("quality").collect()
     assert all(0.0 <= r["quality"] <= 1.0 for r in out)
+
+
+def test_lang_id_detects_cjk(spark):
+    """Chinese marker words carry no ASCII word boundaries — \\b的\\b
+    can never match, so zh patterns drop the anchors (mirroring the
+    DuckDB oracle's long-standing special case)."""
+    from map_v2_etl_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "的是了在和的是了"),
+         (2, "the cat and the dog is happy"),
+         (3, "zzz qqq")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", lang_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got == {1: "zh", 2: "en", 3: "und"}
+
+
+def test_quality_not_punct_soup_for_unicode_text(spark):
+    """Non-ASCII letters must not count as punctuation (\\w is
+    ASCII-only in Java regex AND RE2)."""
+    from map_v2_etl_spark.operators.text import quality_features
+
+    df = spark.createDataFrame(
+        [(1, "le café est agréable et la vie est belle"),
+         (2, "的是了在和的是了的是了在和")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert rows[1]["punct_ratio"] == 0.0
+    assert rows[2]["punct_ratio"] == 0.0
+
+
+def test_token_count_and_fingerprint_whitespace_robust(spark):
+    """Tabs/newlines at the edges must not inject empty tokens: counts
+    drop to the true token count and fingerprints are invariant to
+    surrounding whitespace."""
+    from map_v2_etl_spark.operators.text import fingerprint, token_count
+
+    df = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "\thello world"), (3, "hello world"),
+         (4, "\t\n "), (5, "b a")],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["n"], r["fp"])
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n"),
+            fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert [out[i][0] for i in (1, 2, 3, 4)] == [2, 2, 2, 0]
+    assert out[1][1] == out[2][1] == out[3][1]  # whitespace-invariant
+    assert out[5][1] != out[3][1]  # different token sets still differ
+
+
+def test_mean_word_len_exact_on_padded_text(spark):
+    from map_v2_etl_spark.operators.text import quality_features
+
+    df = spark.createDataFrame(
+        [(1, "  a  b   c  "), (2, ""), (3, "ab cd")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r["mean_word_len"]
+            for r in quality_features(df).collect()}
+    assert rows[1] == 1.0
+    assert rows[2] == 0.0
+    assert rows[3] == 2.0
