@@ -29,6 +29,10 @@ from pyspark.sql import types as T
 
 MEDIA_KINDS = ["image", "audio", "video"]
 
+#: magic for the engine's M2EV raw-frame video container (see the video
+#: section below) — named here so the codec boundary can sniff it
+_M2EV_MAGIC = b"M2EV"
+
 # media table schema: one binary payload + typed metadata per row
 MEDIA_SCHEMA = T.StructType(
     [
@@ -152,6 +156,8 @@ def _decode_payload(kind: str, payload: bytes):
         return _decode_wav(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:4] == _M2EV_MAGIC:
+        return _decode_m2ev(payload)
     raise NotImplementedError(
         f"media decode for kind={kind!r}: compressed codecs require "
         "libraries not present in this environment; see _fake_decode "
@@ -341,8 +347,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 #: then n_frames grayscale frames of width*height bytes. A stand-in
 #: for a real codec (none ships in this environment) with REAL
 #: container parsing, offsets, and batch plumbing — the charter's
-#: "deterministic fake" decode boundary.
-_M2EV_MAGIC = b"M2EV"
+#: "deterministic fake" decode boundary. (_M2EV_MAGIC is declared at
+#: the top of the module so _decode_payload can sniff it.)
 
 
 def synth_video(docs: DataFrame, width: int = 8, height: int = 6) -> DataFrame:
@@ -354,16 +360,18 @@ def synth_video(docs: DataFrame, width: int = 8, height: int = 6) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        yx = np.indices((height, width))  # loop-invariant pixel grid
+        grid = yx[1] + yx[0] * width
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 n_frames = 12 + i % 20
-                yx = np.indices((height, width))
-                base = yx[1] + yx[0] * width + i
-                frames = np.stack(
-                    [(base + 3 * f) % 256 for f in range(n_frames)]
-                ).astype("uint8")
+                frames = (
+                    (grid + i)[None, :, :]
+                    + 3 * np.arange(n_frames)[:, None, None]
+                ) % 256
+                frames = frames.astype("uint8")
                 payloads.append(
                     _M2EV_MAGIC
                     + struct.pack("<HHH", width, height, n_frames)
@@ -421,18 +429,27 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     integer content stats (exact pixel sum — hash-stable across
     engines and partitionings).
 
-    mapInPandas over (media_id, kind, payload): the decode runs inside
+    mapInPandas over (media_id, payload): the decode runs inside
     Arrow batches, non-video rows are filtered in-plan so the payload
     column of other kinds is never shipped. At 100 TB the output is
     |videos| x (frames/every_n) compact rows — the frame-index fan-out
-    happens AFTER the batch decode, never by duplicating payloads."""
+    happens AFTER the batch decode, never by duplicating payloads.
+    Null payloads yield no frames (the extract_features contract);
+    decode goes through _decode_payload, the module's single codec
+    boundary."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1: {every_n}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in
                    ("media_id", "frame_ix", "width", "height", "sum_px")}
             for r in pdf.itertuples(index=False):
-                w, h, frames = _decode_m2ev(bytes(r.payload))
+                if r.payload is None:
+                    continue
+                # no bytes() copy: the decoder slices the Arrow
+                # bytearray directly
+                w, h, frames = _decode_payload("video", r.payload)
                 for ix in range(0, len(frames), every_n):
                     out["media_id"].append(r.media_id)
                     out["frame_ix"].append(ix)
@@ -444,7 +461,5 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     return (
         media.filter(F.col("kind") == "video")
         .select("media_id", "payload")
-        .withColumn("kind", F.lit("video"))
-        .select("media_id", "kind", "payload")
         .mapInPandas(run, FRAME_SAMPLE_SCHEMA)
     )

@@ -167,3 +167,39 @@ def test_m2ev_roundtrip_and_sampling(spark, sf_dir):
         assert sorted(ixs) == list(range(0, n_frames, 5))
     r7 = [r for r in sampled if r["media_id"] == 7 and r["frame_ix"] == 5]
     assert r7[0]["sum_px"] == int(((want0 + 15) % 256).sum())
+
+
+def test_sample_frames_guards(spark):
+    """every_n validates at the driver; null payloads yield no frames
+    instead of crashing the Arrow task; M2EV decodes through the
+    single codec boundary (_decode_payload)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from map_v2_etl_spark.operators.multimodal import (
+        _decode_payload,
+        sample_frames,
+        synth_video,
+    )
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id LONG")
+    media = synth_video(docs)
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(media, every_n=0)
+    # null payload row: skipped, not a TypeError in the executor
+    null_row = spark.createDataFrame(
+        [(99, "video", None)],
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    got = sample_frames(
+        media.unionByName(null_row), every_n=30
+    ).collect()
+    assert {r["media_id"] for r in got} == {1, 2}
+    # the codec boundary sniffs M2EV now
+    payload = bytes(media.filter("media_id = 1").first()["payload"])
+    w, h, frames = _decode_payload("video", payload)
+    assert (w, h, len(frames)) == (8, 6, 13)
