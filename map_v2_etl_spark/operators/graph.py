@@ -59,23 +59,45 @@ def pagerank(
     """
     from pyspark import StorageLevel
 
+    # one materialization of the vertex table serves the size gate, the
+    # duplicate check, and the verts/toPandas consumers below (callers
+    # often pass a derived frame; without the persist each consumer
+    # re-runs the derivation)
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     n_nodes = nodes.count()  # bounded driver scalar, also sizes teleport
     if n_nodes == 0:
+        nodes.unpersist()
         return nodes.select(
             F.col(id_col).alias("id"), F.lit(0.0).alias("rank")
         )
+    n_uniq = nodes.select(id_col).distinct().count()
+    if n_uniq != n_nodes:
+        # duplicates silently corrupt BOTH regimes (double-counted
+        # teleport/dangling mass distributed; phantom dangling slots +
+        # conflicting duplicate output rows locally) — fail loudly
+        nodes.unpersist()
+        raise ValueError(
+            f"pagerank nodes must be unique: {n_nodes} rows, "
+            f"{n_uniq} distinct ids"
+        )
     if n_nodes <= small_graph_nodes:
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        n_edges = edges.count()
-        if n_edges <= SMALL_GRAPH_EDGES:
-            try:
-                return _pagerank_local(
-                    nodes, edges, id_col, src_col, dst_col, damping,
-                    iters, n_nodes,
-                )
-            finally:
-                edges.unpersist()
-        # fall through distributed with edges already materialized
+        edges_c = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # _pagerank_local consumes the edge list eagerly (toPandas),
+            # so the finally-unpersist is safe on BOTH outcomes — the
+            # old shape leaked the persisted edges for the session when
+            # the node gate passed but the edge gate failed (the same
+            # bug fixed in dedup.connected_components)
+            if edges_c.count() <= SMALL_GRAPH_EDGES:
+                try:
+                    return _pagerank_local(
+                        nodes, edges_c, id_col, src_col, dst_col,
+                        damping, iters, n_nodes,
+                    )
+                finally:
+                    nodes.unpersist()
+        finally:
+            edges_c.unpersist()
     teleport = (1.0 - damping) / n_nodes
 
     from .iteration import iteration_partitions
@@ -85,7 +107,22 @@ def pagerank(
     # state over 32 partitions pays 10 rounds of near-empty-task
     # scheduling for nothing (shared policy: operators/iteration.py)
     n_part = iteration_partitions(nodes.sparkSession, n_nodes)
-    deg = edges.groupBy(src_col).agg(F.count("*").alias("deg"))
+    node_ids = nodes.select(F.col(id_col).alias("id"))
+    # SAME edge semantics as the local path: an edge whose endpoint is
+    # not a known vertex (or is null) does not exist — it must not
+    # count toward out-degree or the non-dangling flag, or rank mass
+    # leaks at the verts join and the two regimes diverge on the same
+    # graph. Persisted because the deg aggregation AND the out join
+    # probe both scan it while building the persisted iteration table.
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .join(node_ids.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(node_ids.select(F.col("id").alias("dst")), "dst", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # load-bearing persist: the edge table (and its degree join) feeds
     # EVERY iteration — without it the upstream edge derivation (e.g.
     # the banded SimHash candidate join in doc_pagerank) re-executes
@@ -96,19 +133,18 @@ def pagerank(
     # vertex-sized ranks (the fixed numPartitions keeps AQE from
     # coalescing the persisted side into a mismatched partitioning).
     out = (
-        edges.join(deg, src_col)
-        .select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), "deg"
-        )
+        e.join(deg, "src")
+        .select("src", "dst", "deg")
         .repartition(n_part, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # vertex table with a constant is-dangling flag, joined ONCE here and
     # carried through the rank state — the per-iteration dangling mass is
-    # then a scalar aggregate over ranks (no left_anti join per round)
-    has_out = deg.select(F.col(src_col).alias("id")).distinct()
+    # then a scalar aggregate over ranks (no left_anti join per round).
+    # deg's src is already unique (groupBy output) — no distinct needed.
+    has_out = deg.select(F.col("src").alias("id"))
     verts = (
-        nodes.select(F.col(id_col).alias("id"))
+        node_ids
         .join(has_out.withColumn("_ho", F.lit(1)), "id", "left")
         .select(
             "id",
@@ -152,8 +188,10 @@ def pagerank(
             # slower.)
             .localCheckpoint(eager=True)
         )
+    e.unpersist()
     out.unpersist()
     verts.unpersist()
+    nodes.unpersist()
     return ranks.select("id", "rank")
 
 

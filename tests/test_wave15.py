@@ -79,3 +79,40 @@ def test_bfs_fast_path_edgeless_matches_oracle_shape(spark, tmp_path):
     rows = w15.q_bfs_levels(spark, d).collect()
     assert len(rows) == 1
     assert rows[0]["doc_id"] is None and rows[0]["level"] == 0
+
+
+def test_pagerank_foreign_endpoints_same_on_both_regimes(spark):
+    """Edges to ids outside `nodes` must not exist on EITHER path: they
+    previously counted toward out-degree and the non-dangling flag in
+    the distributed loop (leaking rank mass) while the local path
+    filtered them — same graph, different ranks across the gate."""
+    from map_v2_etl_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(0,), (1,)], "id LONG")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 99)], "src LONG, dst LONG"  # 99 is foreign
+    )
+    local = {
+        r["id"]: r["rank"]
+        for r in pagerank(nodes, edges, iters=3).collect()
+    }
+    dist = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            nodes, edges, iters=3, small_graph_nodes=0
+        ).collect()
+    }
+    assert local == dist
+    # mass conservation holds (docstring invariant)
+    assert abs(sum(dist.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_duplicate_nodes_raise(spark):
+    import pytest
+
+    from map_v2_etl_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,), (1,), (2,)], "id LONG")
+    edges = spark.createDataFrame([(1, 2)], "src LONG, dst LONG")
+    with pytest.raises(ValueError, match="must be unique"):
+        pagerank(nodes, edges, iters=1)
