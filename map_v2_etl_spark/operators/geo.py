@@ -32,10 +32,19 @@ from pyspark.sql import Window as W
 # interior point (G1)
 # --------------------------------------------------------------------------
 
+def _edges(ring):
+    """Edge pairs of a linear ring, tolerating OPEN rings (GeoJSON rings
+    are closed — first point repeated — but simplify_py explicitly
+    admits open ones, and a missing closing edge silently breaks
+    ray-cast parity and shoelace area)."""
+    pts = ring if ring[0] == ring[-1] else ring + [ring[0]]
+    return zip(pts, pts[1:])
+
+
 def _ring_area_centroid(ring: list[list[float]]) -> tuple[float, float, float]:
     """Signed area + area-weighted centroid of one linear ring (shoelace)."""
     a = cx = cy = 0.0
-    for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+    for (x0, y0), (x1, y1) in _edges(ring):
         cross = x0 * y1 - x1 * y0
         a += cross
         cx += (x0 + x1) * cross
@@ -64,7 +73,7 @@ def _point_in_rings(x: float, y: float, rings) -> bool:
     """Even-odd ray casting over all rings (holes flip parity)."""
     inside = False
     for ring in rings:
-        for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+        for (x0, y0), (x1, y1) in _edges(ring):
             if (y0 > y) != (y1 > y):
                 xi = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
                 if xi > x:
@@ -78,7 +87,7 @@ def _scanline_point(y: float, rings) -> tuple[float, float] | None:
     representative_point / mapshaper's -points inner)."""
     xs = []
     for ring in rings:
-        for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+        for (x0, y0), (x1, y1) in _edges(ring):
             if (y0 > y) != (y1 > y):
                 xs.append(x0 + (y - y0) * (x1 - x0) / (y1 - y0))
     xs.sort()
@@ -102,31 +111,42 @@ def interior_point_py(geojson_geom: str) -> tuple[float, float] | None:
         # isNotNull filter and surfaced by the dropped_features audit
         # (same contract as the bbox path's null bbox)
         return None
-    t, coords = g.get("type"), g.get("coordinates")
-    if t == "Polygon":
-        polys = [coords]
-    elif t == "MultiPolygon":
-        polys = coords
-    elif t == "Point":
-        return tuple(coords[:2])
-    else:
+    # JSON-valid but structurally malformed geometry (empty/missing
+    # coordinates, empty rings, 1-element points) must yield a NULL
+    # point like unparseable JSON does — one bad feature in a real feed
+    # must not kill the tiling task (same contract as the bbox path)
+    try:
+        t, coords = g.get("type"), g.get("coordinates")
+        if t == "Polygon":
+            polys = [coords]
+        elif t == "MultiPolygon":
+            polys = coords
+        elif t == "Point":
+            if not isinstance(coords, list) or len(coords) < 2:
+                return None
+            return float(coords[0]), float(coords[1])
+        else:
+            return None
+        # largest polygon by outer-ring |area| carries the point
+        polys = sorted(
+            polys, key=lambda p: abs(_ring_area_centroid(p[0])[0])
+        )
+        rings = polys[-1]
+        cx, cy = _polygon_centroid(rings)
+        if _point_in_rings(cx, cy, rings):
+            return cx, cy
+        # scan at a y that avoids vertex degeneracy: midpoint of the two
+        # middle distinct vertex ys around the centroid
+        ys = sorted({p[1] for p in rings[0]})
+        lo = max((v for v in ys if v <= cy), default=ys[0])
+        hi = min((v for v in ys if v > cy), default=ys[-1])
+        y = (lo + hi) / 2.0 if hi > lo else cy
+        hit = _scanline_point(y, rings)
+        if hit is None:
+            hit = _scanline_point(cy, rings)
+        return hit
+    except (KeyError, TypeError, IndexError, ZeroDivisionError):
         return None
-    # largest polygon by outer-ring |area| carries the point
-    polys = sorted(polys, key=lambda p: abs(_ring_area_centroid(p[0])[0]))
-    rings = polys[-1]
-    cx, cy = _polygon_centroid(rings)
-    if _point_in_rings(cx, cy, rings):
-        return cx, cy
-    # scan at a y that avoids vertex degeneracy: midpoint of the two
-    # middle distinct vertex ys around the centroid
-    ys = sorted({p[1] for p in rings[0]})
-    lo = max((v for v in ys if v <= cy), default=ys[0])
-    hi = min((v for v in ys if v > cy), default=ys[-1])
-    y = (lo + hi) / 2.0 if hi > lo else cy
-    hit = _scanline_point(y, rings)
-    if hit is None:
-        hit = _scanline_point(cy, rings)
-    return hit
 
 
 _POINT_SCHEMA = T.StructType(
@@ -175,12 +195,27 @@ def tile_xy_frac(
 
 
 def tile_xy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
-    """Slippy-map tile indices at `zoom` (Web-Mercator)."""
+    """Slippy-map tile indices at `zoom` (Web-Mercator). NULL or NaN
+    coordinates yield NULL tiles: Spark's least/greatest SKIP nulls
+    (null would clamp to the max index) and cast(NaN as int) is 0, so
+    without the guard a missing coordinate silently landed in a corner
+    tile instead of staying filterable/auditable."""
     xf, yf = tile_xy_frac(lon, lat, zoom)
-    x = F.floor(xf).cast("int")
-    y = F.floor(yf).cast("int")
-    clamp = lambda c: F.greatest(F.lit(0), F.least(c, F.lit(2 ** zoom - 1)))  # noqa: E731
-    return clamp(x), clamp(y)
+
+    def ix(frac: Column, src_a: Column, src_b: Column) -> Column:
+        clamped = F.greatest(
+            F.lit(0),
+            F.least(F.floor(frac).cast("int"), F.lit(2 ** zoom - 1)),
+        )
+        ok = (
+            src_a.isNotNull()
+            & src_b.isNotNull()
+            & ~F.isnan(src_a.cast("double"))
+            & ~F.isnan(src_b.cast("double"))
+        )
+        return F.when(ok, clamped)
+
+    return ix(xf, lon, lat), ix(yf, lon, lat)
 
 
 def assign_tiles(
@@ -272,18 +307,26 @@ def simplify_py(geojson_geom: str, tolerance: float) -> str | None:
         out = _dp_ring(open_pts + [open_pts[0]], tolerance)
         if len(out) < 4:
             return r
-        return out[:-1] + [out[0]] if not closed else out
+        # _dp_ring always keeps both endpoints, so `out` comes back
+        # closed; an OPEN input ring gets its appended closing vertex
+        # stripped to preserve the input's representation
+        return out if closed else out[:-1]
 
-    if t == "Polygon":
-        g["coordinates"] = [ring(r) for r in g["coordinates"]]
-    elif t == "MultiPolygon":
-        g["coordinates"] = [
-            [ring(r) for r in poly] for poly in g["coordinates"]
-        ]
-    elif t == "LineString":
-        out = _dp_ring(g["coordinates"], tolerance)
-        g["coordinates"] = out if len(out) >= 2 else g["coordinates"]
-    return json.dumps(g, separators=(",", ":"))
+    # structurally malformed (JSON-valid) geometry passes through
+    # unchanged — same contract as the unparseable-JSON branch above
+    try:
+        if t == "Polygon":
+            g["coordinates"] = [ring(r) for r in g["coordinates"]]
+        elif t == "MultiPolygon":
+            g["coordinates"] = [
+                [ring(r) for r in poly] for poly in g["coordinates"]
+            ]
+        elif t == "LineString":
+            out = _dp_ring(g["coordinates"], tolerance)
+            g["coordinates"] = out if len(out) >= 2 else g["coordinates"]
+        return json.dumps(g, separators=(",", ":"))
+    except (KeyError, TypeError, IndexError, ZeroDivisionError):
+        return geojson_geom
 
 
 def simplify_geometry(tolerance: float):
@@ -310,34 +353,88 @@ _BBOX_SCHEMA = T.StructType(
 )
 
 
+_BBOX_TYPES = {
+    "Point", "LineString", "Polygon", "MultiPolygon", "MultiLineString",
+}
+
+
+def geom_bbox_py(geom_str) -> tuple | None:
+    """lon/lat bbox of any GeoJSON geometry string; None when malformed
+    or of an unsupported type. THE one bbox walker — the tile sink's
+    _geom_bbox UDF and spatial_join's grid phase both call it, so the
+    encoder, the audit, and the join can never disagree on extents
+    (the old per-module copies diverged: the spatial_join one handled
+    only Polygon and emitted list-valued bbox fields for MultiPolygon,
+    crashing Arrow serialization)."""
+    try:
+        gd = json.loads(geom_str)
+        if gd.get("type") not in _BBOX_TYPES:
+            return None
+
+        def walk(c):
+            if isinstance(c[0], (int, float)):
+                yield c
+            else:
+                for sub in c:
+                    yield from walk(sub)
+
+        pts = list(walk(gd["coordinates"]))
+        return (
+            min(p[0] for p in pts),
+            min(p[1] for p in pts),
+            max(p[0] for p in pts),
+            max(p[1] for p in pts),
+        )
+    except (ValueError, KeyError, TypeError, IndexError):
+        return None
+
+
 @F.pandas_udf(_BBOX_SCHEMA)
 def geometry_bbox(geom: pd.Series) -> pd.DataFrame:
-    """Arrow-batched bounding box of a GeoJSON Polygon geometry."""
+    """Arrow-batched bounding box of any GeoJSON geometry (shared
+    walker: geom_bbox_py)."""
     xs0, ys0, xs1, ys1 = [], [], [], []
     for g in geom:
-        try:
-            rings = json.loads(g)["coordinates"]
-            pts = [p for ring in rings for p in ring]
-            xs0.append(min(p[0] for p in pts))
-            ys0.append(min(p[1] for p in pts))
-            xs1.append(max(p[0] for p in pts))
-            ys1.append(max(p[1] for p in pts))
-        except (ValueError, KeyError, TypeError):
+        r = geom_bbox_py(g)
+        if r is None:
             xs0.append(None); ys0.append(None)
             xs1.append(None); ys1.append(None)
+        else:
+            xs0.append(r[0]); ys0.append(r[1])
+            xs1.append(r[2]); ys1.append(r[3])
     return pd.DataFrame({"xmin": xs0, "ymin": ys0, "xmax": xs1, "ymax": ys1})
 
 
 @F.pandas_udf(T.BooleanType())
 def _point_in_polygon(xs: pd.Series, ys: pd.Series, geom: pd.Series) -> pd.Series:
     """Arrow-batched even-odd ray cast of (x, y) against a GeoJSON
-    Polygon — the generic exact test (any simple polygon, holes
-    included), applied only to grid-candidate pairs."""
+    Polygon OR MultiPolygon (holes included), applied only to
+    grid-candidate pairs. A per-batch parse cache keyed on the geometry
+    string amortizes json.loads across a polygon's candidate points
+    (candidates arrive clustered by grid cell, so hit rates are high —
+    parse cost scales with distinct polygons, not candidate pairs)."""
     out = []
+    cache: dict = {}
     for x, y, g in zip(xs, ys, geom):
+        parsed = cache.get(g)
+        if parsed is None:
+            try:
+                gd = json.loads(g)
+                t = gd.get("type")
+                if t == "Polygon":
+                    parsed = [gd["coordinates"]]
+                elif t == "MultiPolygon":
+                    parsed = gd["coordinates"]
+                else:
+                    parsed = []
+            except (ValueError, KeyError, TypeError):
+                parsed = []
+            cache[g] = parsed
         try:
-            out.append(_point_in_rings(x, y, json.loads(g)["coordinates"]))
-        except (ValueError, KeyError, TypeError):
+            out.append(
+                any(_point_in_rings(x, y, part) for part in parsed)
+            )
+        except (TypeError, IndexError, ZeroDivisionError):
             out.append(False)
     return pd.Series(out)
 

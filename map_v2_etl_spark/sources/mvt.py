@@ -454,36 +454,25 @@ def _with_tile_span(
 # any session exists in tests)
 def _geom_bbox(geom: pd.Series) -> pd.DataFrame:
     """lon/lat bounding box of any GeoJSON geometry (Point/LineString/
-    Polygon and Multi* variants)."""
+    Polygon and Multi* variants). Delegates to the ONE shared walker
+    (operators/geo.geom_bbox_py) so the tile sink, the
+    dropped_features audit, and spatial_join's grid phase can never
+    disagree on extents; malformed/unsupported geometry -> null bbox,
+    dropped by the caller's filter and surfaced by the audit instead
+    of crashing the encode task later."""
+    from ..operators.geo import geom_bbox_py
+
     out = {"xmin": [], "ymin": [], "xmax": [], "ymax": []}
-
-    def walk(c):
-        if isinstance(c[0], (int, float)):
-            yield c
-        else:
-            for sub in c:
-                yield from walk(sub)
-
-    supported = {
-        "Point", "LineString", "Polygon",
-        "MultiPolygon", "MultiLineString",
-    }
     for g in geom:
-        try:
-            gd = json.loads(g)
-            if gd.get("type") not in supported:
-                # unsupported type: null bbox -> dropped by the filter
-                # AND surfaced by invalid_geometries, instead of
-                # crashing the encode task later
-                raise ValueError(gd.get("type"))
-            pts = list(walk(gd["coordinates"]))
-            out["xmin"].append(min(p[0] for p in pts))
-            out["ymin"].append(min(p[1] for p in pts))
-            out["xmax"].append(max(p[0] for p in pts))
-            out["ymax"].append(max(p[1] for p in pts))
-        except (ValueError, KeyError, TypeError, IndexError):
+        r = geom_bbox_py(g)
+        if r is None:
             for k in out:
                 out[k].append(None)
+        else:
+            out["xmin"].append(r[0])
+            out["ymin"].append(r[1])
+            out["xmax"].append(r[2])
+            out["ymax"].append(r[3])
     return pd.DataFrame(out)
 
 

@@ -259,3 +259,88 @@ def test_read_geojson_roundtrip(spark, tmp_path):
     )
     df2 = read_geojsonl(spark, str(nd), ["GEOID"])
     assert {r.GEOID for r in df2.collect()} == {"01", "02", "09"}
+
+
+def test_malformed_structure_yields_null_not_crash(spark):
+    """JSON-valid but structurally broken geometries (empty coords,
+    empty rings, 1-element points, missing coordinates) must yield
+    null interior points / pass-through simplify — not kill the task."""
+    from map_v2_etl_spark.operators.geo import (
+        interior_point_py,
+        simplify_py,
+    )
+
+    bad = [
+        '{"type":"Polygon","coordinates":[]}',
+        '{"type":"Polygon","coordinates":[[]]}',
+        '{"type":"Polygon"}',
+        '{"type":"Point","coordinates":[1.0]}',
+        '{"type":"MultiPolygon","coordinates":[[[]]]}',
+    ]
+    for g in bad:
+        assert interior_point_py(g) is None, g
+        assert simplify_py(g, 1.0) == g, g  # pass-through
+    # and through the Spark plan end to end
+    feats = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(bad)]
+        + [(99, '{"type":"Point","coordinates":[1.0,2.0]}')],
+        "GEOID LONG, geometry STRING",
+    )
+    from map_v2_etl_spark.operators.geo import with_interior_points
+
+    rows = {r["GEOID"]: r["ip_x"]
+            for r in with_interior_points(feats).collect()}
+    assert rows[99] == 1.0
+    assert all(rows[i] is None for i in range(len(bad)))
+
+
+def test_point_in_rings_open_ring_correct(spark):
+    """Unclosed rings must still ray-cast correctly (the missing
+    closing edge previously broke parity: outside points classified
+    inside)."""
+    from map_v2_etl_spark.operators.geo import _point_in_rings
+
+    open_square = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]
+    assert _point_in_rings(5.0, 5.0, [open_square])
+    assert not _point_in_rings(-5.0, 5.0, [open_square])
+
+
+def test_assign_tiles_null_nan_coords_stay_null(spark):
+    """NULL coordinates must not clamp to the max tile and NaN must not
+    cast to tile 0 — both propagate null for filtering/audit."""
+    from map_v2_etl_spark.operators.geo import assign_tiles
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, None, None), (3, float("nan"), float("nan"))],
+        "id LONG, lon DOUBLE, lat DOUBLE",
+    )
+    rows = {r["id"]: (r["tile_x"], r["tile_y"])
+            for r in assign_tiles(df, "lon", "lat", 4).collect()}
+    assert rows[1] == slippy(10.0, 20.0, 4)
+    assert rows[2] == (None, None)
+    assert rows[3] == (None, None)
+
+
+def test_spatial_join_multipolygon(spark):
+    """spatial_join must handle MultiPolygon: bbox via the shared
+    walker and containment over every part (previously zero matches +
+    Arrow crash)."""
+    import json as _json
+
+    from map_v2_etl_spark.operators.geo import spatial_join
+
+    geom = _json.dumps({
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]],
+            [[[10.0, 10.0], [14.0, 10.0], [14.0, 14.0], [10.0, 14.0],
+              [10.0, 10.0]]],
+        ],
+    })
+    polys = spark.createDataFrame([("mp", geom)], "pid STRING, geometry STRING")
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 12.0, 12.0), (3, 7.0, 7.0)],
+        "id LONG, x DOUBLE, y DOUBLE",
+    )
+    got = {r["id"] for r in spatial_join(pts, polys).collect()}
+    assert got == {1, 2}  # both parts match; the gap point doesn't
