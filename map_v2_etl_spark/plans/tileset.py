@@ -51,8 +51,15 @@ BUBBLE_OPTS: dict[str, list[str]] = {
 }
 
 CHOROPLETH_OPTS: dict[str, list[str]] = {
-    "states": ["--maximum-zoom=6", "--minimum-zoom=0", "--simplification=10"],
-    "counties": ["--maximum-zoom=7", "--minimum-zoom=0", "--simplification=10"],
+    "states": [
+        "--maximum-zoom=6", "--simplification=10",
+        "--detect-shared-borders",
+    ],
+    "counties": [
+        "--maximum-zoom=7", "--minimum-zoom=1",
+        "--coalesce-smallest-as-needed", "--extend-zooms-if-still-dropping",
+        "--simplification=10", "--detect-shared-borders",
+    ],
     "cities": [
         "--maximum-zoom=9", "--minimum-zoom=2",
         "--drop-densest-as-needed", "--extend-zooms-if-still-dropping",
@@ -181,17 +188,31 @@ def build_tileset(
     RuntimeError with the full recipe otherwise so the commands are never
     lost — a user without the binaries here can replay them where they
     are installed."""
+    import shlex
+
+    build_dir = build_dir or os.path.join(work_dir, "build")
     cmds = tippecanoe_commands(region, work_dir, decades, build_dir, output_dirs)
     missing = [b for b in {"tippecanoe", "tile-join"} if not shutil.which(b)]
     if missing:
-        recipe = "\n".join(" ".join(c) for c in cmds)
+        # shlex.quote: the recipe is advertised as copy-pasteable, and
+        # unquoted paths with spaces would split mid-path
+        recipe = "\n".join(" ".join(shlex.quote(a) for a in c) for c in cmds)
         raise RuntimeError(
             f"{'/'.join(sorted(missing))} not installed; run these where "
             f"they are:\n{recipe}"
         )
-    os.makedirs(build_dir or os.path.join(work_dir, "build"), exist_ok=True)
+    os.makedirs(build_dir, exist_ok=True)
     done = []
     for cmd in cmds:
+        for arg in cmd:
+            # tile-join --output-to-directory refuses an existing target
+            # (no --force in the reference argv, which rm -rf's instead,
+            # build.sh:229) — clear it here so reruns work and stale
+            # tiles from a previous build are never served
+            if arg.startswith("--output-to-directory="):
+                shutil.rmtree(
+                    arg.split("=", 1)[1], ignore_errors=True
+                )
         subprocess.run(cmd, check=True)
         done.append(" ".join(cmd))
     return done
@@ -218,6 +239,7 @@ def build_tileset_native(
     region: str | None = None,
     max_per_tile: int | None = None,
     weight_col: str | None = None,
+    layer_zooms: dict[str, tuple[int, int]] | None = None,
 ) -> int:
     """tippecanoe-free tileset build: the engine's own MVT encoder +
     SQLite writer (sources/mvt.py — hand-encoded protobuf, verified by
@@ -226,9 +248,14 @@ def build_tileset_native(
     ``layers`` maps layer name -> features DataFrame (geometry +
     property columns). Zoom range comes from ``zoom`` (single level) or
     ``region`` (the reference's per-region-class range, NATIVE_ZOOMS —
-    build.sh:124-129,146-152); with ``max_per_tile``+``weight_col`` the
-    dense-tile drop rule (tippecanoe --drop-densest-as-needed) applies
-    per zoom. Tile assignment and per-tile pbf encoding run DISTRIBUTED
+    build.sh:124-129,146-152); ``layer_zooms`` overrides the range PER
+    LAYER (e.g. bubble layers from z0 while choropleth starts at the
+    class minimum — the reference's merged tileset serves bubble tiles
+    below the choropleth floor because tippecanoe's default minzoom is
+    0 for the bubble build). With ``max_per_tile``+``weight_col`` (BOTH
+    required — one without the other is an error, not a silent no-op)
+    the dense-tile drop rule (tippecanoe --drop-densest-as-needed)
+    applies per zoom. Tile assignment and per-tile pbf encoding run DISTRIBUTED
     (groupBy(z,x,y) + applyInPandas). An ``out_path`` ending in
     ``.mbtiles`` collects only the finished blobs into the single-file
     SQLite artifact (output-bounded, same posture as
@@ -250,32 +277,101 @@ def build_tileset_native(
 
     if (zoom is None) == (region is None):
         raise ValueError("pass exactly one of zoom= or region=")
+    if not layers:
+        raise ValueError("layers is empty: nothing to encode")
+    if (max_per_tile is None) != (weight_col is None):
+        # one without the other silently skipped the drop rule before
+        raise ValueError(
+            "max_per_tile and weight_col must be passed together "
+            f"(got max_per_tile={max_per_tile}, weight_col={weight_col})"
+        )
     minz, maxz = (zoom, zoom) if zoom is not None else NATIVE_ZOOMS[region]
 
-    tagged = None
-    for lname, df in sorted(layers.items()):
-        cur = df.withColumn("layer", F.lit(lname))
-        tagged = (
-            cur
-            if tagged is None
-            else tagged.unionByName(cur, allowMissingColumns=True)
-        )
-    if minz == maxz and max_per_tile is None:
-        tiles = encode_tiles(tagged, minz, id_col=id_col)
-    else:
-        tiles = encode_pyramid(
-            tagged, minz, maxz, id_col=id_col,
+    def encode(df, lo, hi):
+        if lo == hi and max_per_tile is None:
+            return encode_tiles(df, lo, id_col=id_col)
+        return encode_pyramid(
+            df, lo, hi, id_col=id_col,
             max_per_tile=max_per_tile, weight_col=weight_col,
         )
+
+    if layer_zooms:
+        # each layer encodes over its own range; a (z,x,y) covered by
+        # several layers then has one blob PER LAYER — an MVT tile is a
+        # concatenation of Layer submessages, so merge them in sorted
+        # layer order (deterministic bytes) into the one-blob-per-tile
+        # shape the sinks require
+        tiles = None
+        los, his = [], []
+        for lord, (lname, df) in enumerate(sorted(layers.items())):
+            lo, hi = layer_zooms.get(lname, (minz, maxz))
+            los.append(lo)
+            his.append(hi)
+            t = encode(df.withColumn("layer", F.lit(lname)), lo, hi)
+            t = t.withColumn("_lord", F.lit(lord))
+            tiles = t if tiles is None else tiles.unionByName(t)
+        tiles = (
+            tiles.groupBy("z", "x", "y")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("_lord", "pbf"))
+                        ),
+                        lambda s: s["pbf"],
+                    ),
+                    F.lit(b""),
+                    lambda acc, x: F.concat(acc, x),
+                ).alias("pbf")
+            )
+            .select("z", "x", "y", "pbf")
+        )
+        minz, maxz = min(los), max(his)
+    else:
+        tagged = None
+        for lname, df in sorted(layers.items()):
+            cur = df.withColumn("layer", F.lit(lname))
+            tagged = (
+                cur
+                if tagged is None
+                else tagged.unionByName(cur, allowMissingColumns=True)
+            )
+        tiles = encode(tagged, minz, maxz)
+
+    def field_type(dt) -> str:
+        # tippecanoe metadata types: Number/Boolean/String — report the
+        # column's real dtype instead of blanket String, so
+        # metadata-driven clients (style validators, inspectors) agree
+        # with the Number/Boolean values the encoder actually emits
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.BooleanType):
+            return "Boolean"
+        if isinstance(dt, T.NumericType):
+            return "Number"
+        return "String"
+
     fields = {
         lname: {
-            c: "String" for c in df.columns if c not in ("geometry",)
+            f.name: field_type(f.dataType)
+            for f in df.schema.fields
+            if f.name not in ("geometry",)
         }
         for lname, df in layers.items()
     }
-    sink = (
-        write_mbtiles if out_path.endswith(".mbtiles") else write_tile_dir
-    )
+    low = out_path.lower()
+    if low.endswith(".mbtiles"):
+        sink = write_mbtiles
+    elif low.endswith((".mbtile", ".sqlite", ".db")):
+        # a near-miss suffix almost certainly wanted the SQLite sink —
+        # silently writing a directory TREE at that name strands the
+        # error at the consumer's sqlite3.connect instead of here
+        raise ValueError(
+            f"ambiguous tileset target {out_path!r}: use '.mbtiles' for "
+            "the single-file artifact or an extension-less directory"
+        )
+    else:
+        sink = write_tile_dir
     return sink(
         tiles, out_path, name, minzoom=minz, maxzoom=maxz,
         layer_fields=fields,
@@ -338,10 +434,12 @@ def upload_manifest(
                 uri = f"s3://{tileset_output}/{name}/{rel}"
                 if f == "metadata.json":
                     add(local, uri, "application/json")
-                elif f.endswith(".json"):
-                    continue  # --exclude "*.json" (build.sh:226)
-                else:
+                elif f.endswith(".pbf"):
                     add(local, uri, "application/x-protobuf", "gzip")
+                # anything else (other *.json per build.sh:226's
+                # --exclude, editor droppings, a crashed task's
+                # *.pbf.tmp-<pid> orphan) is NOT a tile and must never
+                # deploy to the served bucket
     return entries
 
 
@@ -421,10 +519,13 @@ class LocalObjectStore:
 
 
 def manifest_to_aws_cli(manifest: list[dict]) -> list[str]:
-    """Render the manifest as copy-pasteable ``aws s3 cp`` commands."""
+    """Render the manifest as copy-pasteable ``aws s3 cp`` commands
+    (shell-quoted — a path with a space must not split mid-command)."""
+    import shlex
+
     out = []
     for e in manifest:
-        cmd = f"aws s3 cp {e['local']} {e['s3_uri']}"
+        cmd = f"aws s3 cp {shlex.quote(e['local'])} {shlex.quote(e['s3_uri'])}"
         if e["content_type"]:
             cmd += f" --content-type {e['content_type']}"
         if e["content_encoding"]:

@@ -212,3 +212,104 @@ def test_s3_roundtrip_against_object_store(spark, tmp_path):
     assert store.list_objects(Bucket="extents-output") == [
         "tracts-extents.csv"
     ]
+
+
+def test_choropleth_opts_full_reference_parity():
+    """Every region class's options match build.sh:125-129,146-152
+    token for token (the old table silently dropped states'
+    --detect-shared-borders and most of counties' flags; only tracts
+    was test-covered)."""
+    from map_v2_etl_spark.plans.tileset import BUBBLE_OPTS, CHOROPLETH_OPTS
+
+    assert CHOROPLETH_OPTS["states"] == [
+        "--maximum-zoom=6", "--simplification=10",
+        "--detect-shared-borders",
+    ]
+    assert CHOROPLETH_OPTS["counties"] == [
+        "--maximum-zoom=7", "--minimum-zoom=1",
+        "--coalesce-smallest-as-needed", "--extend-zooms-if-still-dropping",
+        "--simplification=10", "--detect-shared-borders",
+    ]
+    assert BUBBLE_OPTS["states"] == ["--maximum-zoom=6", "--base-zoom=1"]
+    assert BUBBLE_OPTS["counties"] == ["--maximum-zoom=7", "--base-zoom=2"]
+
+
+def test_build_tileset_native_guards(spark, tmp_path):
+    import pytest
+
+    from map_v2_etl_spark.plans.tileset import build_tileset_native
+
+    feats = spark.createDataFrame(
+        [("01", '{"type":"Point","coordinates":[-86.5,32.6]}')],
+        "GEOID STRING, geometry STRING",
+    )
+    with pytest.raises(ValueError, match="layers is empty"):
+        build_tileset_native({}, str(tmp_path / "x.mbtiles"), "x", zoom=5)
+    with pytest.raises(ValueError, match="must be passed together"):
+        build_tileset_native(
+            {"l": feats}, str(tmp_path / "x.mbtiles"), "x", zoom=5,
+            max_per_tile=10,
+        )
+    with pytest.raises(ValueError, match="ambiguous tileset target"):
+        build_tileset_native(
+            {"l": feats}, str(tmp_path / "x.mbtile"), "x", zoom=5
+        )
+
+
+def test_build_tileset_native_per_layer_zooms_and_field_types(spark, tmp_path):
+    """layer_zooms serves bubble tiles below the choropleth floor (the
+    reference's merged-tileset shape) and metadata reports real field
+    types."""
+    import json as _json
+    import sqlite3 as _sql
+
+    from map_v2_etl_spark.plans.tileset import build_tileset_native
+
+    sq = ('{"type":"Polygon","coordinates":[[[-86.9,32.5],[-86.7,32.5],'
+          '[-86.7,32.7],[-86.9,32.7],[-86.9,32.5]]]}')
+    pt = '{"type":"Point","coordinates":[-86.8,32.6]}'
+    bubble = spark.createDataFrame(
+        [("01", 42.5, pt)], "GEOID STRING, rate DOUBLE, geometry STRING"
+    )
+    choro = spark.createDataFrame(
+        [("01", 100, sq)], "GEOID STRING, pop LONG, geometry STRING"
+    )
+    mb = str(tmp_path / "t.mbtiles")
+    n = build_tileset_native(
+        {"bubble": bubble, "choro": choro}, mb, "t", zoom=3,
+        layer_zooms={"bubble": (0, 3), "choro": (2, 3)},
+    )
+    assert n > 0
+    con = _sql.connect(mb)
+    zs = {
+        z: set()
+        for z in range(4)
+    }
+    meta = dict(con.execute("SELECT name, value FROM metadata"))
+    assert meta["minzoom"] == "0" and meta["maxzoom"] == "3"
+    for (z,) in con.execute("SELECT DISTINCT zoom_level FROM tiles"):
+        zs.setdefault(z, set())
+    # bubble-only tiles exist below the choropleth floor
+    rows = list(con.execute("SELECT zoom_level FROM tiles"))
+    con.close()
+    seen_z = {z for (z,) in rows}
+    assert {0, 1} <= seen_z
+    vl = {v["id"]: v["fields"]
+          for v in _json.loads(meta["json"])["vector_layers"]}
+    assert vl["bubble"]["rate"] == "Number"
+    assert vl["choro"]["pop"] == "Number"
+    assert vl["choro"]["GEOID"] == "String"
+
+
+def test_upload_manifest_skips_tmp_orphans(tmp_path):
+    from map_v2_etl_spark.plans.tileset import upload_manifest
+
+    d = tmp_path / "tiles"
+    (d / "3" / "2").mkdir(parents=True)
+    (d / "3" / "2" / "1.pbf").write_bytes(b"x")
+    (d / "3" / "2" / "1.pbf.tmp-999").write_bytes(b"partial")
+    (d / "metadata.json").write_text("{}")
+    (d / "stray.json").write_text("{}")
+    m = upload_manifest("states", tile_dirs={"states-00": str(d)})
+    keys = sorted(e["s3_uri"].rsplit("/", 1)[-1] for e in m)
+    assert keys == ["1.pbf", "metadata.json"]
