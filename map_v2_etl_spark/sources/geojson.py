@@ -6,12 +6,72 @@ string column operated on by operators/geo.py; properties are surfaced as
 typed columns. The sink writes sorted newline-delimited GeoJSON — the
 byte-ordered (`LC_ALL=C sort`) tile-ready stream the reference pipes into
 tippecanoe (/root/reference/build.sh:111-118,139-144).
+
+Geometry is read as a RAW JSON STRING via a patched read schema (a
+StringType field makes Spark's JSON source hand back the object's JSON
+text verbatim): letting the reader INFER the geometry struct and
+re-serializing with to_json corrupts any file mixing geometry types —
+Polygon + MultiPolygon coordinates unify to string-element arrays and
+come back with every number quoted. US census shapes routinely mix the
+two, so the string passthrough is load-bearing, not a nicety.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _geometry_as_string(schema: T.StructType) -> T.StructType:
+    """Copy of an inferred feature schema with the geometry field's type
+    replaced by StringType (at top level and inside a `features` array)."""
+
+    def patch_struct(st: T.StructType) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("geometry", T.StringType(), True)
+                if f.name == "geometry"
+                else f
+                for f in st.fields
+            ]
+        )
+
+    fields = []
+    for f in schema.fields:
+        if f.name == "features" and isinstance(f.dataType, T.ArrayType):
+            fields.append(
+                T.StructField(
+                    "features",
+                    T.ArrayType(patch_struct(f.dataType.elementType)),
+                    True,
+                )
+            )
+        else:
+            fields.append(f)
+    return patch_struct(T.StructType(fields))
+
+
+def _lift_properties(
+    props: F.Column, schema: T.StructType, property_cols: list[str]
+) -> list[F.Column]:
+    """Requested property columns via getField (a property literally
+    named "addr.city" must not parse as nested access); properties
+    absent from the whole file become typed-null string columns — the
+    same missing-declared-column contract as the CSV reader, instead of
+    an UNRESOLVED_COLUMN explosion deep in Catalyst."""
+    present = set(schema.fieldNames()) if schema else set()
+    out = []
+    for c in property_cols:
+        if c in present:
+            out.append(props.getField(c).alias(c))
+        else:
+            out.append(F.lit(None).cast("string").alias(c))
+    return out
+
+
+def _props_schema(dt) -> T.StructType | None:
+    return dt if isinstance(dt, T.StructType) else None
 
 
 def read_geojson(
@@ -19,19 +79,34 @@ def read_geojson(
 ) -> DataFrame:
     """FeatureCollection -> one row per feature.
 
-    multiLine JSON scan -> explode(features). Geometry is re-serialized to
-    a canonical JSON string column `geometry`; requested property columns
-    are lifted out of `properties`. For newline-delimited feature files
-    use ``read_geojsonl``.
+    multiLine JSON scan -> explode(features). Geometry passes through as
+    the RAW JSON string column `geometry` (see module docstring);
+    requested property columns are lifted out of `properties`. For
+    newline-delimited feature files use ``read_geojsonl``.
     """
-    raw = spark.read.option("multiLine", True).json(path)
+    inferred = spark.read.option("multiLine", True).json(path).schema
+    raw = (
+        spark.read.option("multiLine", True)
+        .schema(_geometry_as_string(inferred))
+        .json(path)
+    )
     feats = raw.select(F.explode("features").alias("f"))
+    elem = [f for f in inferred.fields if f.name == "features"][
+        0
+    ].dataType.elementType
+    pschema = _props_schema(
+        dict(zip(elem.fieldNames(), [f.dataType for f in elem.fields])).get(
+            "properties"
+        )
+    )
     cols = []
     if property_cols:
-        cols += [F.col(f"f.properties.{c}").alias(c) for c in property_cols]
+        cols += _lift_properties(
+            F.col("f.properties"), pschema, property_cols
+        )
     else:
         cols += [F.col("f.properties.*")]
-    cols.append(F.to_json(F.col("f.geometry")).alias("geometry"))
+    cols.append(F.col("f.geometry").alias("geometry"))
     return feats.select(*cols)
 
 
@@ -39,13 +114,22 @@ def read_geojsonl(
     spark: SparkSession, path: str, property_cols: list[str] | None = None
 ) -> DataFrame:
     """Newline-delimited GeoJSON features (the scale-friendly layout)."""
-    raw = spark.read.json(path)
+    inferred = spark.read.json(path).schema
+    raw = spark.read.schema(_geometry_as_string(inferred)).json(path)
+    pschema = _props_schema(
+        dict(
+            zip(
+                inferred.fieldNames(),
+                [f.dataType for f in inferred.fields],
+            )
+        ).get("properties")
+    )
     cols = []
     if property_cols:
-        cols += [F.col(f"properties.{c}").alias(c) for c in property_cols]
+        cols += _lift_properties(F.col("properties"), pschema, property_cols)
     else:
         cols += [F.col("properties.*")]
-    cols.append(F.to_json(F.col("geometry")).alias("geometry"))
+    cols.append(F.col("geometry").alias("geometry"))
     return raw.select(*cols)
 
 
@@ -53,7 +137,7 @@ def feature_json(df: DataFrame, property_cols: list[str]) -> DataFrame:
     """Assemble a GeoJSON Feature JSON string per row -> column `feature`."""
     # keep null attributes (parity with tippecanoe --empty-csv-columns-are-null)
     props = F.to_json(
-        F.struct(*[F.col(c) for c in property_cols]),
+        F.struct(*[F.col(f"`{c}`") for c in property_cols]),
         {"ignoreNullFields": "false"},
     )
     return df.withColumn(
@@ -62,7 +146,10 @@ def feature_json(df: DataFrame, property_cols: list[str]) -> DataFrame:
             F.lit('{"type":"Feature","properties":'),
             props,
             F.lit(',"geometry":'),
-            F.col("geometry"),
+            # RFC 7946 allows "geometry": null — a null column must
+            # render the literal, not null-propagate the whole concat
+            # into a silent blank line that loses the feature
+            F.coalesce(F.col("geometry"), F.lit("null")),
             F.lit("}"),
         ),
     )

@@ -49,7 +49,9 @@ def write_jsonl(
     compression). ``shards`` repartitions first — set it to control shard
     count/size (aim for ~100 MB-1 GB compressed per shard at scale).
     """
-    out = df.repartition(shards) if shards else df
+    if shards is not None and shards < 1:
+        raise ValueError(f"shards must be >= 1: {shards}")
+    out = df.repartition(shards) if shards is not None else df
     writer = out.write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)

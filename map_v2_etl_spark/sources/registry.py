@@ -14,6 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import TESTDATA_TABLES
 
+#: (table, column) pairs whose parquet type is TIMESTAMP_NS (arriving
+#: as long under nanosAsLong) and must normalize to microsecond
+#: TIMESTAMP in load_table
+NANOS_TS_COLUMNS = {("events", "ts")}
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -61,7 +66,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     from pyspark.sql import types as T
 
     for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+        # keyed on the KNOWN nanos columns, not any LongType named ts:
+        # a future table with a legitimate integer ts (epoch seconds, a
+        # sequence counter) must not get silently divided by 1000
+        if (
+            (name, f.name) in NANOS_TS_COLUMNS
+            and isinstance(f.dataType, T.LongType)
+        ):
             # integer division: `/` would promote to double, which cannot
             # represent ~1.7e18 nanos exactly (off-by-1-microsecond drift)
             df = df.withColumn(
@@ -77,7 +88,8 @@ def load_tables(
     register_views: bool = False,
 ) -> dict[str, DataFrame]:
     out = {}
-    for name in names or TESTDATA_TABLES:
+    # names=[] means NO tables (an empty dynamic selection), not all
+    for name in names if names is not None else TESTDATA_TABLES:
         df = load_table(spark, name, sf_dir)
         if register_views:
             df.createOrReplaceTempView(name)

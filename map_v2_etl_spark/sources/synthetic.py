@@ -25,16 +25,18 @@ def reference_long_table(
     spark: SparkSession,
     places: int = 240_000,
     year_start: int = 2000,
-    year_end: int = 2019,
+    year_end: int = 2018,
 ) -> DataFrame:
     """Long fact table shaped exactly like the reference's input CSVs
     (SURVEY.md §1.1): columns id/year/name/parent_location + every raw
     column-map metric; values are pure hash functions of (place, year,
     metric) so any two runs — and any two engines — generate identical
-    data."""
+    data. ``year_end`` is INCLUSIVE (the defaults span the reference's
+    documented 2000-2018, 19 years) — the old exclusive bound read as
+    inclusive and silently shorted callers one year."""
     metrics = [k for k in COL_MAP_RAW if k not in ID_COLS]
     ids = spark.range(places).select(F.col("id").alias("pid"))
-    yrs = spark.range(year_start, year_end).select(F.col("id").alias("yr"))
+    yrs = spark.range(year_start, year_end + 1).select(F.col("id").alias("yr"))
     cols = [
         F.lpad(F.col("pid").cast("string"), 12, "0").alias("id"),
         F.col("yr").cast("string").alias("year"),

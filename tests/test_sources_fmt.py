@@ -128,3 +128,61 @@ def test_jsonl_missing_and_extra_keys(spark, tmp_path):
     rows = {r.doc_id: r for r in back.collect()}
     assert rows[1].text == "hello" and not hasattr(rows[1], "extra")
     assert rows[2].lang is None and rows[2].n_chars is None
+
+
+def test_geojson_mixed_geometry_types_not_corrupted(spark, tmp_path):
+    """A FeatureCollection mixing Polygon and MultiPolygon (routine in
+    census shapes) must round-trip geometry VERBATIM — schema inference
+    + to_json previously unified the coordinate nestings to strings,
+    quoting every number."""
+    import json as _json
+
+    from map_v2_etl_spark.sources.geojson import read_geojson
+
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"GEOID": "01"},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[1.0, 2.0], [3.0, 4.0],
+                                       [1.0, 2.0]]]}},
+        {"type": "Feature", "properties": {"GEOID": "02"},
+         "geometry": {"type": "MultiPolygon",
+                      "coordinates": [[[[5.0, 6.0], [7.0, 8.0],
+                                        [5.0, 6.0]]]]}},
+        {"type": "Feature", "properties": {"GEOID": "03"},
+         "geometry": None},  # RFC 7946 null geometry
+    ]}
+    p = tmp_path / "mixed.geojson"
+    p.write_text(_json.dumps(fc))
+    rows = {r["GEOID"]: r["geometry"]
+            for r in read_geojson(spark, str(p), ["GEOID"]).collect()}
+    g1 = _json.loads(rows["01"])
+    assert g1["type"] == "Polygon"
+    assert g1["coordinates"][0][0] == [1.0, 2.0]  # numbers, not strings
+    g2 = _json.loads(rows["02"])
+    assert g2["coordinates"][0][0][1] == [7.0, 8.0]
+    assert rows["03"] is None
+
+    # null geometry renders the literal `null`, never a blank line
+    from map_v2_etl_spark.sources.geojson import feature_json
+
+    feats = read_geojson(spark, str(p), ["GEOID"])
+    lines = {
+        _json.loads(r["feature"])["properties"]["GEOID"]: r["feature"]
+        for r in feature_json(feats, ["GEOID"]).collect()
+    }
+    assert _json.loads(lines["03"])["geometry"] is None
+
+
+def test_geojson_missing_property_becomes_null_column(spark, tmp_path):
+    import json as _json
+
+    from map_v2_etl_spark.sources.geojson import read_geojson
+
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"geoid": "01"},
+         "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}},
+    ]}
+    p = tmp_path / "miss.geojson"
+    p.write_text(_json.dumps(fc))
+    rows = read_geojson(spark, str(p), ["GEOID"]).collect()
+    assert rows[0]["GEOID"] is None  # null column, not UNRESOLVED_COLUMN
