@@ -43,14 +43,18 @@ def cogroup_asof(
     for c in right_cols:
         fields.append(T.StructField(c, right.schema[c].dataType, True))
     schema = T.StructType(fields)
-    left_cols = left.columns
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if l.empty:
             return pd.DataFrame(columns=[f.name for f in fields])
-        l = l.sort_values(left_ts, kind="mergesort")
+        # NULL-timestamp semantics of the JVM asof_join: right rows
+        # with NaT never match (merge_asof would otherwise raise
+        # 'Merge keys contain null values'), and left NaT rows keep
+        # null payloads — segregate them around the merge
+        l_null = l[l[left_ts].isna()]
+        l = l[l[left_ts].notna()].sort_values(left_ts, kind="mergesort")
         r2 = (
-            r[[right_ts] + right_cols]
+            r[r[right_ts].notna()][[right_ts] + right_cols]
             .rename(columns={right_ts: f"{right_ts}_right"})
             .sort_values(f"{right_ts}_right", kind="mergesort")
         )
@@ -58,7 +62,16 @@ def cogroup_asof(
             l, r2,
             left_on=left_ts, right_on=f"{right_ts}_right",
             direction="backward",
+        ) if len(l) else l.assign(
+            **{f"{right_ts}_right": pd.NaT},
+            **{c: None for c in right_cols},
         )
+        if len(l_null):
+            pad = l_null.assign(
+                **{f"{right_ts}_right": pd.NaT},
+                **{c: None for c in right_cols},
+            )
+            out = pd.concat([out, pad])
         return out[[f.name for f in fields]]
 
     return (
@@ -87,15 +100,25 @@ def group_zscore(
     )
 
     def z(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf[value_col].astype("int64")
+        # nulls carry a null z-score (a NaN would crash astype int64)
+        mask = pdf[value_col].notna()
+        v = pdf.loc[mask, value_col].astype("int64")
         n = len(v)
+        out = pdf[[key_col, value_col]].copy()
+        if n == 0:
+            out[out_col] = None
+            return out
         s = int(v.sum())
         ss = int((v * v).sum())
         mean = s / n
-        var = (ss - s * s / n) / (n - 1) if n > 1 else 0.0
+        # max(var, 0): ss - s*s/n evaluates in float64 and an ulp of
+        # rounding on huge near-constant values can dip it below zero
+        # -> math domain error
+        var = max((ss - s * s / n) / (n - 1), 0.0) if n > 1 else 0.0
         std = math.sqrt(var)
-        out = pdf[[key_col, value_col]].copy()
-        out[out_col] = (v - mean) / std if std > 0 else 0.0
+        out.loc[mask, out_col] = (
+            ((v - mean) / std).astype(float) if std > 0 else 0.0
+        )
         return out
 
     return df.select(key_col, value_col).groupBy(key_col).applyInPandas(

@@ -109,7 +109,16 @@ def bigram_ll_from_toks(t: DataFrame, id_col: str = "doc_id") -> DataFrame:
     The vocabulary size joins in as a broadcast one-row aggregate — the
     whole plan is aggregations plus equi-joins, no driver-side state.
     """
-    bg = doc_bigrams_from_toks(t, id_col)
+    from pyspark import StorageLevel
+
+    # load-bearing persist: bg feeds both the count aggregation and the
+    # scoring join probe — without it the tokenize+explode pipeline
+    # executes twice (same discipline as dsir_weights_from_toks).
+    # CACHE CONTRACT: not unpersisted here (the returned plan references
+    # it); long sessions clearCache between builds.
+    bg = doc_bigrams_from_toks(t, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = t.select(F.explode("toks").alias("w")).agg(

@@ -67,6 +67,8 @@ def gram_stats(df: DataFrame, vec_col: str = "embedding"):
         )
     )
     rows = flat.groupBy("pos").agg(F.sum("val").alias("v")).collect()
+    if not rows:
+        raise ValueError("gram_stats: empty input")
     vals = np.empty(len(rows))
     for r in rows:
         vals[r["pos"]] = r["v"]
@@ -107,6 +109,13 @@ def pca_project(
     components, rounded for cross-run stability."""
     _, mean, cov = gram_stats(df, vec_col)
     comps, _ = principal_components(cov, k)
+    if comps.shape[0] < k:
+        # eigh can only yield dim components; a silent clip would make
+        # the range(k) loop IndexError on the driver
+        raise ValueError(
+            f"pca_project k={k} exceeds embedding dim "
+            f"{comps.shape[0]}"
+        )
     offsets = comps @ mean
     cols = [F.col(id_col)]
     for j in range(k):

@@ -50,7 +50,16 @@ def get_spark(
         # cluster-driver heuristic.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
-    if not os.environ.get("SPARK_MASTER"):  # spark-submit may set its own master
+    # spark-submit sets spark.master in the SparkConf (NOT an env var);
+    # builder.master() would override it and silently run a cluster job
+    # single-node on the driver host — only default to local[N] when no
+    # master is configured anywhere
+    from pyspark import SparkConf
+
+    has_master = SparkConf().contains("spark.master") or os.environ.get(
+        "SPARK_MASTER"
+    )
+    if not has_master:
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
