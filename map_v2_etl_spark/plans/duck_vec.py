@@ -75,7 +75,9 @@ def dec_mean(x: str) -> str:
     single-rounded float(decimal(31,16)) when q <= 2^53, i.e.
     |mean| <= ~0.9007 — see the dec_mean16 comment for the bound."""
     se12 = f"CAST(SUM(CAST(CAST({x} AS DECIMAL(27,12)) * 1000000000000 AS HUGEINT)) AS HUGEINT)"
-    n = "COUNT(*)"
+    # COUNT of the expression, not COUNT(*): Spark's avg ignores nulls,
+    # so a null input row must not deflate the oracle's mean
+    n = f"COUNT({x})"
     pos = f"((({se12}) * 10000 * 2 + {n}) // (2 * {n}))"
     neg = f"-(((-({se12})) * 10000 * 2 + {n}) // (2 * {n}))"
     return (
@@ -104,7 +106,10 @@ def lsh_signature(vec: str, hyperplanes) -> str:
     like _signature: bit j set iff <vec, h_j> >= 0."""
     bits = [
         f"(CASE WHEN ({plane_dot(vec, h)}) >= 0 "
-        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        # bit 63 must be the SIGNED value: CAST(2^63 AS BIGINT)
+        # overflows, while Spark's shiftleft wraps it into the sign bit
+        f"THEN CAST({(1 << j) if j < 63 else (1 << j) - (1 << 64)} "
+        f"AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for j, h in enumerate(hyperplanes)
     ]
     return "(" + " | ".join(bits) + ")"
@@ -128,7 +133,7 @@ def dec_mean12(x: str) -> str:
         f"CAST(SUM(CAST(CAST({x} AS DECIMAL(27,12)) * 1000000000000 "
         f"AS HUGEINT)) AS HUGEINT)"
     )
-    n = "COUNT(*)"
+    n = f"COUNT({x})"  # null-ignoring, matching Spark's avg
     # scale-16 HALF_UP quotient of |sum|*1e4 / n, then HALF_UP again
     # down to scale 12: ((2q + 1e4) // 2e4)
     q16 = f"(((abs({se12})) * 10000 * 2 + {n}) // (2 * {n}))"
@@ -136,16 +141,6 @@ def dec_mean12(x: str) -> str:
     return (
         f"(CASE WHEN {se12} < 0 THEN -1 ELSE 1 END) * "
         f"CAST({q12} AS DOUBLE) / 1e12"
-    )
-
-
-def unit_list(vec: str) -> str:
-    """operators/similarity._unit: fold-order L2 normalization with the
-    zero-vector -> zeros guard, element type DOUBLE."""
-    nrm = l2_norm(vec)
-    return (
-        f"list_transform({vec}, x -> CASE WHEN ({nrm}) = 0.0 THEN 0.0 "
-        f"ELSE CAST(x AS DOUBLE) / ({nrm}) END)"
     )
 
 
@@ -230,7 +225,8 @@ def lloyd_ctes(k: int, iters: int, dim: int, table: str = "embeddings") -> str:
     parts = [
         f"cents0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 "
         f"AS INT) AS cid, embedding AS cent FROM "
-        f"(SELECT * FROM {table} ORDER BY vec_id LIMIT {k}))"
+        f"(SELECT * FROM {table} WHERE embedding IS NOT NULL "
+        f"ORDER BY vec_id LIMIT {k}))"
     ]
     for i in range(1, iters + 1):
         parts.append(_assign_cte(f"a{i}", f"cents{i - 1}", table))
@@ -285,9 +281,14 @@ def pq_topk_ctes(
     sublen = dim // m
     slice_ = f"uvec[(s * {sublen} + 1):(s * {sublen} + {sublen})]"
     parts = [
-        xxhash64_ctes("hx", table),
-        f"trsel AS (SELECT vec_id, embedding FROM hx "
-        f"WHERE ((h % {sample_mod}) + {sample_mod}) % {sample_mod} = 0)",
+        # hash chain carries vec_id ONLY — the 13 materialized steps
+        # must not each hold a copy of the embedding payload; the one
+        # join below re-attaches it to the sampled ids
+        xxhash64_ctes("hx", table, keep="vec_id"),
+        f"trsel AS (SELECT t.vec_id, t.embedding FROM {table} t "
+        f"JOIN hx ON hx.vec_id = t.vec_id "
+        f"WHERE ((hx.h % {sample_mod}) + {sample_mod}) % {sample_mod} "
+        f"= 0)",
         _unit_cte("tr", "trsel"),
         f"sub_tr AS (SELECT vec_id, s, {slice_} AS sv "
         f"FROM tr, LATERAL unnest(range({m})) AS us(s))",
@@ -360,6 +361,22 @@ def pq_topk_ctes(
     body = ",\n".join(parts)
     # DuckDB inlines plain CTEs, re-executing the whole training chain
     # at every reference (measured: 157 s at sf0.01); MATERIALIZED
-    # evaluates each stage once (sub-second)
+    # evaluates each stage once (sub-second). The textual rewrite is
+    # whitespace-sensitive — assert it hit every CTE head so a future
+    # builder formatting its head differently fails HERE, not as a
+    # silent 157 s inlining cliff
     body = body.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+    # the rewrite is whitespace-sensitive: any CTE head it MISSED
+    # (a builder formatting "AS (\nSELECT", lowercase, ...) would
+    # silently reinstate the measured 157 s inlining cliff — fail here
+    # instead
+    import re as _re
+
+    leftover = _re.findall(r"(?:^|,\s*)(\w+) AS \((?!SELECT)", body)
+    leftover = [w for w in leftover if w != "MATERIALIZED"]
+    if leftover:
+        raise AssertionError(
+            f"unmaterialized CTE heads after rewrite: {leftover} — a "
+            "builder changed its head format"
+        )
     return "WITH " + body + " " + final

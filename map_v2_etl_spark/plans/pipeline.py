@@ -59,8 +59,17 @@ def tile_layers(
     bubble layer: interior points of each polygon + rate variables;
     choropleth: polygons + full variable set. The wide attribute table is
     broadcast — per-region it is small; the polygon side never shuffles."""
+    from pyspark import StorageLevel
+
     decades = decades or DECADES
-    shapes = shapes.withColumn("id", numeric_geoid(F.col("GEOID")))
+    # each decade's layer writes are independent actions: without the
+    # persists every bubble write re-parses the GeoJSON source and
+    # re-runs the per-feature interior-point UDF (the one imperative
+    # per-row computation in the pipeline). CACHE CONTRACT: released
+    # by session clearCache; shapes/centers are region-sized.
+    shapes = shapes.withColumn(
+        "id", numeric_geoid(F.col("GEOID"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     centers = with_interior_points(shapes).withColumn(
         "geometry",
         F.concat(
@@ -70,7 +79,7 @@ def tile_layers(
             F.col("ip_y").cast("string"),
             F.lit("]}"),
         ),
-    ).drop("ip_x", "ip_y")
+    ).drop("ip_x", "ip_y").persist(StorageLevel.MEMORY_AND_DISK)
 
     out: dict[str, DataFrame] = {}
     for dec_name, yys in decades.items():
@@ -108,20 +117,37 @@ def run_region(
     (/root/reference/scripts/shape-data.js:22,87-95, SURVEY §2.8 F5)."""
     from pyspark.sql import Observation
 
+    from ..operators.pivot import col_map_inv_name, pivot_long_to_wide
+    from ..schemas import COL_MAPS
+
     outputs: dict[str, object] = {}
-    wide = build_wide(spark, long_csv, dataset_type, years)
+    # observe the fill count on the LONG scan, where a blank is still
+    # observable: counting wide rows with pl == "United States" would
+    # conflate genuinely-sourced national rows (every US state) with
+    # the falsy-filled ones
+    pl_src = col_map_inv_name(COL_MAPS[dataset_type], "pl")
+    long_df = read_long_csv(spark, long_csv, long_schema(dataset_type))
+    obs_long = Observation("long_scan")
+    long_df = long_df.observe(
+        obs_long,
+        F.count(
+            F.when(
+                F.col(pl_src).isNull() | (F.col(pl_src) == ""), 1
+            )
+        ).alias("pl_filled"),
+    )
+    wide = pivot_long_to_wide(long_df, dataset_type, years=years)
 
     obs = Observation("wide_build")
     wide = wide.observe(
         obs,
         F.count(F.lit(1)).alias("rows"),
-        F.count(F.when(F.col("pl") == "United States", 1)).alias("pl_filled"),
     )
 
     wide_path = os.path.join(out_dir, "data.wide.csv")
     write_sorted_csv(wide, wide_path, ["GEOID"])
     outputs["wide"] = wide_path
-    outputs["_metrics"] = obs.get
+    outputs["_metrics"] = {**obs.get, **obs_long.get}
 
     if build_extents:
         ext_path = os.path.join(out_dir, "extents.csv")
