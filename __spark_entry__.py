@@ -49,9 +49,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                certified.update(json.load(fh).keys())
+                snapshot = json.load(fh)
         except (OSError, ValueError):
             continue
+        for k, v in snapshot.items():
+            # only a PASSING record certifies: a hash mismatch or crash
+            # in an old snapshot must rotate the query back to the
+            # FRONT for re-certification, not bury it behind the
+            # driver's bounded prefix forever. rows-only queries
+            # (err == "no_oracle") have no hash to match — a clean run
+            # is their pass.
+            if not isinstance(v, dict):
+                continue
+            if v.get("hash_match") is True or v.get("err") == "no_oracle":
+                certified.add(k)
     qs = _r.all_queries()
     ordered = {k: v for k, v in qs.items() if k not in certified}
     ordered.update((k, v) for k, v in qs.items() if k in certified)

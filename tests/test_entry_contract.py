@@ -12,15 +12,19 @@ import __spark_entry__ as e
 
 def test_queries_rotation_puts_uncertified_first():
     """The driver certifies a bounded prefix of queries(); every query a
-    past CORRECTNESS_r*.json already attests must sort after every
-    never-certified one so new cohorts surface each round."""
-    here = os.path.dirname(os.path.dirname(os.path.abspath(e.__file__)))
+    past CORRECTNESS_r*.json attests as PASSING must sort after every
+    never-passing one — a hash mismatch or crash in an old snapshot is
+    NOT certification and must rotate back to the front."""
     certified: set[str] = set()
     for p in glob.glob(
         os.path.join(os.path.dirname(os.path.abspath(e.__file__)),
                      "CORRECTNESS_r*.json")
     ):
-        certified |= set(json.load(open(p)))
+        for k, v in json.load(open(p)).items():
+            if isinstance(v, dict) and (
+                v.get("hash_match") is True or v.get("err") == "no_oracle"
+            ):
+                certified.add(k)
     names = list(e.queries())
     assert len(names) == len(set(names))
     seen_certified = False

@@ -39,6 +39,11 @@ def norm_cell(v):
         return None
     if isinstance(v, float):
         return v
+    if isinstance(v, (bytearray, memoryview)):
+        # Spark returns binary as bytearray, DuckDB as bytes — they
+        # compare equal but STRINGIFY differently, and the row sort
+        # keys on str(cell); unnormalized they can misalign the zip
+        return bytes(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -83,10 +88,10 @@ def compare(name, spark_df, con) -> list[str]:
 
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        return problems
+        return problems, len(s_rows)
     if len(s_rows) != len(d_rows):
         problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
-        return problems
+        return problems, len(s_rows)
 
     a = rows_sorted([tuple(r) for r in s_rows], s_cols)
     b = rows_sorted(d_rows, d_cols)
@@ -95,6 +100,14 @@ def compare(name, spark_df, con) -> list[str]:
     for ra, rb in zip(a, b):
         for va, vb in zip(ra, rb):
             if va == vb or (va is None and vb is None):
+                n_exact += 1
+            elif (
+                isinstance(va, float)
+                and isinstance(vb, float)
+                and math.isnan(va)
+                and math.isnan(vb)
+            ):
+                # NaN != NaN but the engines AGREE bit-for-bit
                 n_exact += 1
             elif (
                 isinstance(va, float)
@@ -116,7 +129,7 @@ def compare(name, spark_df, con) -> list[str]:
             f"fail), e.g. {example}"
         )
     print(f"  timings: spark={t_spark:.2f}s duck={t_duck:.3f}s rows={len(s_rows)}")
-    return problems
+    return problems, len(s_rows)
 
 
 def main():
@@ -128,6 +141,8 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_oracle.py [--bare] [--json PATH] [name ...]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
 
@@ -142,6 +157,11 @@ def main():
         spark = (
             SparkSession.builder.master("local[8]")
             .appName("oracle-check-bare")
+            # the docstring's "master/memory only": without a heap
+            # setting the 1g default makes wide collects report
+            # harness OOMs as query failures, which the real driver
+            # (with a sized heap) would not show
+            .config("spark.driver.memory", "8g")
             .getOrCreate()
         )
         print("session: BARE (driver-harness twin, no engine confs)")
@@ -169,6 +189,7 @@ def main():
                     for f in df.schema.fields
                     if isinstance(f.dataType, (ArrayType, MapType))
                 ]
+                n = df.count()
                 if complex_cols:
                     failed.append(name)
                     print(
@@ -176,12 +197,14 @@ def main():
                         f"{complex_cols} — to_json or explode them in "
                         f"the registry projection"
                     )
-                n = df.count()
-                print(f"{name}: rows-only check, {n} rows")
+                    err = f"driver_unsafe_columns: {complex_cols}"[:200]
+                else:
+                    print(f"{name}: rows-only check, {n} rows")
+                    err = "no_oracle"
                 results[name] = {
                     "rows_match": None, "schema_match": None,
                     "hash_match": None, "spark_rows": n,
-                    "oracle_rows": None, "err": "no_oracle",
+                    "oracle_rows": None, "err": err,
                 }
             except Exception as exc:  # rows-only query crashed
                 failed.append(name)
@@ -193,18 +216,33 @@ def main():
                 }
             continue
         print(f"{name}:")
-        probs = compare(name, qs[name](spark, SF_DIR), con)
+        try:
+            probs, n = compare(name, qs[name](spark, SF_DIR), con)
+        except Exception as exc:
+            # one crashing query must not abort the whole gate with no
+            # JSON and every later query unchecked (the no-oracle
+            # branch already caught per-query; this one did not)
+            failed.append(name)
+            print(f"  ERROR {exc}")
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": None,
+                "oracle_rows": None, "err": str(exc)[:200],
+            }
+            spark.catalog.clearCache()
+            continue
         ok = not probs
-        n = None
         if probs:
             failed.append(name)
             for p in probs:
                 print(f"  MISMATCH {p}")
         else:
             print("  OK")
+        # real driver-format fidelity: failures record False (not
+        # null, which reads as "unchecked") and row counts are filled
         results[name] = {
-            "rows_match": ok or None, "schema_match": ok or None,
-            "hash_match": ok or None, "spark_rows": n,
+            "rows_match": ok, "schema_match": ok,
+            "hash_match": ok, "spark_rows": n,
             "oracle_rows": n, "err": None if ok else "; ".join(probs)[:200],
         }
         # release per-query persisted state (see bench.py note)
