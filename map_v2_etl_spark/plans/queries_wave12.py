@@ -40,10 +40,13 @@ from ..operators import dedup as D
 from ..sources.registry import load_table, widen_partitions
 from .registry import query
 
-_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+from .queries_ext import _DUCK_TOKENS  # noqa: E402  (the ONE corrected
+# tokenizer fragment — full-whitespace strip; a local trim() copy would
+# diverge from dedup.tokens on edge-whitespace text, shifting every
+# positional 8-gram)
+
 _DUCK_TOKS_F = (
-    r"list_filter(string_split_regex(lower(trim(text)), '\s+'),"
-    r" x -> x <> '')"
+    f"list_filter({_DUCK_TOKENS}, x -> x <> '')"
 )
 
 # --------------------------------------------------------------------------
@@ -200,13 +203,17 @@ def q_approx_quantiles_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy tie mass at the median. Hashable outputs are the EXACT median
     + the boolean certificate (the approx_count_distinct pattern)."""
     li = load_table(spark, "lineitem", sf_dir)
+    # persisted: the rank probe and the final join are separate
+    # subtrees (the BroadcastExchange blocks ReuseExchange), so the
+    # exact-percentile scan over lineitem would otherwise run twice;
+    # g is 3 rows after aggregation — the persist is free
     g = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
         F.expr(
             f"percentile_approx(l_extendedprice, 0.5, {_Q_ACC})"
         ).alias("ap"),
-    )
+    ).persist()
     rank = (
         li.join(
             F.broadcast(g.select("l_returnflag", "ap")), "l_returnflag"
@@ -436,9 +443,13 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     meet only on shared grams, quadratic per GRAM not per corpus, with
     the dup_span df-ceiling argument applying to hot grams."""
     docs = widen_partitions(load_table(spark, "documents", sf_dir))
+    # persisted: the self-join's two aliases AND the size aggregation
+    # are three separate subplans (no ReusedExchange across a
+    # self-join) — unpersisted, the tokenize+8-gram explode runs 3x
+    # (same measured pattern as decontaminate_bloom's shingle table)
     sh = docs.select(
         "doc_id", F.explode(D.word_shingles(F.col("text"), 8)).alias("s")
-    )
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
     b = sh.select(F.col("doc_id").alias("id_b"), "s")
@@ -450,9 +461,13 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    # no broadcast HINT on the corpus-sized per-doc size tables (one
+    # row per >=8-token doc) — AQE broadcasts them when they fit; a
+    # forced hint would ship the corpus to every executor at scale
+    # (the jaccard_pairs rule, operators/dedup.py)
     return (
-        common.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        common.join(na, "id_a")
+        .join(nb, "id_b")
         .filter(
             F.col("c") * 10 >= F.least("n_a", "n_b") * 8
         )

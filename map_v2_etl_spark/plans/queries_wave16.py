@@ -147,7 +147,8 @@ def q_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_incremental — screen a new crawl increment against the corpus
 # ---------------------------------------------------------------------------
 
-_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+from .queries_ext import _DUCK_TOKENS  # noqa: E402  (corrected shared
+# tokenizer fragment: full-whitespace strip, mirroring dedup.tokens)
 _DUCK_SHINGLES_INC = (
     "list_distinct(["
     + "||' '||".join(f"w[i+{j}]" if j else "w[i]" for j in range(3))

@@ -51,7 +51,8 @@ from .registry import query
 # shared DuckDB SQL fragments (mirror the Spark definitions exactly)
 # --------------------------------------------------------------------------
 
-_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+from .queries_ext import _DUCK_TOKENS  # noqa: E402  (corrected shared
+# tokenizer fragment: full-whitespace strip, mirroring dedup.tokens)
 
 _DUCK_SHINGLES_8 = (
     "list_distinct(["

@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 from ..sources.registry import load_table
 from .registry import query
 
-_DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+from .queries_ext import _DUCK_TOKENS  # noqa: E402  (corrected shared
+# tokenizer fragment: full-whitespace strip, mirroring dedup.tokens)
 
 
 # --------------------------------------------------------------------------
