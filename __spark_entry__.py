@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
+    has_oracle = set(_r.all_oracles())
     certified: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -58,10 +59,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # FRONT for re-certification, not bury it behind the
             # driver's bounded prefix forever. rows-only queries
             # (err == "no_oracle") have no hash to match — a clean run
-            # is their pass.
+            # is their pass, but ONLY while the query is still
+            # oracle-less: once it gains a value-hash oracle the stale
+            # record no longer certifies and it rotates back to the
+            # front (the r5 staleness bug — 7 queries buried forever).
             if not isinstance(v, dict):
                 continue
-            if v.get("hash_match") is True or v.get("err") == "no_oracle":
+            if v.get("hash_match") is True or (
+                v.get("err") == "no_oracle" and k not in has_oracle
+            ):
                 certified.add(k)
     qs = _r.all_queries()
     ordered = {k: v for k, v in qs.items() if k not in certified}

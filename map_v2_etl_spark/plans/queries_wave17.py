@@ -61,8 +61,11 @@ def _eager(df: DataFrame) -> DataFrame:
 
 _DUCK_ORC = (
     "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, "
-    f"CAST(sum(CAST(l_quantity AS {DEC})) AS {DEC}) AS sum_qty, "
-    f"CAST(sum(CAST(l_extendedprice AS {DEC})) AS {DEC}) AS sum_price "
+    # decimal-exact internal sum, DOUBLE final projection (house style,
+    # see tpch_q1): the driver's hasher canonicalizes DECIMAL finals
+    # differently per engine, DOUBLE finals hash bit-stably.
+    f"CAST(sum(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty, "
+    f"CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_price "
     "FROM lineitem GROUP BY l_returnflag, l_linestatus"
 )
 
@@ -85,9 +88,9 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _eager(
             back.groupBy("l_returnflag", "l_linestatus").agg(
                 F.count("*").alias("n"),
-                F.sum(F.col("l_quantity").cast(DEC)).cast(DEC)
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double")
                 .alias("sum_qty"),
-                F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC)
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
                 .alias("sum_price"),
             )
         )
@@ -101,7 +104,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_JSON = (
     "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
-    f"CAST(sum(CAST(o_totalprice AS {DEC})) AS {DEC}) AS sum_price, "
+    f"CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price, "
     "CAST(min(o_orderkey) AS BIGINT) AS min_key "
     "FROM orders GROUP BY o_orderpriority"
 )
@@ -130,7 +133,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _eager(
             back.groupBy("o_orderpriority").agg(
                 F.count("*").alias("n"),
-                F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC)
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
                 .alias("sum_price"),
                 F.min("o_orderkey").alias("min_key"),
             )
@@ -145,7 +148,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_PRUNE = (
     "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
-    f"CAST(sum(CAST(value AS {DEC})) AS {DEC}) AS sum_value "
+    f"CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS sum_value "
     "FROM events "
     "WHERE strftime(ts, '%Y-%m-%d') = "
     "  (SELECT min(strftime(ts, '%Y-%m-%d')) FROM events) "
@@ -218,7 +221,7 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _eager(
             pruned.groupBy("event_type").agg(
                 F.count("*").alias("n"),
-                F.sum(F.col("value").cast(DEC)).cast(DEC)
+                F.sum(F.col("value").cast(DEC)).cast("double")
                 .alias("sum_value"),
             )
         )

@@ -43,11 +43,13 @@ DEC = "decimal(20,4)"
 
 _DUCK_QUARANTINE = (
     "SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n, "
-    f"CAST(sum(CAST(o_totalprice AS {DEC})) AS {DEC}) AS sum_price "
+    # decimal-exact internal sum, DOUBLE final projection (house style,
+    # tpch_q1): DECIMAL finals hash differently per engine in the driver
+    f"CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price "
     "FROM orders WHERE o_orderkey % 50 <> 0 GROUP BY o_orderstatus "
     "UNION ALL "
     "SELECT '_corrupt', CAST(count(*) AS BIGINT), "
-    f"CAST(NULL AS {DEC}) FROM orders WHERE o_orderkey % 50 = 0"
+    "CAST(NULL AS DOUBLE) FROM orders WHERE o_orderkey % 50 = 0"
 )
 
 
@@ -107,7 +109,7 @@ def q_corrupt_record_quarantine(
             .groupBy("status")
             .agg(
                 F.count("*").alias("n"),
-                F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC)
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
                 .alias("sum_price"),
             )
         )
@@ -123,7 +125,7 @@ _DUCK_EVOLVE = (
     "SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority "
     "ELSE 'unknown' END AS priority, "
     "CAST(count(*) AS BIGINT) AS n, "
-    f"CAST(sum(CAST(o_totalprice AS {DEC})) AS {DEC}) AS sum_price "
+    f"CAST(sum(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price "
     "FROM orders GROUP BY 1"
 )
 
@@ -155,7 +157,7 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("priority")
             ).agg(
                 F.count("*").alias("n"),
-                F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC)
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
                 .alias("sum_price"),
             )
         )
@@ -419,7 +421,7 @@ def q_events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_INCR = f"""
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(value AS {DEC})) AS {DEC}) AS sum_value
+       CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -479,7 +481,9 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("b.n"), F.lit(0))
             + F.coalesce(F.col("d.n"), F.lit(0))
         ).alias("n"),
-        sum_merged.cast(DEC).alias("sum_value"),
+        # DOUBLE final (house style): the exact-decimal merge happens
+        # above; only the projection the hasher sees is cast
+        sum_merged.cast("double").alias("sum_value"),
     )
 
 
@@ -518,11 +522,20 @@ def q_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     path = tempfile.mkdtemp(prefix="m2e_bin_")
     try:
-        for r in sel.collect():  # bounded: |docs|/20 small files
-            with open(
-                os.path.join(path, f"{r['doc_id']}.bin"), "wb"
-            ) as fh:
-                fh.write(r["text"].encode("utf-8"))
+        # fixture write is DISTRIBUTED: each partition writes its own
+        # files (no driver collect, no per-row driver loop). The target
+        # is a shared path — true on local[...] and on any cluster whose
+        # blob-fixture directory is shared storage (NFS/S3-fuse), which
+        # is the only regime where a directory-of-files fixture makes
+        # sense at all.
+        def _write_partition(rows) -> None:
+            for r in rows:
+                with open(
+                    os.path.join(path, f"{r['doc_id']}.bin"), "wb"
+                ) as fh:
+                    fh.write(r["text"].encode("utf-8"))
+
+        sel.foreachPartition(_write_partition)
         back = spark.read.format("binaryFile").load(path)
         out = back.select(
             F.regexp_extract(

@@ -14,7 +14,10 @@ def test_queries_rotation_puts_uncertified_first():
     """The driver certifies a bounded prefix of queries(); every query a
     past CORRECTNESS_r*.json attests as PASSING must sort after every
     never-passing one — a hash mismatch or crash in an old snapshot is
-    NOT certification and must rotate back to the front."""
+    NOT certification and must rotate back to the front. A stale
+    no_oracle record certifies only while the query is STILL oracle-less
+    (r5: queries that gained oracles were buried behind old records)."""
+    has_oracle = set(e.oracle_sql())
     certified: set[str] = set()
     for p in glob.glob(
         os.path.join(os.path.dirname(os.path.abspath(e.__file__)),
@@ -22,7 +25,8 @@ def test_queries_rotation_puts_uncertified_first():
     ):
         for k, v in json.load(open(p)).items():
             if isinstance(v, dict) and (
-                v.get("hash_match") is True or v.get("err") == "no_oracle"
+                v.get("hash_match") is True
+                or (v.get("err") == "no_oracle" and k not in has_oracle)
             ):
                 certified.add(k)
     names = list(e.queries())

@@ -81,6 +81,22 @@ def compare(name, spark_df, con) -> list[str]:
             f"ORACLE-TYPE: un-Spark-representable projection types "
             f"{widetypes} — wrap in CAST(... AS BIGINT/DOUBLE/DECIMAL)"
         )
+    # DECIMAL finals are the r5 lesson: both engines compute the right
+    # value but the driver's hasher canonicalizes DECIMAL result columns
+    # differently per engine, so a DECIMAL-typed FINAL projection can
+    # never hash-match (all 6 r5 hash failures were exactly this class).
+    # House style: exact decimal internally, CAST(... AS DOUBLE) final.
+    dectypes = {
+        c: str(t)
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).startswith("DECIMAL")
+    }
+    if dectypes:
+        problems.append(
+            f"ORACLE-TYPE: DECIMAL final projection {dectypes} — driver "
+            f"hasher canonicalizes DECIMAL per-engine; keep sums decimal "
+            f"internally but CAST the final projection AS DOUBLE (r5)"
+        )
     d = con.execute(sql)
     d_cols = [c[0] for c in d.description]
     d_rows = d.fetchall()
