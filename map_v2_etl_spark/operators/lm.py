@@ -119,6 +119,20 @@ def bigram_ll_from_toks(t: DataFrame, id_col: str = "doc_id") -> DataFrame:
     bg = doc_bigrams_from_toks(t, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    return bigram_ll_from_bigrams(t, bg, id_col)
+
+
+def bigram_ll_from_bigrams(
+    t: DataFrame, bg: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """bigram_ll over a PRE-BUILT (id, w1, w2[, ...]) bigram frame.
+
+    The shared-bigram entry point: the curation pipeline builds ONE
+    persisted bigram table and feeds it to both this scorer and
+    dsir_weights_from_bigrams, so the explode runs once per corpus pass
+    instead of once per signal. The CALLER owns bg's persistence (it is
+    consumed twice here: count aggregation + scoring probe). Extra
+    carried columns on bg are ignored."""
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = t.select(F.explode("toks").alias("w")).agg(
@@ -193,9 +207,26 @@ def dsir_weights_from_toks(
     t: DataFrame, id_col: str = "doc_id", buckets: int = 256
 ) -> DataFrame:
     """dsir_weights over a pre-tokenized (id, is_t, toks) frame."""
+    bg = doc_bigrams_from_toks(t, id_col, carry=["is_t"])
+    return dsir_weights_from_bigrams(t, bg, id_col, buckets)
+
+
+def dsir_weights_from_bigrams(
+    t: DataFrame,
+    bg: DataFrame,
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """dsir_weights over a pre-built (id, w1, w2, is_t) bigram frame.
+
+    The hashed feature table (id, bucket, is_t) is persisted HERE — it
+    is what both consumers (distribution counting, scoring join) read,
+    and it is strictly smaller than bg (three narrow columns, strings
+    already hashed away). When bg itself is also cached by the caller
+    (shared-bigram pipeline), feats materializes from that cache without
+    re-tokenizing."""
     from pyspark import StorageLevel
 
-    bg = doc_bigrams_from_toks(t, id_col, carry=["is_t"])
     feats = bg.select(
         id_col,
         hashed_bigram_bucket(F.col("w1"), F.col("w2"), buckets).alias("b"),

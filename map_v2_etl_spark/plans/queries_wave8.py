@@ -92,8 +92,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     from ..operators.lm import (
-        bigram_ll_from_toks,
-        dsir_weights_from_toks,
+        bigram_ll_from_bigrams,
+        doc_bigrams_from_toks,
+        dsir_weights_from_bigrams,
         toks_col,
     )
     from ..sources.registry import widen_partitions
@@ -112,8 +113,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsp = dup_span_from_toks(t).select(
         "doc_id", F.col("keep").alias("_kd")
     )
-    lmq = bigram_ll_from_toks(t).select("doc_id", "bits_per_bigram")
-    dsr = dsir_weights_from_toks(t).select("doc_id", "weight")
+    # ONE bigram explode shared by the LM and domain gates (r5 advice:
+    # each previously rebuilt bigrams from the token table — the explode
+    # is the expensive half of both sub-plans at corpus scale)
+    bg = doc_bigrams_from_toks(t, "doc_id", carry=["is_t"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    lmq = bigram_ll_from_bigrams(t, bg).select("doc_id", "bits_per_bigram")
+    dsr = dsir_weights_from_bigrams(t, bg).select("doc_id", "weight")
     keep_lm = (
         F.col("bits_per_bigram").isNotNull()
         & (F.col("bits_per_bigram") <= _BITS_MAX)

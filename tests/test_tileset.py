@@ -313,3 +313,142 @@ def test_upload_manifest_skips_tmp_orphans(tmp_path):
     m = upload_manifest("states", tile_dirs={"states-00": str(d)})
     keys = sorted(e["s3_uri"].rsplit("/", 1)[-1] for e in m)
     assert keys == ["1.pbf", "metadata.json"]
+
+
+def _mbtiles_feature_digest(path, only_zoom=None):
+    """{(z, x, y, layer): {(id, geom_type, props_frozenset, winding)}}
+    from an mbtiles file — the encoder-independent comparison key.
+    Coordinates are NOT compared (quantization/simplification differ
+    legitimately between encoders); winding is the SIGN of the shoelace
+    area of the first ring, the MVT-spec-mandated orientation."""
+    import gzip as _gzip
+    import sqlite3 as _sql
+
+    from map_v2_etl_spark.sources.mvt import decode_tile
+
+    def _ring_winding(geom):
+        # geom: [{'cmd': 'move'|'line'|'close', 'points': [(x,y)...]}]
+        # with absolute coords; first ring's points -> sign of 2*area
+        pts = []
+        for seg in geom:
+            if seg["cmd"] in ("move", "line"):
+                pts.extend(seg["points"])
+            elif seg["cmd"] == "close" and len(pts) >= 3:
+                break  # first ring done
+        if len(pts) < 3:
+            return 0
+        s = 0
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1]):
+            s += x1 * y2 - x2 * y1
+        return (s > 0) - (s < 0)
+
+    out = {}
+    con = _sql.connect(path)
+    try:
+        for z, col, row, blob in con.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
+        ):
+            if only_zoom is not None and z != only_zoom:
+                continue
+            y = (1 << z) - 1 - row  # TMS -> XYZ
+            raw = bytes(blob)
+            if raw[:2] == b"\x1f\x8b":
+                raw = _gzip.decompress(raw)
+            for lyr in decode_tile(raw):
+                keys, vals = lyr["keys"], lyr["values"]
+                feats = set()
+                for f in lyr["features"]:
+                    props = frozenset(
+                        (keys[f["tags"][i]], vals[f["tags"][i + 1]])
+                        for i in range(0, len(f["tags"]), 2)
+                    )
+                    w = (
+                        _ring_winding(f["geometry"])
+                        if f["type"] == 3
+                        else 0
+                    )
+                    feats.add((f["id"], f["type"], props, w))
+                out[(z, col, y, lyr["name"])] = feats
+    finally:
+        con.close()
+    return out
+
+
+@pytest.mark.skipif(not HAVE_TIPPECANOE, reason="tippecanoe not installed")
+def test_native_tiles_match_tippecanoe(spark, tmp_path):
+    """Differential parity: the native MVT encoder vs REAL tippecanoe on
+    the same miniature layer, decoded by the same reader and compared
+    per (z, x, y, layer) on feature ids, geometry types, property sets,
+    and exterior-ring winding (build.sh:129-134,155-160 flag shape).
+
+    Comparison is at MAXZOOM only: below it tippecanoe simplifies and
+    density-drops by design, so coordinate-level parity is not a spec
+    property; at maxzoom both encoders quantize the same 4096 extent
+    and must agree on the feature-set digest."""
+    import json as _json
+    import subprocess
+
+    from map_v2_etl_spark.plans.tileset import build_tileset_native
+
+    Z = 3
+    sq1 = ('{"type":"Polygon","coordinates":[[[-86.9,32.5],[-86.7,32.5],'
+           '[-86.7,32.7],[-86.9,32.7],[-86.9,32.5]]]}')
+    sq2 = ('{"type":"Polygon","coordinates":[[[-80.2,25.7],[-80.0,25.7],'
+           '[-80.0,25.9],[-80.2,25.9],[-80.2,25.7]]]}')
+    rows = [("01", 1, 42.5, sq1), ("12", 12, 7.25, sq2)]
+    feats = spark.createDataFrame(
+        rows, "GEOID STRING, id LONG, rate DOUBLE, geometry STRING"
+    )
+
+    # engine side
+    native_mb = str(tmp_path / "native.mbtiles")
+    build_tileset_native(
+        {"parity": feats}, native_mb, "parity", zoom=Z, id_col="id"
+    )
+
+    # tippecanoe side: same layer name, same zoom pinned min=max so the
+    # only tiles are the comparison tiles; flags mirror the recipe's
+    # base-tileset shape minus density/simplification knobs (disabled by
+    # pinning zoom), which are not feature-set-preserving by design
+    gj = tmp_path / "parity.geojson"
+    with open(gj, "w") as fh:
+        for geoid, fid, rate, geom in rows:
+            fh.write(_json.dumps({
+                "type": "Feature",
+                "properties": {"GEOID": geoid, "id": fid, "rate": rate},
+                "geometry": _json.loads(geom),
+            }) + "\n")
+    tc_mb = str(tmp_path / "tc.mbtiles")
+    subprocess.run(
+        ["tippecanoe", "-o", tc_mb, "-f",
+         "-L", f"parity:{gj}",
+         "--read-parallel",
+         f"--minimum-zoom={Z}", f"--maximum-zoom={Z}",
+         "--attribute-type=GEOID:string", "--use-attribute-for-id=id",
+         "--empty-csv-columns-are-null"],
+        check=True, capture_output=True,
+    )
+
+    def _drop_id_prop(digest):
+        # --use-attribute-for-id promotes the id attribute to the
+        # feature id; tippecanoe versions differ on whether the
+        # property column also survives, so compare everything BUT it
+        return {
+            k: {
+                (fid, gt, frozenset(p for p in props if p[0] != "id"), w)
+                for fid, gt, props, w in feats
+            }
+            for k, feats in digest.items()
+        }
+
+    ours = _drop_id_prop(_mbtiles_feature_digest(native_mb, only_zoom=Z))
+    theirs = _drop_id_prop(_mbtiles_feature_digest(tc_mb, only_zoom=Z))
+    assert set(ours) == set(theirs), (
+        f"tile addressing diverges: ours-only={set(ours) - set(theirs)} "
+        f"tc-only={set(theirs) - set(ours)}"
+    )
+    for key in ours:
+        assert ours[key] == theirs[key], (
+            f"feature digest diverges at {key}:\n"
+            f"  ours={ours[key]}\n  tc  ={theirs[key]}"
+        )

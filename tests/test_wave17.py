@@ -29,9 +29,9 @@ def test_orc_roundtrip_equals_source_agg(spark):
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("l_quantity").cast("decimal(20,4)"))
-            .cast("decimal(20,4)").alias("sum_qty"),
+            .cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
-            .cast("decimal(20,4)").alias("sum_price"),
+            .cast("double").alias("sum_price"),
         )
         .collect()
     }
@@ -52,7 +52,7 @@ def test_json_roundtrip_preserves_doubles(spark):
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
-            .cast("decimal(20,4)").alias("sum_price"),
+            .cast("double").alias("sum_price"),
             F.min("o_orderkey").alias("min_key"),
         )
         .collect()

@@ -122,7 +122,7 @@ def test_incremental_merge_equals_recompute(spark):
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(20,4)"))
-            .cast("decimal(20,4)").alias("sum_value"),
+            .cast("double").alias("sum_value"),
         )
         .collect()
     }
