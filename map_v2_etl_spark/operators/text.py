@@ -51,18 +51,21 @@ def whitespace_strip(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (empty/whitespace-only text -> 0)."""
-    t = whitespace_strip(text)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
-    )
+    """Whitespace token count (empty/whitespace-only text -> 0).
+
+    One regex pass counting non-whitespace runs — value-identical to
+    strip+split+size for every input (including all-whitespace -> 0),
+    but with no stripped-string build and no token-array allocation."""
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 def subword_count(text: Column) -> Column:
     """BPE-ish token estimate: split on word/number/punct boundaries —
-    the standard cheap proxy for tokenizer counts at corpus scale."""
-    return F.size(
-        F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    the standard cheap proxy for tokenizer counts at corpus scale.
+    regexp_count, not size(regexp_extract_all): counting matches must
+    not allocate a per-match string array."""
+    return F.regexp_count(
+        F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
     )
 
 
@@ -74,18 +77,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # Unicode classes, not \\w (ASCII-only in Java regex AND RE2): with
     # \\w every CJK/accented letter counted as punctuation, scoring
     # Chinese text as pure punctuation soup (punct_ratio 1.0)
-    n_punct = F.size(
-        F.regexp_extract_all(t, F.lit(r"[^\p{L}\p{N}_\s]"), 0)
-    )
-    n_stop = F.size(
-        F.regexp_extract_all(F.lower(t), F.lit(_word_regex(EN_STOPWORDS)), 0)
-    )
+    n_punct = F.regexp_count(t, F.lit(r"[^\p{L}\p{N}_\s]"))
+    n_stop = F.regexp_count(F.lower(t), F.lit(_word_regex(EN_STOPWORDS)))
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
     # total non-whitespace chars / tokens — exact for ANY whitespace
     # shape (the old (n_chars - n_tokens + 1)/n_tokens closed form
-    # assumed exactly single-space separators and no padding)
-    n_word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    # assumed exactly single-space separators and no padding); counted
+    # as length minus whitespace-char count, no stripped-string build
+    n_word_chars = n_chars - F.regexp_count(t, F.lit(r"\s"))
     mean_word_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
         n_word_chars / n_tokens
     )
@@ -111,12 +111,8 @@ def lang_scores(text: Column) -> dict[str, Column]:
     """Marker hits per language (per 'n-gram heuristic' language ID)."""
     lt = F.lower(text)
     return {
-        lang: F.size(
-            F.regexp_extract_all(
-                lt,
-                F.lit(_word_regex(words, word_boundaries=lang != "zh")),
-                0,
-            )
+        lang: F.regexp_count(
+            lt, F.lit(_word_regex(words, word_boundaries=lang != "zh"))
         )
         for lang, words in LANG_MARKERS.items()
     }

@@ -265,3 +265,148 @@ def test_tile_span_matches_python_reference(spark):
         )
         assert got[i] == want, (i, got[i], want)
         assert got[i][0] <= got[i][1] and got[i][2] <= got[i][3]
+
+
+# ---------------------------------------------------------------------------
+# geometry fixtures tippecanoe's --detect-shared-borders cases exercise
+# (build.sh:148-152): holes, shared borders, antimeridian-split parts
+# ---------------------------------------------------------------------------
+
+
+def _rings_of(feature):
+    """Decoded command stream -> list of rings (each a list of (x, y))."""
+    rings, cur = [], []
+    for seg in feature["geometry"]:
+        if seg["cmd"] == "move":
+            cur = list(seg["points"])
+        elif seg["cmd"] == "line":
+            cur.extend(seg["points"])
+        elif seg["cmd"] == "close":
+            if cur:
+                rings.append(cur)
+            cur = []
+    return rings
+
+
+def _shoelace2(pts):
+    return sum(
+        x1 * y2 - x2 * y1
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1])
+    )
+
+
+def test_multipolygon_hole_winding_roundtrip():
+    """A MultiPolygon with an interior ring must decode to positive-area
+    exterior rings and a negative-area hole (MVT 4.3.4.4) regardless of
+    the winding the GeoJSON arrived with (both rings here arrive in the
+    SAME orientation — the encoder must rewind the hole)."""
+    import json as _json
+
+    geom = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [   # poly 1: outer ring + hole, both given CCW lon/lat
+                [[-60, -30], [0, -30], [0, 30], [-60, 30], [-60, -30]],
+                [[-45, -15], [-15, -15], [-15, 15], [-45, 15], [-45, -15]],
+            ],
+            [   # poly 2: plain square
+                [[30, -20], [80, -20], [80, 20], [30, 20], [30, -20]],
+            ],
+        ],
+    }
+    feats = [{"geometry": _json.dumps(geom), "props": {"GEOID": "02"},
+              "id": 2}]
+    blob = encode_layer("mp", feats, 0, 0, 0)
+    (lyr,) = decode_tile(blob)
+    (f,) = lyr["features"]
+    assert f["type"] == 3
+    rings = _rings_of(f)
+    assert len(rings) == 3
+    signs = [(_shoelace2(r) > 0) - (_shoelace2(r) < 0) for r in rings]
+    # ring order is [poly1-ext, poly1-hole, poly2-ext]: + - +
+    assert signs == [1, -1, 1], signs
+    # the hole must be contained in the first exterior's bbox
+    ext_xs = [p[0] for p in rings[0]]
+    hole_xs = [p[0] for p in rings[1]]
+    assert min(ext_xs) < min(hole_xs) <= max(hole_xs) < max(ext_xs)
+
+
+def test_shared_border_polygons_quantize_identically():
+    """Two polygons sharing an edge must emit the SAME quantized
+    coordinates for the shared border — the no-crack invariant
+    tippecanoe's --detect-shared-borders preserves. Quantization is
+    per-vertex and deterministic, so identical input vertices must
+    produce identical tile coords in both features."""
+    import json as _json
+
+    left = {"type": "Polygon", "coordinates": [
+        [[-10, -10], [0.0003, -10], [0.0003, 10], [-10, 10], [-10, -10]],
+    ]}
+    right = {"type": "Polygon", "coordinates": [
+        [[0.0003, -10], [10, -10], [10, 10], [0.0003, 10], [0.0003, -10]],
+    ]}
+    feats = [
+        {"geometry": _json.dumps(left), "props": {"GEOID": "L"}, "id": 1},
+        {"geometry": _json.dumps(right), "props": {"GEOID": "R"}, "id": 2},
+    ]
+    blob = encode_layer("border", feats, 0, 0, 0)
+    (lyr,) = decode_tile(blob)
+    assert len(lyr["features"]) == 2
+    by_id = {f["id"]: _rings_of(f)[0] for f in lyr["features"]}
+    shared_l = {p for p in by_id[1]}
+    shared_r = {p for p in by_id[2]}
+    # the two border vertices appear in BOTH features at identical
+    # integer coords (no T-junction / crack from divergent rounding)
+    border = shared_l & shared_r
+    assert len(border) == 2, (shared_l, shared_r)
+
+
+def test_antimeridian_split_parts_land_in_their_own_tiles(spark):
+    """An Aleutians-shaped MultiPolygon (parts on BOTH sides of the
+    antimeridian, split per RFC 7946) has a bbox spanning nearly the
+    whole world. The encoder may assign it to every tile the bbox
+    overlaps, but clipping must keep actual geometry only where parts
+    exist — no tile in the middle of the row may contain a world-wide
+    inverted fill."""
+    import json as _json
+
+    from map_v2_etl_spark.sources.mvt import encode_tiles
+
+    geom = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[175, 50], [179.9, 50], [179.9, 55], [175, 55], [175, 50]]],
+            [[[-179.9, 50], [-175, 50], [-175, 55], [-179.9, 55],
+              [-179.9, 50]]],
+        ],
+    }
+    feats = spark.createDataFrame(
+        [("akl", "02", _json.dumps(geom))],
+        "layer STRING, GEOID STRING, geometry STRING",
+    )
+    Z = 3  # 8x8 tiles; lat 50-55N sits in tile row y=2
+    tiles = {
+        (r["x"], r["y"]): bytes(r["pbf"])
+        for r in encode_tiles(feats, Z, clip_buf=8).collect()
+    }
+    with_geom = set()
+    for (x, y), blob in tiles.items():
+        for lyr in decode_tile(blob):
+            for f in lyr["features"]:
+                rings = [
+                    r for r in _rings_of(f) if abs(_shoelace2(r)) > 0
+                ]
+                if rings:
+                    with_geom.add((x, y))
+                    # every surviving ring must be exterior-wound and
+                    # smaller than the tile itself (no inverted world
+                    # fill leaking through the clip)
+                    for r in rings:
+                        assert _shoelace2(r) > 0
+                        assert abs(_shoelace2(r)) < 2 * EXTENT * EXTENT
+    # west part lives near lon 175..180 -> tile x=7; east part near
+    # -180..-175 -> tile x=0; both in row y=2 at z3
+    assert (7, 2) in with_geom and (0, 2) in with_geom
+    # no phantom fill in mid-row tiles the bbox overlapped
+    for x in range(1, 7):
+        assert (x, 2) not in with_geom, f"phantom geometry in tile {x},2"
