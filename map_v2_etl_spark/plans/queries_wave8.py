@@ -113,12 +113,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsp = dup_span_from_toks(t).select(
         "doc_id", F.col("keep").alias("_kd")
     )
-    # ONE bigram explode shared by the LM and domain gates (r5 advice:
-    # each previously rebuilt bigrams from the token table — the explode
-    # is the expensive half of both sub-plans at corpus scale)
-    bg = doc_bigrams_from_toks(t, "doc_id", carry=["is_t"]).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # ONE bigram frame shared by the LM and domain gates (r5 advice:
+    # each previously built its own). Deliberately NOT persisted: the
+    # consumers re-derive it from the CACHED token table (a cheap
+    # map-side explode, ~0.2 s/pass at sf0.1), which measures faster
+    # than caching the exploded corpus-scale rows (A/B at sf0.1, warmed
+    # best-of-3 solo: persisted-bg 4.44 s, per-signal-bg 4.23 s,
+    # shared-unpersisted-bg 4.16 s) and avoids a second corpus-sized
+    # cache competing with `t` for executor memory. On a cluster the
+    # equivalent is materializing bigrams to parquet only when a later
+    # stage would otherwise re-tokenize from raw text.
+    bg = doc_bigrams_from_toks(t, "doc_id", carry=["is_t"])
     lmq = bigram_ll_from_bigrams(t, bg).select("doc_id", "bits_per_bigram")
     dsr = dsir_weights_from_bigrams(t, bg).select("doc_id", "weight")
     keep_lm = (
