@@ -145,3 +145,123 @@ def fingerprint(text: Column) -> Column:
     return F.md5(
         F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — public literature; the MOSS local-fingerprint
+    algorithm): hash every k-token gram, slide a w-gram window, keep
+    each window's RIGHTMOST minimal hash. Guarantees: any shared run of
+    w+k-1 tokens between two documents shares >= 1 selected
+    fingerprint, and selection density is ~2/(w+1) — the standard
+    position-aware near-dup/plagiarism signature that set-based
+    fingerprints (``fingerprint``) cannot provide.
+
+    Output: one row per input document —
+      (id, n_grams, n_fp, fp_sum, fp_min, fp_max)
+    with NULL fp stats and n_fp = 0 for docs shorter than k tokens.
+
+    Engine shape (and why it is exactly the textbook algorithm):
+      * gram hash h = first 7 md5 hex chars as int (28 bits) — the
+        repo's engine-portable hash (bit-equal in DuckDB via
+        ``CAST('0x'||substr(md5(g),1,7) AS BIGINT)``).
+      * per-window rightmost-min without an argmin aggregate: the
+        window minimum of key = h·2^32 + (2^32−1−pos) decodes to
+        (min h, LARGEST pos among ties) — ties cannot survive the key
+        (pos is injective), so the tie rule is enforced by integer
+        ordering, not engine-specific argmin behavior. 28-bit h keeps
+        key < 2^60: no ANSI overflow, pos capacity 2^32 grams/doc.
+      * ONE window pass (ROWS BETWEEN CURRENT AND w−1 FOLLOWING),
+        partitioned by document — each reducer sorts its own docs'
+        grams, nothing global. DISTINCT on the decoded key dedups
+        positions selected by overlapping windows, exactly the paper's
+        fingerprint set.
+      * windows are the n_grams−w+1 FULL windows (a short doc keeps
+        its single all-grams window), enforced by the pos bound, so a
+        trailing partial frame never adds phantom fingerprints.
+
+    Scale: explode is |tokens| rows/doc; the window is per-doc (skew =
+    longest single document); the final agg is per-doc. No self-join,
+    no broadcast, no driver state — the signature of choice when the
+    downstream join is on selected-hash equality (bucket join on fp).
+    """
+    from .dedup import tokens
+
+    # token array bound ONCE per row via the transform-over-singleton
+    # trick (see word_shingles): Catalyst collapses the projection, so
+    # referencing a toks COLUMN inside the gram lambda would inline and
+    # re-run the tokenizer regex once per gram position (measured 4.2 s
+    # -> 0.6 s at sf0.01 for this query)
+    def ordered_grams(w: Column) -> Column:
+        kk = F.size(w) - (k - 1)
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(w, i + j) for j in range(k)]
+        )
+        return F.when(
+            kk >= 1, F.transform(F.sequence(F.lit(1), kk), gram)
+        ).otherwise(F.array().cast("array<string>"))
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.element_at(F.transform(F.array(toks), ordered_grams), 1)
+        ).alias("p0", "g"),
+    )
+    h = F.conv(F.substring(F.md5("g"), 1, 7), 16, 10).cast("long")
+    POS = 4294967296  # 2^32
+    keyed = grams.select(
+        id_col,
+        (F.col("p0") + 1).alias("pos"),  # 1-based gram position
+        (h * POS + (F.lit(POS - 1) - F.col("p0") - 1)).alias("key"),
+    )
+    from pyspark.sql.window import Window as W
+
+    per_doc = W.partitionBy(id_col)
+    frame = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, w - 1)
+    )
+    m = keyed.select(
+        id_col,
+        "pos",
+        F.min("key").over(frame).alias("mk"),
+        F.max("pos").over(per_doc).alias("ng"),
+    )
+    sel = (
+        m.filter(
+            F.col("pos")
+            <= F.greatest(F.col("ng") - (w - 1), F.lit(1))
+        )
+        .select(id_col, "ng", "mk")
+        .distinct()
+    )
+    # decode h = key DIV 2^32 — INTEGER division ("/" would go through
+    # double and lose bits above the 53-bit mantissa on 60-bit keys)
+    hdec = F.expr(f"mk DIV {POS}")
+    fp = sel.groupBy(id_col).agg(
+        F.max("ng").alias("n_grams"),
+        F.count("*").alias("n_fp"),
+        F.sum(hdec).cast("long").alias("fp_sum"),
+        F.min(hdec).cast("long").alias("fp_min"),
+        F.max(hdec).cast("long").alias("fp_max"),
+    )
+    return (
+        df.select(id_col)
+        .join(fp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            "fp_sum",
+            "fp_min",
+            "fp_max",
+        )
+    )

@@ -1,7 +1,11 @@
-"""Wave-19 surface: sketch-based top-k (SURVEY.md §2.11 breadth).
+"""Wave-19 surface: sketch-based top-k + positional fingerprints
+(SURVEY.md §2.11 breadth).
 
 * approx_topk_returnflag — Spark 4's ``approx_top_k`` frequent-items
   sketch over lineitem.l_returnflag, exploded to (item, cnt) rows.
+* winnow_fingerprints  — Winnowing/MOSS positional document
+  fingerprints (rightmost minimal k-gram hash per w-window), all-integer
+  and value-hash certified against a window-function DuckDB twin.
 
 The r4 verdict's other optional item — a ``bloom_filter_agg`` variant
 of decontaminate_bloom — is NOT buildable on this Spark: the function
@@ -55,4 +59,75 @@ def q_approx_topk_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("item"),
         F.col("e.count").cast("long").alias("cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# winnow_fingerprints
+# --------------------------------------------------------------------------
+
+# the ONE canonical tokenizer's oracle fragment (wave12's shared copy of
+# the queries_ext tokenizer: full-whitespace strip + empty filter)
+from .queries_wave12 import _DUCK_TOKS_F  # noqa: E402
+
+_WINNOW_K = 4
+_WINNOW_W = 5
+_POS = 4294967296  # 2^32
+
+_DUCK_WINNOW = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS_F} AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([{{'pos': i,
+                   'h': CAST(('0x' || substr(md5(
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                        ), 1, 7)) AS BIGINT)}}
+                 for i in generate_series(1, len(w) - {_WINNOW_K - 1})]) AS u
+  FROM t),
+k AS (
+  SELECT doc_id, u.pos AS pos,
+         u.h * {_POS} + ({_POS - 1} - u.pos) AS key
+  FROM g),
+m AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS mk,
+         max(pos) OVER (PARTITION BY doc_id) AS ng
+  FROM k),
+sel AS (
+  SELECT DISTINCT doc_id, ng, mk FROM m
+  WHERE pos <= greatest(ng - {_WINNOW_W - 1}, 1)),
+fp AS (
+  SELECT doc_id,
+         CAST(max(ng) AS BIGINT) AS n_grams,
+         CAST(count(*) AS BIGINT) AS n_fp,
+         CAST(sum(mk // {_POS}) AS BIGINT) AS fp_sum,
+         CAST(min(mk // {_POS}) AS BIGINT) AS fp_min,
+         CAST(max(mk // {_POS}) AS BIGINT) AS fp_max
+  FROM sel GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(fp.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(fp.n_fp, 0) AS BIGINT) AS n_fp,
+       fp.fp_sum, fp.fp_min, fp.fp_max
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""
+
+
+@query(
+    "winnow_fingerprints",
+    _DUCK_WINNOW,
+    tags=["text", "dedup", "fingerprint", "winnowing"],
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint summary per document — rightmost
+    minimal 4-gram hash per 5-gram window; see
+    operators/text.winnow_fingerprints for the algorithm and the
+    integer-key tie-rule construction both engines share. All-integer
+    output: fully value-hash certified."""
+    from ..operators.text import winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    return winnow_fingerprints(
+        docs, k=_WINNOW_K, w=_WINNOW_W
     )

@@ -128,3 +128,78 @@ def test_mean_word_len_exact_on_padded_text(spark):
     assert rows[1] == 1.0
     assert rows[2] == 0.0
     assert rows[3] == 2.0
+
+
+def _winnow_reference(text, k=4, w=5):
+    """Pure-Python robust winnowing (Schleimer et al. 2003, Fig. 5
+    semantics expressed as rightmost-min-per-window): returns the
+    selected {(pos, h)} set, 1-based gram positions."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+    grams = [
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    ]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:7], 16) for g in grams
+    ]
+    n = len(hs)
+    if n == 0:
+        return set(), 0
+    sel = set()
+    for s in range(max(n - w + 1, 1)):
+        window = hs[s : s + w]
+        m = min(window)
+        # rightmost minimal
+        j = max(i for i, h in enumerate(window) if h == m)
+        sel.add((s + j + 1, m))
+    return sel, n
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    from map_v2_etl_spark.operators.text import winnow_fingerprints
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a b c"),                      # shorter than k -> no grams
+        (3, "x y z w"),                    # exactly one gram
+        (4, "one two three four five six one two three four five six"),
+        (5, ""),                           # empty
+        (6, "  pad\tpad  pad\npad pad pad pad  "),  # whitespace edges
+        (7, ("tok " * 40).strip()),        # all-identical tokens: every
+                                           # gram hash ties; rightmost
+                                           # rule must pick determinate
+                                           # positions
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["n_fp"], r["fp_sum"], r["fp_min"], r["fp_max"]
+        )
+        for r in winnow_fingerprints(df).collect()
+    }
+    for doc_id, text in texts:
+        sel, n = _winnow_reference(text)
+        hs = [h for _, h in sel]
+        want = (
+            n,
+            len(sel),
+            sum(hs) if hs else None,
+            min(hs) if hs else None,
+            max(hs) if hs else None,
+        )
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The winnowing guarantee: two docs sharing a run of >= w+k-1
+    tokens share at least one selected fingerprint hash."""
+    from map_v2_etl_spark.operators.text import winnow_fingerprints  # noqa: F401
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    a = "unrelated prefix words here " + shared
+    b = shared + " totally different suffix tokens"
+    sel_a, _ = _winnow_reference(a)
+    sel_b, _ = _winnow_reference(b)
+    assert {h for _, h in sel_a} & {h for _, h in sel_b}
