@@ -189,8 +189,46 @@ def winnow_fingerprints(
     Scale: explode is |tokens| rows/doc; the window is per-doc (skew =
     longest single document); the final agg is per-doc. No self-join,
     no broadcast, no driver state — the signature of choice when the
-    downstream join is on selected-hash equality (bucket join on fp).
+    downstream join is on selected-hash equality (winnow_pairs).
     """
+    POS = 4294967296  # 2^32
+    sel = winnow_selected(df, id_col, text_col, k, w)
+    # decode h = key DIV 2^32 — INTEGER division ("/" would go through
+    # double and lose bits above the 53-bit mantissa on 60-bit keys)
+    hdec = F.expr(f"mk DIV {POS}")
+    fp = sel.groupBy(id_col).agg(
+        F.max("ng").alias("n_grams"),
+        F.count("*").alias("n_fp"),
+        F.sum(hdec).cast("long").alias("fp_sum"),
+        F.min(hdec).cast("long").alias("fp_min"),
+        F.max(hdec).cast("long").alias("fp_max"),
+    )
+    return (
+        df.select(id_col)
+        .join(fp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            "fp_sum",
+            "fp_min",
+            "fp_max",
+        )
+    )
+
+
+def winnow_selected(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """The winnowing SELECTION set: one row per selected fingerprint,
+    (id, ng, mk) where ng = the doc's gram count and mk = the packed
+    (hash, position) key (h·2^32 + (2^32−1−pos)). Shared subplan of
+    winnow_fingerprints (per-doc summary) and winnow_pairs (bucket
+    join) so the algorithm exists exactly once."""
     from .dedup import tokens
 
     # token array bound ONCE per row via the transform-over-singleton
@@ -235,7 +273,7 @@ def winnow_fingerprints(
         F.min("key").over(frame).alias("mk"),
         F.max("pos").over(per_doc).alias("ng"),
     )
-    sel = (
+    return (
         m.filter(
             F.col("pos")
             <= F.greatest(F.col("ng") - (w - 1), F.lit(1))
@@ -243,25 +281,64 @@ def winnow_fingerprints(
         .select(id_col, "ng", "mk")
         .distinct()
     )
-    # decode h = key DIV 2^32 — INTEGER division ("/" would go through
-    # double and lose bits above the 53-bit mantissa on 60-bit keys)
-    hdec = F.expr(f"mk DIV {POS}")
-    fp = sel.groupBy(id_col).agg(
-        F.max("ng").alias("n_grams"),
-        F.count("*").alias("n_fp"),
-        F.sum(hdec).cast("long").alias("fp_sum"),
-        F.min(hdec).cast("long").alias("fp_min"),
-        F.max(hdec).cast("long").alias("fp_max"),
+
+
+def winnow_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` DISTINCT winnowing
+    fingerprint hashes — MOSS's match-detection join. Output:
+    (id_a, id_b, n_shared, overlap) with id_a < id_b, where overlap is
+    the containment-style ratio n_shared / min(|fp_a|, |fp_b|) rounded
+    to 6 decimals (the MOSS report metric: how much of the SMALLER
+    document's fingerprint set the pair shares).
+
+    Scale shape — identical to the shingle-bucket family
+    (dedup.jaccard_pairs): docs meet ONLY through an equi-join on a
+    shared fingerprint hash, so work is sum-of-bucket-sizes², never
+    |docs|²; winnowing's ~2/(w+1) selection density makes the posting
+    lists ~3x shorter than raw-gram buckets at the same k. Per-doc
+    fingerprint sizes join back by id (AQE broadcasts them when small;
+    at corpus scale they hash-join like any dimension — the
+    jaccard_pairs rule: no forced broadcast of corpus-sized tables)."""
+    POS = 4294967296
+    sel = winnow_selected(df, id_col, text_col, k, w)
+    # distinct HASH per doc (a hash selected at several positions is one
+    # match key; MOSS matches on hash equality, not position)
+    fph = sel.select(
+        id_col, F.expr(f"mk DIV {POS}").alias("h")
+    ).distinct()
+    sizes = fph.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    a, b = fph.alias("a"), fph.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"))
     return (
-        df.select(id_col)
-        .join(fp, id_col, "left")
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
-            id_col,
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
-            "fp_sum",
-            "fp_min",
-            "fp_max",
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b"), 6
+            ).alias("overlap"),
         )
     )

@@ -131,3 +131,66 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(
         docs, k=_WINNOW_K, w=_WINNOW_W
     )
+
+
+# --------------------------------------------------------------------------
+# winnow_pairs
+# --------------------------------------------------------------------------
+
+_WINNOW_MIN_SHARED = 2
+
+_DUCK_WINNOW_PAIRS = f"""
+WITH t AS (SELECT doc_id, {{toks}} AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([{{{{'pos': i,
+                   'h': CAST(('0x' || substr(md5(
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                        ), 1, 7)) AS BIGINT)}}}}
+                 for i in generate_series(1, len(w) - {_WINNOW_K - 1})]) AS u
+  FROM t),
+k AS (
+  SELECT doc_id, u.pos AS pos,
+         u.h * {_POS} + ({_POS - 1} - u.pos) AS key
+  FROM g),
+m AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS mk,
+         max(pos) OVER (PARTITION BY doc_id) AS ng
+  FROM k),
+fph AS (
+  SELECT DISTINCT doc_id, mk // {_POS} AS h FROM m
+  WHERE pos <= greatest(ng - {_WINNOW_W - 1}, 1)),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fph GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_WINNOW_MIN_SHARED})
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared / least(sa.n_fp, sb.n_fp), 6) AS overlap
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+""".format(toks=_DUCK_TOKS_F)
+
+
+@query(
+    "winnow_pairs",
+    _DUCK_WINNOW_PAIRS,
+    tags=["text", "dedup", "fingerprint", "winnowing", "pairs"],
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match detection: document pairs sharing >= 2 distinct
+    winnowing fingerprint hashes, with the containment-style overlap
+    ratio against the smaller fingerprint set. Bucket equi-join on the
+    selected hashes — the sum-of-bucket-sizes² shape, never all-pairs
+    (see operators/text.winnow_pairs)."""
+    from ..operators.text import winnow_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return winnow_pairs(
+        docs, min_shared=_WINNOW_MIN_SHARED, k=_WINNOW_K, w=_WINNOW_W
+    )

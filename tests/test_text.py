@@ -203,3 +203,25 @@ def test_winnow_shared_run_guarantee(spark):
     sel_a, _ = _winnow_reference(a)
     sel_b, _ = _winnow_reference(b)
     assert {h for _, h in sel_a} & {h for _, h in sel_b}
+
+
+def test_winnow_pairs_detects_shared_runs(spark):
+    from map_v2_etl_spark.operators.text import winnow_pairs
+
+    shared = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lam mu nu xi omicron pi rho sigma tau upsilon")
+    df = spark.createDataFrame(
+        [
+            (1, "intro words " + shared + " closing remarks"),
+            (2, shared + " completely different ending here"),
+            (3, "nothing in common with anything else at all whatsoever "
+                "unrelated tokens only forever and ever amen"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = winnow_pairs(df, min_shared=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["n_shared"] >= 2 and 0 < r["overlap"] <= 1.0
+    assert not any(3 in p for p in pairs)
