@@ -103,6 +103,8 @@ HEADLINE = [
     "geo_mvt_tiles",
     "embedding_kmeans",
     "media_frame_sample",
+    # round 6 (winnow_pairs subsumes the fingerprint selection subplan)
+    "winnow_pairs",
 ]
 
 
