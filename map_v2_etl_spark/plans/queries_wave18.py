@@ -522,20 +522,32 @@ def q_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     path = tempfile.mkdtemp(prefix="m2e_bin_")
     try:
-        # fixture write is DISTRIBUTED: each partition writes its own
-        # files (no driver collect, no per-row driver loop). The target
-        # is a shared path — true on local[...] and on any cluster whose
-        # blob-fixture directory is shared storage (NFS/S3-fuse), which
-        # is the only regime where a directory-of-files fixture makes
-        # sense at all.
-        def _write_partition(rows) -> None:
-            for r in rows:
+        # fixture write: DISTRIBUTED foreachPartition when executors
+        # share the driver's filesystem (local[...] — this harness),
+        # because a per-row driver loop is the one anti-pattern the
+        # registry bans. On a NON-local master the tempdir is NOT
+        # shared storage: executors would each write their own local
+        # /tmp and the driver's binaryFile scan would silently read an
+        # empty/partial directory — there the bounded driver write
+        # (|docs|/20 small files) is the CORRECT tool, and the operator
+        # under test (the distributed binaryFile FileScan) is
+        # unaffected either way.
+        if spark.sparkContext.master.startswith("local"):
+
+            def _write_partition(rows) -> None:
+                for r in rows:
+                    with open(
+                        os.path.join(path, f"{r['doc_id']}.bin"), "wb"
+                    ) as fh:
+                        fh.write(r["text"].encode("utf-8"))
+
+            sel.foreachPartition(_write_partition)
+        else:
+            for r in sel.collect():  # bounded: |docs|/20 small files
                 with open(
                     os.path.join(path, f"{r['doc_id']}.bin"), "wb"
                 ) as fh:
                     fh.write(r["text"].encode("utf-8"))
-
-        sel.foreachPartition(_write_partition)
         back = spark.read.format("binaryFile").load(path)
         out = back.select(
             F.regexp_extract(

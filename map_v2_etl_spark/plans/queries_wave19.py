@@ -73,31 +73,43 @@ from .queries_wave12 import _DUCK_TOKS_F  # noqa: E402
 _WINNOW_K = 4
 _WINNOW_W = 5
 _POS = 4294967296  # 2^32
+_WINNOW_MIN_SHARED = 2
 
-_DUCK_WINNOW = f"""
+
+def _winnow_selection_ctes(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
+    """The ONE DuckDB copy of the winnowing selection chain (tokens ->
+    k-gram md5 hashes -> packed keys -> per-window rightmost-min ->
+    valid full windows), parameterized exactly like
+    operators/text.winnow_selected. Both winnow oracles build on it, so
+    the algorithm exists once per engine and the gram arity can never
+    drift from the generate_series bound."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))
+    return f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKS_F} AS w FROM documents),
 g AS (
   SELECT doc_id,
          unnest([{{'pos': i,
-                   'h': CAST(('0x' || substr(md5(
-                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-                        ), 1, 7)) AS BIGINT)}}
-                 for i in generate_series(1, len(w) - {_WINNOW_K - 1})]) AS u
+                   'h': CAST(('0x' || substr(md5({gram}), 1, 7)) AS BIGINT)}}
+                 for i in generate_series(1, len(w) - {k - 1})]) AS u
   FROM t),
-k AS (
+kk AS (
   SELECT doc_id, u.pos AS pos,
          u.h * {_POS} + ({_POS - 1} - u.pos) AS key
   FROM g),
 m AS (
   SELECT doc_id, pos,
          min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
            AS mk,
          max(pos) OVER (PARTITION BY doc_id) AS ng
-  FROM k),
+  FROM kk),
 sel AS (
   SELECT DISTINCT doc_id, ng, mk FROM m
-  WHERE pos <= greatest(ng - {_WINNOW_W - 1}, 1)),
+  WHERE pos <= greatest(ng - {w - 1}, 1))"""
+
+
+_DUCK_WINNOW = f"""
+{_winnow_selection_ctes()},
 fp AS (
   SELECT doc_id,
          CAST(max(ng) AS BIGINT) AS n_grams,
@@ -111,6 +123,23 @@ SELECT d.doc_id,
        CAST(COALESCE(fp.n_fp, 0) AS BIGINT) AS n_fp,
        fp.fp_sum, fp.fp_min, fp.fp_max
 FROM documents d LEFT JOIN fp USING (doc_id)
+"""
+
+_DUCK_WINNOW_PAIRS = f"""
+{_winnow_selection_ctes()},
+fph AS (
+  SELECT DISTINCT doc_id, mk // {_POS} AS h FROM sel),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fph GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_WINNOW_MIN_SHARED})
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared / least(sa.n_fp, sb.n_fp), 6) AS overlap
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
 """
 
 
@@ -128,53 +157,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import winnow_fingerprints
 
     docs = load_table(spark, "documents", sf_dir)
-    return winnow_fingerprints(
-        docs, k=_WINNOW_K, w=_WINNOW_W
-    )
-
-
-# --------------------------------------------------------------------------
-# winnow_pairs
-# --------------------------------------------------------------------------
-
-_WINNOW_MIN_SHARED = 2
-
-_DUCK_WINNOW_PAIRS = f"""
-WITH t AS (SELECT doc_id, {{toks}} AS w FROM documents),
-g AS (
-  SELECT doc_id,
-         unnest([{{{{'pos': i,
-                   'h': CAST(('0x' || substr(md5(
-                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-                        ), 1, 7)) AS BIGINT)}}}}
-                 for i in generate_series(1, len(w) - {_WINNOW_K - 1})]) AS u
-  FROM t),
-k AS (
-  SELECT doc_id, u.pos AS pos,
-         u.h * {_POS} + ({_POS - 1} - u.pos) AS key
-  FROM g),
-m AS (
-  SELECT doc_id, pos,
-         min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
-           AS mk,
-         max(pos) OVER (PARTITION BY doc_id) AS ng
-  FROM k),
-fph AS (
-  SELECT DISTINCT doc_id, mk // {_POS} AS h FROM m
-  WHERE pos <= greatest(ng - {_WINNOW_W - 1}, 1)),
-sizes AS (SELECT doc_id, count(*) AS n_fp FROM fph GROUP BY doc_id),
-shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-  FROM fph a JOIN fph b ON a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-  HAVING count(*) >= {_WINNOW_MIN_SHARED})
-SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
-       round(n_shared / least(sa.n_fp, sb.n_fp), 6) AS overlap
-FROM shared
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-""".format(toks=_DUCK_TOKS_F)
+    return winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
 
 
 @query(

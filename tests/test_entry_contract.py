@@ -29,6 +29,8 @@ def test_queries_rotation_puts_uncertified_first():
                 or (v.get("err") == "no_oracle" and k not in has_oracle)
             ):
                 certified.add(k)
+    # plan-changed queries are explicitly de-certified for re-check
+    certified -= e.FORCE_RECERT
     names = list(e.queries())
     assert len(names) == len(set(names))
     seen_certified = False

@@ -194,12 +194,22 @@ def test_winnow_fingerprints_match_python_reference(spark):
 
 def test_winnow_shared_run_guarantee(spark):
     """The winnowing guarantee: two docs sharing a run of >= w+k-1
-    tokens share at least one selected fingerprint hash."""
-    from map_v2_etl_spark.operators.text import winnow_fingerprints  # noqa: F401
+    tokens share at least one selected fingerprint hash — asserted on
+    the ENGINE's selection (winnow_pairs with min_shared=1), with the
+    pure-Python reference as a second witness."""
+    from map_v2_etl_spark.operators.text import winnow_pairs
 
     shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
     a = "unrelated prefix words here " + shared
     b = shared + " totally different suffix tokens"
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id LONG, text STRING"
+    )
+    pairs = winnow_pairs(df, min_shared=1).collect()
+    assert any(
+        (r["id_a"], r["id_b"]) == (1, 2) and r["n_shared"] >= 1
+        for r in pairs
+    ), pairs
     sel_a, _ = _winnow_reference(a)
     sel_b, _ = _winnow_reference(b)
     assert {h for _, h in sel_a} & {h for _, h in sel_b}
