@@ -38,6 +38,13 @@ CASES = [
     # the stateful streaming batch update
     "doc_pagerank",
     "events_stateful_running",
+    # round 6: window-selection dedup (winnowing) and the
+    # decimal-sum-then-DOUBLE finals of the fixed wave17/18 class —
+    # both claim partition-order-invariant float/int results
+    "winnow_fingerprints",
+    "winnow_pairs",
+    "incremental_agg_merge",
+    "corrupt_record_quarantine",
 ]
 
 
