@@ -387,7 +387,11 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_tumbling_window",
-    "SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) "
+    # time_bucket, NOT to_timestamp(floor(epoch)): to_timestamp returns
+    # TIMESTAMPTZ and the cast back renders in the SESSION zone, shifting
+    # every window under TZ!=UTC; time_bucket is naive-in/naive-out and
+    # its 2000-01-01 origin is epoch-aligned for any divisor of 86400
+    "SELECT time_bucket(INTERVAL '300 seconds', ts) "
     "AS window_start, event_type, COUNT(*) AS n_events, "
     "CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_value "
     "FROM events GROUP BY 1, 2",

@@ -203,7 +203,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_TOPK_STREAM = """
 WITH w AS (
-  SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP)
+  SELECT time_bucket(INTERVAL '21600 seconds', ts)
            AS window_start,
          event_type, count(*) AS c
   FROM events GROUP BY 1, 2),
@@ -264,11 +264,18 @@ def q_events_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.row_number().over(
         W.partitionBy("window_start").orderBy(F.desc("c"), "event_type")
     )
+    from ..streaming.ts import as_naive_utc
+
     return (
         counts.withColumn("rank", rk)
         .filter(F.col("rank") <= 3)
         .select(
-            F.col("window_start").cast("string").alias("window_start"),
+            # UTC-wall rendering by epoch arithmetic: a plain string
+            # cast renders the instant in the SESSION zone, shifting
+            # every 6-hour boundary under tz offsets that don't divide
+            # the window (the r6 TZ sweep finding)
+            as_naive_utc("window_start").cast("string")
+            .alias("window_start"),
             "event_type",
             F.col("c").cast("long").alias("n_events"),
             F.col("rank").cast("long").alias("rank"),

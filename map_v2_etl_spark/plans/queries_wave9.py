@@ -206,7 +206,10 @@ w AS (
   SELECT event_type, value,
          unnest(generate_series(slot - 1, slot)) AS wslot
   FROM e)
-SELECT CAST(to_timestamp(wslot * 300) AS TIMESTAMP) AS window_start,
+-- naive epoch arithmetic, NOT to_timestamp: the TIMESTAMPTZ round trip
+-- renders in the session zone and shifts windows under TZ != UTC
+SELECT TIMESTAMP '1970-01-01'
+         + to_seconds(CAST(wslot * 300 AS BIGINT)) AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(20, 4))) AS DOUBLE) AS total_value
