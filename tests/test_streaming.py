@@ -232,3 +232,38 @@ def test_upsert_sink_replay_idempotent(spark, tmp_path):
     assert after_once == after_replay == {
         ("a", 3, "z"), ("b", 1, "p"), ("c", 1, "q")
     }
+
+
+def test_streaming_windows_independent_of_session_timezone(spark, sf_dir):
+    """r6 TZ-sweep regression guard: the streaming 6-hour top-k must
+    produce IDENTICAL rows under a -05:00 session — window boundaries
+    come from epoch arithmetic on the stored values (streaming/ts.py),
+    never from the session zone. 6 hours is the discriminating width:
+    the New_York offset does not divide it, so the pre-fix NTZ->LTZ
+    cast would shift every boundary (5-minute windows cannot catch
+    this — every whole-hour offset divides them)."""
+    from map_v2_etl_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+
+    def rows(name):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(str(r[c]) for c in cols) for r in df.collect()
+        )
+
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "UTC")
+        base = rows("events_topk_stream")
+        spark.conf.set(key, "America/New_York")
+        spark.catalog.clearCache()
+        shifted = rows("events_topk_stream")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert base == shifted
