@@ -37,4 +37,16 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine with NULL (not NaN, not an error) for degenerate inputs.
+
+    Unguarded division is a job-killer under Spark 4's default ANSI
+    mode: one zero-norm embedding (the common missing-vector sentinel)
+    raises DIVIDE_BY_ZERO inside every similarity query. And a NaN
+    component must not become a NaN score: Spark orders NaN ABOVE every
+    number, so a garbage vector would rank as everyone's top neighbor
+    and NaN >= threshold is true. NULL does the right thing in both
+    consumers: sorts last under desc ordering, fails >= filters."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.nanvl(
+        F.when(den != 0, dot(a, b) / den), F.lit(None).cast("double")
+    )

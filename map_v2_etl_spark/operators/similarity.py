@@ -391,7 +391,13 @@ def assign_clusters(
       crossJoin(broadcast) + min_by partial aggregation (the
       ivf_cosine_topk pattern) — plan size is O(1) in k, the shuffle
       carries only (id, cluster) pairs, and the cluster column is joined
-      back broadcast-free on the unique id."""
+      back broadcast-free on the unique id.
+
+    NULL-id rows get a NULL cluster in BOTH regimes: the join-back leg
+    can never match a NULL key, so the literal leg masks them
+    explicitly — without the mask the two strategies would disagree
+    (literal assigns, broadcast used to silently DROP the row via the
+    inner join) purely as a function of k."""
     if len(centroids) <= BROADCAST_K_THRESHOLD:
         best = F.array_min(
             F.array(*[
@@ -402,7 +408,10 @@ def assign_clusters(
                 for i, c in enumerate(centroids)
             ])
         )
-        return emb.withColumn("cluster", best["cid"])
+        return emb.withColumn(
+            "cluster",
+            F.when(F.col(id_col).isNotNull(), best["cid"]),
+        )
 
     spark = emb.sparkSession
     cents = spark.createDataFrame(
@@ -425,7 +434,10 @@ def assign_clusters(
         .groupBy(id_col)
         .agg(F.min_by("cid", F.struct("d", "cid")).alias("cluster"))
     )
-    return emb.join(assign, id_col)
+    # LEFT join: a NULL-id row never matches the join-back key; it must
+    # surface with a NULL cluster (matching the literal regime's mask),
+    # not vanish from the output
+    return emb.join(assign, id_col, "left")
 
 
 def kmeans_assignments(
@@ -537,7 +549,15 @@ def _lloyd_local(
     are unbounded, and a silent overflow would corrupt centroids."""
     import numpy as np
 
-    pdf = emb.select(id_col, vec_col).toPandas()
+    # drop NULL embeddings BEFORE the matrix build (np.array over a
+    # None element raises): the distributed twin's posexplode emits no
+    # rows for a NULL vector, so for TRAINING the regimes agree on
+    # "null contributes nothing"
+    pdf = (
+        emb.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .toPandas()
+    )
     V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     amax = float(np.abs(V).max()) if V.size else 0.0
     if amax * max(len(V), 1) >= 9.2e6:
@@ -720,7 +740,12 @@ def pq_train(
         return _pq_train_local(
             corpus, id_col, vec_col, m, ksub, iters, sublen
         )
-    unit = corpus.select(F.col(id_col), _unit(F.col(vec_col)).alias("uvec"))
+    # NULL embeddings are excluded from TRAINING up front: the init
+    # collect below slices r["uvec"] (None is not subscriptable), and a
+    # null row contributes nothing to the distributed sums anyway
+    unit = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _unit(F.col(vec_col)).alias("uvec")
+    )
     subs = unit.select(
         id_col,
         F.explode(
@@ -868,8 +893,11 @@ def _pq_train_local(
     unit-normalized embedding components."""
     import numpy as np
 
+    # NULL embeddings dropped before the matrix build — mirrors the
+    # distributed pq_train's isNotNull training filter
     pdf = (
         corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .toPandas()
         .sort_values(id_col, kind="mergesort")
     )

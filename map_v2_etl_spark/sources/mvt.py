@@ -92,13 +92,10 @@ def _value_msg(v) -> bytes:
     if isinstance(v, bool):
         return _field(7, _VARINT, _varint(1 if v else 0))
     if isinstance(v, int):
-        return _field(4, _VARINT, _varint(_zigzag(v) >> 0)) if False else (
-            # int_value (field 4) is a plain int64 varint, two's
-            # complement 10-byte form for negatives per protobuf;
-            # sint_value (field 6) is the zigzag one — use sint for
-            # compact determinism
-            _field(6, _VARINT, _varint(_zigzag(v)))
-        )
+        # sint_value (field 6, zigzag), not int_value (field 4, whose
+        # protobuf two's-complement form costs 10 bytes for negatives):
+        # compact and deterministic for any sign
+        return _field(6, _VARINT, _varint(_zigzag(v)))
     if isinstance(v, float):
         import struct
 
@@ -111,19 +108,61 @@ def lonlat_to_tile_px(
     lon: float, lat: float, z: int, x: int, y: int, extent: int = EXTENT
 ) -> tuple[int, int]:
     """Web-Mercator tile-local integer coordinates (same slippy-map
-    math as operators/geo.tile_xy, refined to the intra-tile grid)."""
-    n = 2.0 ** z
-    wx = (lon + 180.0) / 360.0 * n
-    lat_r = math.radians(max(min(lat, 85.05112878), -85.05112878))
-    wy = (1.0 - math.asinh(math.tan(lat_r)) / math.pi) / 2.0 * n
-    return (
-        int(round((wx - x) * extent)),
-        int(round((wy - y) * extent)),
-    )
+    math as operators/geo.tile_xy, refined to the intra-tile grid) —
+    int(round()) over the ONE float projection (_to_px_float), so the
+    two can never drift."""
+    fx, fy = _to_px_float(lon, lat, z, x, y, extent)
+    return int(round(fx)), int(round(fy))
 
 
 def _cmd(cmd_id: int, count: int) -> int:
     return (cmd_id & 0x7) | (count << 3)
+
+
+def _line_touches_box(
+    pts: list[tuple[float, float]],
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+) -> bool:
+    """True iff the polyline has a vertex inside the box OR any segment
+    crosses it (Liang–Barsky interval test) — the correct tile-
+    membership predicate for lines, where an any-vertex test drops
+    long lines from the middle tiles they traverse."""
+    if any(x0 <= fx <= x1 and y0 <= fy <= y1 for fx, fy in pts):
+        return True
+    for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+        t0, t1 = 0.0, 1.0
+        dx, dy = bx - ax, by - ay
+        ok = True
+        for p, q in (
+            (-dx, ax - x0),
+            (dx, x1 - ax),
+            (-dy, ay - y0),
+            (dy, y1 - ay),
+        ):
+            if p == 0:
+                if q < 0:
+                    ok = False
+                    break
+            else:
+                r = q / p
+                if p < 0:
+                    if r > t1:
+                        ok = False
+                        break
+                    if r > t0:
+                        t0 = r
+                else:
+                    if r < t0:
+                        ok = False
+                        break
+                    if r < t1:
+                        t1 = r
+        if ok and t0 <= t1:
+            return True
+    return False
 
 
 def clip_ring(
@@ -203,7 +242,11 @@ def _encode_geometry(
     box (segment-level clipping is a renderer concern at our zooms)."""
     t = geom.get("type")
     if t == "Point":
-        fx, fy = _to_px_float(*geom["coordinates"], z, x, y, extent)
+        # index, don't splat: GeoJSON permits a third (elevation)
+        # coordinate, which would overflow _to_px_float's (lon, lat)
+        # slots — the Polygon/LineString paths already read p[0], p[1]
+        c = geom["coordinates"]
+        fx, fy = _to_px_float(c[0], c[1], z, x, y, extent)
         if clip_buf is not None and not (
             -clip_buf <= fx <= extent + clip_buf
             and -clip_buf <= fy <= extent + clip_buf
@@ -289,10 +332,18 @@ def _encode_geometry(
             fpts = [
                 _to_px_float(p[0], p[1], z, x, y, extent) for p in line
             ]
-            if clip_buf is not None and not any(
-                -clip_buf <= fx <= extent + clip_buf
-                and -clip_buf <= fy <= extent + clip_buf
-                for fx, fy in fpts
+            # membership test is vertex-in-box OR segment-crosses-box:
+            # a long line can traverse a middle tile with BOTH
+            # endpoints outside its buffered box, and the old
+            # any-vertex test silently dropped it from exactly the
+            # tiles _with_tile_span assigned it to — a one-tile gap in
+            # the rendered line
+            if clip_buf is not None and not _line_touches_box(
+                fpts,
+                -clip_buf,
+                -clip_buf,
+                extent + clip_buf,
+                extent + clip_buf,
             ):
                 continue
             coords = [(int(round(fx)), int(round(fy))) for fx, fy in fpts]
@@ -357,8 +408,17 @@ def encode_layer(
             tags += [key_ix[k], val_ix[vk]]
         body = b""
         fid = f.get("id")
-        if fid is not None:
-            body += _field(1, _VARINT, _varint(int(fid)))
+        # id is OPTIONAL uint64 in the spec: skip it for null/NaN
+        # (Arrow->pandas renders a nullable long column as float64 with
+        # NaN), non-numeric, or negative ids instead of crashing the
+        # encode task — the same tolerance the properties path has
+        if fid is not None and fid == fid:  # NaN != NaN
+            try:
+                iid = int(fid)
+            except (TypeError, ValueError):
+                iid = None
+            if iid is not None and iid >= 0:
+                body += _field(1, _VARINT, _varint(iid))
         if tags:
             packed = b"".join(_varint(t) for t in tags)
             body += _len_field(2, packed)
@@ -615,6 +675,7 @@ def dropped_features(
     zoom: int,
     geom_col: str = "geometry",
     clip_buf: int | None = 64,
+    simplify_px: float | None = None,
 ) -> DataFrame:
     """EVERY row ``encode_tiles(..., zoom, clip_buf=clip_buf)`` will
     drop, with a ``drop_reason`` column, mirroring the encode path the
@@ -630,7 +691,19 @@ def dropped_features(
       over one bbox-UDF evaluation, not a union of re-scans.
     * ``clip_buf=None`` (interior-point single-tile path): that path
       has NO span cap — its only drop is a null interior point, so the
-      audit reports exactly those rows as ``invalid_geometry``."""
+      audit reports exactly those rows as ``invalid_geometry``.
+
+    Pass the SAME ``simplify_px`` the encode ran with: simplification
+    happens BEFORE tiling and can shrink a bbox back under the span
+    cap, so an audit on raw geometry would report drops the sink never
+    made (audit and sink must see identical geometry)."""
+    if simplify_px is not None:
+        from ..operators.geo import simplify_geometry
+
+        tol = simplify_px * 360.0 / ((2 ** zoom) * EXTENT)
+        feats = feats.withColumn(
+            geom_col, simplify_geometry(tol)(F.col(geom_col))
+        )
     if clip_buf is None:
         from ..operators.geo import with_interior_points
 

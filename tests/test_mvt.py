@@ -962,3 +962,75 @@ def test_simplify_prepass_tolerates_bad_geometry(spark):
         for f in lyr["features"]
     ]
     assert kept  # the good polygon survived
+
+
+def test_point_with_elevation_coordinate_encodes(spark):
+    """GeoJSON permits [lon, lat, elevation]; the Point path must index
+    the first two instead of splatting all three (r6 review fix)."""
+    import json as _json
+
+    from map_v2_etl_spark.sources.mvt import decode_tile, encode_layer
+
+    feats = [{
+        "geometry": _json.dumps(
+            {"type": "Point", "coordinates": [-86.8, 32.6, 123.0]}
+        ),
+        "props": {"GEOID": "01"},
+        "id": 1,
+    }]
+    blob = encode_layer("pts", feats, 0, 0, 0)
+    (lyr,) = decode_tile(blob)
+    assert len(lyr["features"]) == 1 and lyr["features"][0]["type"] == 1
+
+
+def test_null_and_string_feature_ids_skip_id_field(spark):
+    """Nullable id columns arrive as NaN floats through Arrow->pandas;
+    string and negative ids are not MVT uint64s — all must encode the
+    feature WITHOUT an id rather than crash the encode task."""
+    import json as _json
+
+    from map_v2_etl_spark.sources.mvt import decode_tile, encode_layer
+
+    pt = _json.dumps({"type": "Point", "coordinates": [-86.8, 32.6]})
+    feats = [
+        {"geometry": pt, "props": {"GEOID": "a"}, "id": float("nan")},
+        {"geometry": pt, "props": {"GEOID": "b"}, "id": None},
+        {"geometry": pt, "props": {"GEOID": "c"}, "id": "GEOID7"},
+        {"geometry": pt, "props": {"GEOID": "d"}, "id": -5},
+        {"geometry": pt, "props": {"GEOID": "e"}, "id": 7},
+    ]
+    blob = encode_layer("ids", feats, 0, 0, 0)
+    (lyr,) = decode_tile(blob)
+    assert len(lyr["features"]) == 5
+    ids = [f["id"] for f in lyr["features"]]
+    assert ids.count(None) == 4 and 7 in ids
+
+
+def test_long_line_kept_in_traversed_middle_tile(spark):
+    """A two-vertex line spanning three tiles must encode into the
+    MIDDLE tile it traverses even though neither vertex lies in that
+    tile's buffered box (r6 review fix: segment-box intersection, not
+    any-vertex)."""
+    import json as _json
+
+    from map_v2_etl_spark.sources.mvt import decode_tile, encode_tiles
+
+    # z2: 4x4 tiles, 90 degrees of longitude each. A horizontal line
+    # from x-tile 0 to x-tile 2 at constant latitude crosses tile (1, y)
+    line = _json.dumps({
+        "type": "LineString",
+        "coordinates": [[-170.0, 20.0], [10.0, 20.0]],
+    })
+    feats = spark.createDataFrame(
+        [("l", "L1", line)], "layer STRING, GEOID STRING, geometry STRING"
+    )
+    tiles = {
+        (r["x"], r["y"]): bytes(r["pbf"])
+        for r in encode_tiles(feats, 2, clip_buf=8).collect()
+    }
+    xs = {x for (x, y) in tiles}
+    assert {0, 1, 2} <= xs, f"line missing from middle tile: {sorted(xs)}"
+    for (x, y), blob in tiles.items():
+        if x == 1:
+            (lyr,) = decode_tile(blob)
+            assert lyr["features"][0]["type"] == 2  # LineString present

@@ -357,3 +357,67 @@ def test_pq_encode_null_embedding_dropped_not_crash(spark):
     )
     codes = {r["vec_id"] for r in pq_encode(withnull, books).collect()}
     assert codes == set(range(20))  # null row absent, no crash
+
+
+def test_cosine_degenerate_vectors_null_not_crash_or_rank(spark):
+    """r6 review fixes: a zero-norm embedding must not raise
+    DIVIDE_BY_ZERO under ANSI, and a NaN component must not rank first
+    (Spark sorts NaN above every number) — both become NULL cosine,
+    which sorts last and fails thresholds."""
+    from map_v2_etl_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),          # zero norm
+            (3, [float("nan"), 1.0]),  # NaN component
+            (4, [0.6, 0.8]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    rows = cosine_topk(corpus, queries, k=4).collect()
+    by_rank = {r["rank"]: r for r in rows}
+    # real vectors first, degenerate ones last with NULL cosine
+    assert by_rank[1]["nn_id"] == 1
+    assert by_rank[2]["nn_id"] == 4
+    assert {by_rank[3]["nn_id"], by_rank[4]["nn_id"]} == {2, 3}
+    assert by_rank[3]["cosine"] is None and by_rank[4]["cosine"] is None
+
+
+def test_kmeans_local_regime_tolerates_null_embedding(spark):
+    from map_v2_etl_spark.operators.similarity import kmeans_assignments
+
+    rows = [(i, [float(i % 3), float((i * 7) % 5)]) for i in range(30)]
+    rows.append((99, None))
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    out = kmeans_assignments(df, k=3, iters=2)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert len(got) == 31  # null row kept (NULL distance -> NULL-safe)
+    assert all(v is not None for k_, v in got.items() if k_ != 99)
+
+
+def test_assign_clusters_null_id_consistent_across_regimes(spark):
+    """NULL-id rows surface with NULL cluster in BOTH physical
+    strategies (literal k<=64 and broadcast k>64) — the broadcast inner
+    join used to silently drop them."""
+    from map_v2_etl_spark.operators.similarity import assign_clusters
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 10.0]), (None, [5.0, 5.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    small = [[0.0, 0.0], [10.0, 10.0]]
+    big = [[float(i), float(i)] for i in range(70)]
+    for cents in (small, big):
+        out = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_clusters(df, cents).collect()
+        }
+        assert len(out) == 3, f"row dropped with k={len(cents)}"
+        assert out[None] is None, f"null id assigned with k={len(cents)}"
+        assert out[1] is not None and out[2] is not None
