@@ -105,6 +105,8 @@ HEADLINE = [
     "media_frame_sample",
     # round 6 (winnow_pairs subsumes the fingerprint selection subplan)
     "winnow_pairs",
+    "bpe_merges",
+    "events_rolling_anomaly",
 ]
 
 

@@ -1,0 +1,135 @@
+"""Wave-20 tests: BPE merge learning and rolling anomaly flags.
+
+The BPE engine path is pinned against an independent pure-Python
+reference implementation of the classic algorithm (Sennrich et al.
+2016) — merge table AND final symbol sequences, exact equality — plus
+unit cases for the leftmost-greedy fold's documented edge semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from map_v2_etl_spark.operators.bpe import learn_bpe, merge_pair, word_counts
+from map_v2_etl_spark.plans.registry import REGISTRY, all_queries
+from map_v2_etl_spark.sources.registry import load_table
+
+all_queries()
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference BPE (independent of the Spark implementation)
+# ---------------------------------------------------------------------------
+
+def _py_merge(toks: list[str], l: str, r: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _py_bpe(words: dict[str, int], k: int):
+    reps = {w: list(w) for w in words}
+    merges = []
+    for step in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, toks in reps.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        if not counts:
+            break
+        # tie-break: count DESC, then (l, r) ascending
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, c))
+        reps = {w: _py_merge(t, l, r) for w, t in reps.items()}
+    return merges, reps
+
+
+def test_learn_bpe_matches_python_reference(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    wc = {
+        r.w: r.cnt for r in word_counts(docs).collect()
+    }
+    exp_merges, exp_reps = _py_bpe(wc, 6)
+    merges, final = learn_bpe(docs, 6)
+    assert merges == exp_merges
+    got = {r.w: r.rep.split(" ") for r in final.collect()}
+    assert got == exp_reps
+    # sanity: the loop actually merged something
+    assert len(merges) == 6
+    assert any(len(t) > 1 for toks in got.values() for t in toks)
+
+
+@pytest.mark.parametrize(
+    "word,l,r,expected",
+    [
+        # leftmost-greedy non-overlap: a run of four merges pairwise
+        ("a a a a", "a", "a", "aa aa"),
+        # odd run: the tail symbol survives
+        ("a a a", "a", "a", "aa a"),
+        # merged token must not chain as LEFT within the same pass
+        ("a a b", "a", "b", "a ab"),
+        # pair where right is a multi-char symbol
+        ("a a ab", "a", "ab", "a aab"),
+        # no occurrence -> unchanged
+        ("h e l l o", "x", "y", "h e l l o"),
+        # single symbol -> unchanged
+        ("x", "a", "b", "x"),
+    ],
+)
+def test_merge_pair_semantics(spark, word, l, r, expected):
+    df = spark.createDataFrame([(word,)], ["rep"])
+    got = df.select(merge_pair(F.col("rep"), l, r).alias("m")).first().m
+    assert got == expected
+
+
+def test_bpe_token_counts_consistent(spark, sf_dir):
+    """Total BPE token count == sum over words of occurrences x symbol
+    count — recomputed independently from the python reference reps."""
+    docs = load_table(spark, "documents", sf_dir)
+    wc = {r.w: r.cnt for r in word_counts(docs).collect()}
+    _, exp_reps = _py_bpe(wc, 6)
+    expected_total = sum(wc[w] * len(t) for w, t in exp_reps.items())
+    out = REGISTRY["bpe_token_counts"].fn(spark, sf_dir).collect()
+    assert sum(r.n_tokens for r in out) == expected_total
+    # every doc with at least one token appears
+    n_docs_with_tokens = (
+        docs.select(F.trim("text").alias("t")).filter(F.col("t") != "").count()
+    )
+    assert len(out) == n_docs_with_tokens
+
+
+def test_rolling_anomaly_matches_pandas(spark, sf_dir):
+    """Re-derive the 2-sigma flags for every event type with pandas
+    integer arithmetic and compare the flagged id set exactly."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    pdf = ev.toPandas().sort_values(["event_type", "ts", "event_id"])
+    import math
+
+    flagged = set()
+    for _, g in pdf.groupby("event_type"):
+        vals = [int(math.floor(v * 1000.0)) for v in g["value"]]
+        ids = list(g["event_id"])
+        for i in range(len(vals)):
+            lo = max(0, i - 20)
+            wnd = vals[lo:i]
+            if len(wnd) != 20:
+                continue
+            s, q = sum(wnd), sum(x * x for x in wnd)
+            v = vals[i]
+            if (20 * v - s) ** 2 > 4 * (20 * q - s * s):
+                flagged.add(int(ids[i]))
+    out = REGISTRY["events_rolling_anomaly"].fn(spark, sf_dir).collect()
+    assert {int(r.event_id) for r in out} == flagged
+    # the flag set is non-trivial at every SF (measured: ~7% of events)
+    assert flagged
