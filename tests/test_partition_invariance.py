@@ -45,6 +45,11 @@ CASES = [
     "winnow_pairs",
     "incremental_agg_merge",
     "corrupt_record_quarantine",
+    # wave 20: the BPE argmax tie-break (count DESC, l, r) and the
+    # integer anomaly flag both claim layout-independence — the argmax
+    # rides a LIMIT over a shuffled agg, the classic risk spot
+    "bpe_merges",
+    "events_rolling_anomaly",
 ]
 
 

@@ -8,7 +8,6 @@ unit cases for the leftmost-greedy fold's documented edge semantics.
 
 from __future__ import annotations
 
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -133,3 +132,46 @@ def test_rolling_anomaly_matches_pandas(spark, sf_dir):
     assert {int(r.event_id) for r in out} == flagged
     # the flag set is non-trivial at every SF (measured: ~7% of events)
     assert flagged
+
+
+# ---------------------------------------------------------------------------
+# property: learn_bpe == pure-Python BPE on arbitrary word multisets
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_spark = None
+
+
+@pytest.fixture(autouse=True)
+def _grab_spark(spark):
+    global _spark
+    _spark = spark
+
+
+# small alphabet maximizes pair collisions/ties — the stress case for
+# the tie-break and the greedy fold; sizes keep each example to one job
+_words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_words)
+def test_learn_bpe_property(words):
+    docs = _spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["doc_id", "text"]
+    )
+    wc: dict[str, int] = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    exp_merges, exp_reps = _py_bpe(wc, 4)
+    merges, final = learn_bpe(docs, 4)
+    assert merges == exp_merges
+    assert {r.w: r.rep.split(" ") for r in final.collect()} == exp_reps
