@@ -134,6 +134,7 @@ def learn_bpe(
     )
     merges: list[tuple[int, str, str, int]] = []
     live = reps
+    prev = None  # the already-cached frame `live` was derived from
     try:
         for step in range(1, k + 1):
             top = (
@@ -142,6 +143,13 @@ def learn_bpe(
                 .limit(1)
                 .collect()
             )
+            # ^ this action materialized (and cached) `live`; only NOW
+            # is its parent safe to drop — unpersisting before the
+            # child's first action would force every iteration to
+            # recompute the whole fold chain from the base table
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:  # every word is a single symbol — nothing left
                 break
             l, r, c = top[0].l, top[0].r, int(top[0].c)
@@ -150,12 +158,14 @@ def learn_bpe(
                 "rep", merge_pair(F.col("rep"), l, r)
             ).persist(StorageLevel.MEMORY_AND_DISK)
             if live is not reps:
-                live.unpersist()
+                prev = live
             live = nxt
         # materialize OUTSIDE the loop's persist chain so the interim
         # blocks can be dropped now, not when the caller finally acts
         final = live.localCheckpoint(eager=True)
     finally:
+        if prev is not None:
+            prev.unpersist()
         if live is not reps:
             live.unpersist()
         reps.unpersist()

@@ -15,6 +15,10 @@ engine per the north-star charter (BASELINE.json). Rationale per query:
 * bpe_token_counts — the application side: per-document token counts
   under the learned merges, i.e. "how long is this corpus in MY
   tokenizer", the number every training-data budget starts from.
+* xml_roundtrip — the Spark 4 built-in XML source completing the
+  format matrix beside wave 17/18's orc/json/csv/parquet/binary
+  roundtrips: write, schema-pinned re-read, aggregate vs the original
+  table's oracle.
 * events_rolling_anomaly — per-type rolling z-score outliers: an event
   whose value deviates from the trailing-20 window mean by more than
   2 sigma (the window EXCLUDES the current row, so the flag is a true
@@ -157,6 +161,68 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n_sym").cast("long").alias("n_tokens"))
     )
+
+
+# --------------------------------------------------------------------------
+# xml_roundtrip
+# --------------------------------------------------------------------------
+
+_DEC = "decimal(20,4)"
+
+_DUCK_XML = (
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+    f"CAST(sum(CAST(c_acctbal AS {_DEC})) AS DOUBLE) AS sum_bal, "
+    "CAST(min(c_custkey) AS BIGINT) AS min_key "
+    "FROM customer GROUP BY c_mktsegment"
+)
+
+_XML_SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+@query("xml_roundtrip", _DUCK_XML, tags=["source", "xml", "roundtrip"])
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → XML (Spark 4 built-in source) → schema-pinned re-read
+    → per-segment aggregate — completes the format matrix beside the
+    orc/json/csv/parquet/binary roundtrips (queries_wave17/18 pattern).
+
+    Doubles survive the writer's shortest-roundtrip rendering exactly
+    (verified: exceptAll(original, reread) is empty) and the explicit
+    read schema is the 100 TB posture — XML inference costs a full
+    extra corpus pass AND would widen types the writer narrowed
+    (probed: an all-digits string column infers back as bigint).
+    Decimal-exact internal sum, DOUBLE final projection (house style —
+    the driver hashes DECIMAL finals engine-differently)."""
+    import shutil
+    import tempfile
+
+    cu = load_table(spark, "customer", sf_dir)
+    path = tempfile.mkdtemp(prefix="m2e_xml_")
+    try:
+        cu.write.mode("overwrite").format("xml").option(
+            "rowTag", "row"
+        ).save(path)
+        back = (
+            spark.read.schema(_XML_SCHEMA)
+            .format("xml")
+            .option("rowTag", "row")
+            .load(path)
+        )
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("c_acctbal").cast(_DEC))
+                .cast("double")
+                .alias("sum_bal"),
+                F.min("c_custkey").alias("min_key"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------

@@ -175,3 +175,30 @@ def test_learn_bpe_property(words):
     merges, final = learn_bpe(docs, 4)
     assert merges == exp_merges
     assert {r.w: r.rep.split(" ") for r in final.collect()} == exp_reps
+
+
+def test_xml_roundtrip_row_exact(spark, sf_dir):
+    """The docstring's claim, asserted: every (key, double) row survives
+    the XML write + schema-pinned read bit-exactly."""
+    import shutil
+    import tempfile
+
+    cu = load_table(spark, "customer", sf_dir)
+    path = tempfile.mkdtemp(prefix="m2e_xml_t_")
+    try:
+        cu.write.mode("overwrite").format("xml").option(
+            "rowTag", "row"
+        ).save(path)
+        from map_v2_etl_spark.plans.queries_wave20 import _XML_SCHEMA
+
+        back = (
+            spark.read.schema(_XML_SCHEMA)
+            .format("xml")
+            .option("rowTag", "row")
+            .load(path)
+        )
+        cols = ["c_custkey", "c_acctbal", "c_name", "c_mktsegment"]
+        assert cu.select(cols).exceptAll(back.select(cols)).count() == 0
+        assert back.count() == cu.count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
