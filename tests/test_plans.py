@@ -153,3 +153,21 @@ def test_mvt_encode_tiles_single_tile_shuffle(spark):
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_anomaly_single_exchange_pruned_scan(spark, sf_dir):
+    """One shuffle on event_type; the scan reads only the four columns
+    the query touches (no props/value-wide read)."""
+    plan = plan_of("events_rolling_anomaly", spark, sf_dir)
+    assert plan.count("Exchange") == 1, plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema
+    assert "user_id" not in read_schema
+
+
+def test_bpe_token_counts_broadcasts_symbol_table(spark, sf_dir):
+    """The learned (vocab-bounded) symbol table must ride a broadcast
+    join into the corpus token stream, never a sort-merge."""
+    plan = plan_of("bpe_token_counts", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
