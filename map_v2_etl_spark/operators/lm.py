@@ -108,18 +108,16 @@ def bigram_ll_from_toks(t: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     The vocabulary size joins in as a broadcast one-row aggregate — the
     whole plan is aggregations plus equi-joins, no driver-side state.
-    """
-    from pyspark import StorageLevel
 
-    # load-bearing persist: bg feeds both the count aggregation and the
-    # scoring join probe — without it the tokenize+explode pipeline
-    # executes twice (same discipline as dsir_weights_from_toks).
-    # CACHE CONTRACT: not unpersisted here (the returned plan references
-    # it); long sessions clearCache between builds.
-    bg = doc_bigrams_from_toks(t, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    return bigram_ll_from_bigrams(t, bg, id_col)
+    CACHE CONTRACT (changed r7 per ADVICE r6): this helper no longer
+    persists the bigram frame — a library-internal persist with no
+    unpersist leaked one corpus-scale MEMORY_AND_DISK entry per call.
+    bg is consumed twice downstream (count aggregation + scoring
+    probe), so performance-sensitive callers should build and persist
+    bg THEMSELVES and call bigram_ll_from_bigrams — the caller-owned
+    pattern of the wave8 curation pipeline and wave6 ngram_lm_score.
+    """
+    return bigram_ll_from_bigrams(t, doc_bigrams_from_toks(t, id_col), id_col)
 
 
 def bigram_ll_from_bigrams(

@@ -261,7 +261,13 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine similarity self-join (>= 0.4) on a bounded slice —
-    id-only output keeps the float out of the hash."""
+    id-only output keeps the float out of the hash.
+
+    The ``vec_id < 200`` slice is LOAD-BEARING, not incidental: it is
+    what keeps this deliberate all-pairs crossJoin legal (<= 200 x 200
+    comparisons regardless of corpus size). Do not lift it — at corpus
+    scale the bucketed forms are the real operators: embedding_lsh_topk
+    / embedding_semdedup (similarity.py) and winnowing (text.py)."""
     emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 200)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -400,7 +406,18 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling-window counts/sums per event type. Same operator
     runs as a real Structured Streaming query with watermark in
-    streaming/windows.py; this batch form is the oracle-checkable shape."""
+    streaming/windows.py; this batch form is the oracle-checkable shape.
+
+    TZ robustness (re-examined r7 per ADVICE r6): the testdata parquet
+    ``ts`` is TIMESTAMP_NTZ (isAdjustedToUTC=false), Spark 4 reads it
+    as TimestampNTZType, and F.window over NTZ yields NTZ starts — so
+    BOTH sides of this pairing are naive wall-clock arithmetic and no
+    as_naive_utc rendering is needed (that renderer exists for the
+    STREAMING queries, which must convert to instants for watermarks).
+    Verified: tools/check_oracle.py --bare passes under
+    TZ=Asia/Kolkata and TZ=America/New_York; re-certified via
+    FORCE_RECERT this round (last driver hash cert was r02, before the
+    time_bucket oracle rewrite)."""
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")

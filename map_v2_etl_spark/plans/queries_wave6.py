@@ -77,9 +77,20 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring = equi-join of doc-bigrams to the LM on (w1, w2) — the LM
     side is vocab-bounded, orders of magnitude under corpus size, and
     broadcastable when it fits. Vocabulary size rides in as a broadcast
-    one-row aggregate; no driver state."""
+    one-row aggregate; no driver state.
+
+    CALLER-OWNED persist (r7, ADVICE r6): the bigram frame feeds both
+    the LM-count aggregation and the scoring probe; we persist it HERE
+    rather than inside the library helper so the cache entry belongs to
+    this query's scope, not to every bigram_ll caller."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, "documents", sf_dir)
-    return LM.bigram_ll(docs)
+    t = docs.select("doc_id", LM.toks_col("text").alias("toks"))
+    bg = LM.doc_bigrams_from_toks(t, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return LM.bigram_ll_from_bigrams(t, bg, "doc_id")
 
 
 # ---------------------------------------------------------------------------
