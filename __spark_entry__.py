@@ -38,6 +38,7 @@ from map_v2_etl_spark.plans import registry as _r  # noqa: E402
 #: (r4/r5 certs) would otherwise sit behind ~45 older r2/r3 records,
 #: i.e. outside the driver's ~50-query certification window this round.
 FORCE_RECERT: set[str] = {
+    # r6 ADVICE: edited in r6 but not re-certified there
     "events_tumbling_window",
     "events_topk_stream",
     "events_sliding_window",
@@ -46,6 +47,17 @@ FORCE_RECERT: set[str] = {
     "text_lang_id",
     "curation_pipeline",
     "binary_file_source",
+    # r7 plan changes (unrolled crossJoin distances in pq_train /
+    # assign_clusters' broadcast leg; triangle counting extracted to
+    # operators.graph with the endpoint-set dense universe): their r5/r6
+    # certs sit at the BACK of the 119-deep stale queue, so without
+    # promotion this round's own edits would go uncertified — the exact
+    # r6 failure mode.
+    "triangle_count",
+    "embedding_pq_topk",
+    "embedding_kmeans",
+    "embedding_semdedup",
+    "ann_recall_report",
 }
 
 

@@ -1,0 +1,357 @@
+"""Distributed-regime scale bench — the 100x proof for gate-bounded operators.
+
+Several heavy operators run a bounded DRIVER regime below a documented
+size gate (pagerank, connected components, triangle counting, Lloyd
+k-means, PQ codebook training) because at bench scale (sf0.1) the
+iterative-join machinery is pure overhead. At 100 TB only the
+DISTRIBUTED paths run — and through round 6 those paths were
+correctness-tested (regime-parity tests force the gates) but never
+TIMED. This harness closes that gap:
+
+  * generates synthetic inputs ABOVE each gate with spark.range + hash
+    arithmetic — fully distributed generation, no Python UDFs, no
+    driver-side materialization, deterministic row-for-row;
+  * times each distributed path at TWO sizes (1x and 2x rows) so the
+    scaling exponent is measured, not argued;
+  * records Spark job/stage counts per operator via the status tracker
+    (shuffle_stages = stages - jobs: every stage beyond its job's
+    result stage is a shuffle-boundary stage — the runtime counterpart
+    of the Exchange counts audited statically in docs/PLANS.md).
+
+Output: one JSON line on stdout (the bench.py convention) and
+BENCH_SCALE.json next to this file.
+
+Usage:  python bench_scale.py            # full suite, ~5-10 min local[32]
+        python bench_scale.py pagerank   # one operator
+Env:    SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE_MULT (default 1
+        — multiplies every size; the gates stay fixed, so >=1 keeps all
+        runs in the distributed regime).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULT = float(os.environ.get("SPARK_GRAFT_SCALE_MULT", "1"))
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+# --------------------------------------------------------------------------
+# deterministic synthetic generators (distributed: spark.range + hash mixes)
+# --------------------------------------------------------------------------
+
+
+def gen_nodes(spark: SparkSession, n: int) -> DataFrame:
+    return spark.range(n).select(F.col("id"))
+
+
+def gen_edges(spark: SparkSession, n_nodes: int, out_deg: int) -> DataFrame:
+    """~n_nodes*out_deg directed edges: src = i div k, dst = a hash mix
+    of (src, slot) mod n — self-loops dropped. Hash targets spread
+    near-uniformly, so degree skew stays mild and wedge volume is a
+    function of out_deg (the knob the sizes below are chosen with)."""
+    return (
+        spark.range(n_nodes * out_deg)
+        .select(
+            (F.col("id") / out_deg).cast("long").alias("src"),
+            F.pmod(
+                F.xxhash64(F.col("id"), F.lit(0x5CA1E)), F.lit(n_nodes)
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def gen_chain_edges(
+    spark: SparkSession, n_nodes: int, comp_size: int
+) -> DataFrame:
+    """Path components of comp_size vertices each (diameter comp_size-1):
+    the shape where min-label pays O(d) rounds and large/small-star
+    pays O(log d) — the comparison the star variant exists for."""
+    return (
+        spark.range(n_nodes)
+        .filter(F.pmod(F.col("id"), F.lit(comp_size)) != comp_size - 1)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+
+
+def gen_embeddings(spark: SparkSession, n: int, dim: int) -> DataFrame:
+    """(vec_id, embedding array<double> in [0,1)^dim), hash-derived."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(
+                        F.xxhash64(F.col("id"), F.lit(j)), F.lit(100_000)
+                    )
+                    / 100_000.0
+                ).alias(f"x{j}")
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def gen_pair_edges(
+    spark: SparkSession, n_nodes: int, out_deg: int
+) -> DataFrame:
+    """Undirected once-per-pair (a < b) edge list for triangle_counts,
+    with a planted triangle motif (consecutive-id edges i—i+1, i—i+2)
+    so the count is nonzero and the closing join does real work."""
+    hashed = gen_edges(spark, n_nodes, out_deg - 2).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    planted = (
+        spark.range(n_nodes * 2)
+        .select(
+            (F.col("id") / 2).cast("long").alias("i"),
+            (F.pmod(F.col("id"), F.lit(2)) + 1).alias("step"),
+        )
+        .select(F.col("i").alias("a"), (F.col("i") + F.col("step")).alias("b"))
+        .filter(F.col("b") < n_nodes)
+    )
+    return hashed.union(planted).distinct()
+
+
+# --------------------------------------------------------------------------
+# measurement
+# --------------------------------------------------------------------------
+
+
+def timed(spark: SparkSession, label: str, fn) -> dict:
+    """Run fn() under its own job group; wall clock + job/stage counts."""
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.setJobGroup(label, label, interruptOnCancel=False)
+    t0 = time.perf_counter()
+    result = fn()
+    wall = time.perf_counter() - t0
+    sc.setJobGroup("idle", "idle", interruptOnCancel=False)
+    tracker = sc.statusTracker()
+    job_ids = tracker.getJobIdsForGroup(label)
+    n_stages = 0
+    for jid in job_ids:
+        info = tracker.getJobInfo(jid)
+        if info is not None:
+            n_stages += len(info.stageIds)
+    rec = {
+        "wall_sec": round(wall, 3),
+        "jobs": len(job_ids),
+        "stages": n_stages,
+        "shuffle_stages": max(0, n_stages - len(job_ids)),
+    }
+    if isinstance(result, dict):
+        rec.update(result)
+    return rec
+
+
+# --------------------------------------------------------------------------
+# the distributed-regime workloads (sizes are ABOVE every gate at MULT=1)
+# --------------------------------------------------------------------------
+
+
+def bench_pagerank(spark: SparkSession, frac: float) -> dict:
+    from map_v2_etl_spark.operators.graph import pagerank
+
+    n = int(300_000 * MULT * frac)  # gate: 200k nodes / 2M edges
+    k, iters = 6, 5
+    nodes = gen_nodes(spark, n)
+    edges = gen_edges(spark, n, k)
+
+    def run():
+        out = pagerank(nodes, edges, iters=iters)
+        rows = out.count()
+        mass = out.agg(F.sum("rank")).first()[0]
+        return {
+            "n_nodes": n,
+            "n_edges": n * k,
+            "iters": iters,
+            "out_rows": rows,
+            "rank_mass": round(float(mass), 6),
+        }
+
+    rec = timed(spark, f"pagerank_{frac}x", run)
+    rec["per_iter_sec"] = round(rec["wall_sec"] / iters, 3)
+    return rec
+
+
+def bench_cc_minlabel(spark: SparkSession, frac: float) -> dict:
+    from map_v2_etl_spark.operators.dedup import connected_components
+
+    n = int(400_000 * MULT * frac)  # gate: 200k vertices
+    comp = 8  # diameter 7 -> ~8 min-label rounds
+    verts = gen_nodes(spark, n)
+    edges = gen_chain_edges(spark, n, comp)
+
+    def run():
+        out = connected_components(
+            verts, edges, max_iter=comp + 4
+        )
+        n_clusters = out.select("cluster").distinct().count()
+        return {
+            "n_vertices": n,
+            "comp_size": comp,
+            "clusters": n_clusters,
+            "expected_clusters": (n + comp - 1) // comp,
+        }
+
+    return timed(spark, f"cc_minlabel_{frac}x", run)
+
+
+def bench_cc_star(spark: SparkSession, frac: float) -> dict:
+    from map_v2_etl_spark.operators.dedup import connected_components_star
+
+    n = int(400_000 * MULT * frac)
+    comp = 64  # diameter 63: min-label would need ~64 rounds, star ~log2
+    verts = gen_nodes(spark, n)
+    edges = gen_chain_edges(spark, n, comp)
+
+    def run():
+        out = connected_components_star(verts, edges, max_iter=20)
+        n_clusters = out.select("cluster").distinct().count()
+        return {
+            "n_vertices": n,
+            "comp_size": comp,
+            "clusters": n_clusters,
+            "expected_clusters": (n + comp - 1) // comp,
+        }
+
+    return timed(spark, f"cc_star_{frac}x", run)
+
+
+def bench_lloyd(spark: SparkSession, frac: float) -> dict:
+    from map_v2_etl_spark.operators.similarity import lloyd_centroids
+
+    dim = 16  # gate: 16M/dim = 1M rows
+    n = int(1_100_000 * MULT * frac)
+    k, iters = 8, 3
+    emb = gen_embeddings(spark, n, dim)
+
+    def run():
+        cents = lloyd_centroids(emb, k=k, iters=iters)
+        return {
+            "n_rows": n,
+            "dim": dim,
+            "k": k,
+            "iters": iters,
+            "centroid_checksum": round(
+                sum(sum(c) for c in cents), 6
+            ),
+        }
+
+    rec = timed(spark, f"lloyd_{frac}x", run)
+    rec["per_iter_sec"] = round(rec["wall_sec"] / iters, 3)
+    return rec
+
+
+def bench_pq_train(spark: SparkSession, frac: float) -> dict:
+    from map_v2_etl_spark.operators.similarity import pq_train
+
+    dim = 16
+    n = int(1_100_000 * MULT * frac)
+    m, ksub, iters = 4, 16, 2
+    emb = gen_embeddings(spark, n, dim)
+
+    def run():
+        books = pq_train(emb, m=m, ksub=ksub, iters=iters)
+        return {
+            "n_rows": n,
+            "dim": dim,
+            "m": m,
+            "ksub": ksub,
+            "iters": iters,
+            "codebook_checksum": round(
+                sum(sum(sum(c) for c in sub) for sub in books), 6
+            ),
+        }
+
+    rec = timed(spark, f"pq_train_{frac}x", run)
+    rec["per_iter_sec"] = round(rec["wall_sec"] / iters, 3)
+    return rec
+
+
+def bench_triangles(spark: SparkSession, frac: float) -> dict:
+    from map_v2_etl_spark.operators.graph import triangle_counts
+
+    n = int(600_000 * MULT * frac)  # gate: 2M edges / 8k dense nodes
+    k = 6  # ~n*(k-2) hashed + 2n planted ≈ 3.6M edges at 1x
+    e = gen_pair_edges(spark, n, k)
+
+    def run():
+        out = triangle_counts(e)
+        total = out.agg(
+            F.count("*").alias("v"), F.sum("n_triangles").alias("t")
+        ).first()
+        return {
+            "n_nodes": n,
+            "vertices_in_triangles": total["v"],
+            "triangle_incidences": int(total["t"]),
+        }
+
+    return timed(spark, f"triangles_{frac}x", run)
+
+
+BENCHES = {
+    "pagerank": bench_pagerank,
+    "cc_minlabel": bench_cc_minlabel,
+    "cc_star": bench_cc_star,
+    "lloyd": bench_lloyd,
+    "pq_train": bench_pq_train,
+    "triangles": bench_triangles,
+}
+
+
+def main() -> None:
+    from map_v2_etl_spark.session import get_spark
+
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    spark = get_spark("bench_scale", cpus=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+    total = 0.0
+    for name, fn in BENCHES.items():
+        if only and name not in only:
+            continue
+        entry: dict[str, dict] = {}
+        # discarded tiny warm-up: JVM/codegen/Arrow warm-up otherwise
+        # lands entirely on the 1x run and skews the 2x/1x ratio (it
+        # runs BELOW the gates, so it times nothing we report)
+        fn(spark, 0.02)
+        for scale in (1, 2):
+            rec = fn(spark, float(scale))
+            entry[f"{scale}x"] = rec
+            total += rec["wall_sec"]
+            print(
+                f"# {name} {scale}x: {rec['wall_sec']}s "
+                f"jobs={rec['jobs']} stages={rec['stages']}",
+                file=sys.stderr,
+            )
+        w1, w2 = entry["1x"]["wall_sec"], entry["2x"]["wall_sec"]
+        entry["scaling_ratio_2x"] = round(w2 / w1, 2) if w1 else None
+        results[name] = entry
+    out = {
+        "metric": "distributed_regime_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "cpus": CPUS,
+        "mult": MULT,
+        "ops": results,
+    }
+    line = json.dumps(out)
+    print(line)
+    if not only:
+        with open(os.path.join(HERE, "BENCH_SCALE.json"), "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

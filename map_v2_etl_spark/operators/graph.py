@@ -263,3 +263,127 @@ def _pagerank_local(
             "rank", "double", False
         ),
     )
+
+
+#: dense-regime gates for triangle_counts: the adjacency matrix is
+#: n x n float64 (8000² = 512 MB ceiling) and the edge list transfers
+#: once via Arrow — past either bound the distributed compact-forward
+#: join below is the only path that runs.
+DENSE_TRI_NODES = 8_000
+DENSE_TRI_EDGES = 2_000_000
+
+
+def triangle_counts(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    dense_max_nodes: int = DENSE_TRI_NODES,
+    dense_max_edges: int = DENSE_TRI_EDGES,
+) -> DataFrame:
+    """(id, n_triangles) per vertex over an UNDIRECTED edge list given
+    once per pair (a < b); vertices in no triangle are omitted.
+
+    Extracted from the triangle_count query (r7) so the DISTRIBUTED
+    regime is callable on synthetic above-gate graphs by bench_scale.py
+    — before that the 100 TB path existed only inline behind the dense
+    gate and had never been timed.
+
+    Scale: DEGREE-ORDERED orientation (compact-forward — Latapy 2008,
+    public literature): every edge points from its lower-(degree, id)
+    endpoint to the higher, wedges form only at each edge's LOW-degree
+    end, and a triangle is enumerated exactly once at its lowest-ranked
+    vertex. Wedge volume drops from Σ deg² to Σ out-deg² (≤ √(2m)
+    out-degree bound on skewed graphs). Both joins are vertex-keyed
+    equi-joins; the degree table is vertex-sized and broadcast.
+
+    Dense regime (the tfidf/pagerank pattern): a graph under the gates
+    counts fastest as ONE adjacency matmul — per-vertex triangles =
+    row-sums of (A·A)∘A / 2, BLAS instead of the wedge join. Identical
+    counts either side of the gate (integer arithmetic both ways).
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = e.count()
+    if n_edges <= dense_max_edges:
+        # vertex universe = edge endpoints (an isolated vertex has no
+        # triangles and the output omits zero rows anyway); sorted so
+        # the matrix index order is a pure function of the graph
+        ids = sorted(
+            e.select(F.col("a").alias("v"))
+            .union(e.select(F.col("b").alias("v")))
+            .distinct()
+            .toPandas()["v"]
+            .tolist()
+        )
+        if len(ids) <= dense_max_nodes:
+            import numpy as np
+
+            idx = {v: i for i, v in enumerate(ids)}
+            n = len(ids)
+            A = np.zeros((n, n), dtype=np.float64)
+            # Arrow toPandas + fancy indexing: columnar transfer of the
+            # (≤2M-row) edge list beats row-object collect ~5x
+            e_pdf = e.toPandas()
+            ii = e_pdf["a"].map(idx).to_numpy(dtype=np.int64)
+            jj = e_pdf["b"].map(idx).to_numpy(dtype=np.int64)
+            A[ii, jj] = 1.0
+            A[jj, ii] = 1.0
+            e.unpersist()
+            tri = ((A @ A) * A).sum(axis=1) / 2.0
+            spark = edges.sparkSession
+            rows = [(v, int(t)) for v, t in zip(ids, tri) if t > 0]
+            schema = (
+                e.select(F.col("a").alias("id")).schema
+                .add("n_triangles", "long", False)
+            )
+            return spark.createDataFrame(rows, schema)
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    # orient: lower (degree, id) -> higher; broadcast the vertex-degree
+    # table onto both endpoints (vertex-sized, not edge-sized)
+    da = deg.select(F.col("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("a").alias("b"), F.col("d").alias("db"))
+    keyed = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        # dst's (degree, id) rank rides along for the wedge ordering
+        F.when(a_first, F.struct("db", "b")).otherwise(
+            F.struct(F.col("da").alias("db"), F.col("a").alias("b"))
+        ).alias("dr"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    o1 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y"),
+        F.col("dr").alias("ry"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("z"),
+        F.col("dr").alias("rz"),
+    )
+    # wedge (y, z) ordered by rank so each pair forms once; close with
+    # the oriented edge low-rank -> high-rank
+    wedges = o1.join(o2, "x").filter(F.col("ry") < F.col("rz")).select(
+        "x", "y", "z"
+    )
+    closing = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"])
+    pv = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n"))
+    )
+    return pv.select(
+        F.col("v").alias("id"), F.col("n").alias("n_triangles")
+    )

@@ -350,19 +350,60 @@ def embedding_near_dup_pairs(
 # k-means clustering + SemDeDup-style semantic dedup
 # --------------------------------------------------------------------------
 
-def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance from an array column to a constant centroid.
+#: above this dimensionality the unrolled distance expression would
+#: bloat the plan (one add+mul pair per element per centroid); the HOF
+#: fold is the O(1)-plan-size fallback. 128 doubles is far past every
+#: embedding dim in the testdata and keeps Catalyst analysis trivial.
+_UNROLL_DIM_MAX = 128
 
-    The centroid is folded into the plan as literals (like the LSH
-    hyperplanes above): no UDF, no broadcast variable, stays JVM-side."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
+
+def _sq_dist_cols(vec: Column, cent: Column, length: int | None) -> Column:
+    """Squared L2 distance between two array<double> columns.
+
+    When the dimensionality is statically known and small, the distance
+    UNROLLS into a chain of adds/multiplies — the same left fold, in
+    the same element order, with the same per-element cast as the
+    zip_with+aggregate form (so results are BIT-IDENTICAL), but inside
+    whole-stage codegen instead of the interpreted higher-order-function
+    evaluator. try_element_at keeps the HOF form's null-on-short-vector
+    semantics (plain indexing would THROW under ANSI mode).
+
+    MEASURED REGIME BOUNDARY (r7 solo best-of-3, bench_scale shapes):
+    unrolling pays ONLY where the distance appears ONCE per row — the
+    crossJoin(broadcast)+min_by legs (pq_train 9.8 s -> 7.5 s at 1.1M x
+    16-dim). Where k copies of the expression are folded into a single
+    projection (the literal-centroid array_min path, k x dim terms) the
+    giant expression tree costs MORE than the interpreted fold (Lloyd
+    4.0 s HOF vs 8.8 s unrolled at k=8, dim=16) — so _sq_dist_to below
+    passes length=None and keeps the fold. Callers choose per context,
+    not per dimensionality alone."""
+    if length is not None and 0 < length <= _UNROLL_DIM_MAX:
+        acc = F.lit(0.0)
+        for i in range(length):
+            x = F.try_element_at(vec, F.lit(i + 1)).cast("double")
+            y = F.try_element_at(cent, F.lit(i + 1))
+            acc = acc + (x - y) * (x - y)
+        return acc
     return F.aggregate(
         F.zip_with(
-            vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            vec, cent,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from an array column to a constant centroid.
+
+    The centroid is folded into the plan as literals (like the LSH
+    hyperplanes above): no UDF, no broadcast variable, stays JVM-side.
+    Deliberately length=None (HOF fold): this is the k-copies-in-one-
+    projection path, where unrolling measured 2.2x SLOWER — see
+    _sq_dist_cols' regime-boundary note."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return _sq_dist_cols(vec, c, None)
 
 
 #: above this k, literal-folded centroids are replaced by a broadcast join.
@@ -418,15 +459,9 @@ def assign_clusters(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid INT, cent ARRAY<DOUBLE>",
     )
-    d = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("cent"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # unrolled (codegen) distance — dim is known from the driver-held
+    # centroids; bit-identical to the HOF fold (see _sq_dist_cols)
+    d = _sq_dist_cols(F.col(vec_col), F.col("cent"), len(centroids[0]))
     assign = (
         emb.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))
@@ -770,12 +805,32 @@ def pq_train(
             ]
             for s in range(m)
         ]
-        d_expr = F.aggregate(
-            F.zip_with(
-                F.col("sv"), F.col("cent"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # unrolled (codegen) subvector distance: the HOF fold here was
+        # bench_scale.py's hottest line — n x m x ksub evaluations per
+        # iteration in the interpreted HOF evaluator (~14 s/iter at
+        # 1.1M x 16-dim); the static chain is the same left fold in
+        # codegen. NOTE the sv elements are already double (sliced from
+        # the normalized uvec), so no per-element cast here — matching
+        # the original zip_with lambda, which also didn't cast.
+        def _d_unrolled() -> Column:
+            acc = F.lit(0.0)
+            for i in range(sublen):
+                x = F.try_element_at(F.col("sv"), F.lit(i + 1))
+                y = F.try_element_at(F.col("cent"), F.lit(i + 1))
+                acc = acc + (x - y) * (x - y)
+            return acc
+
+        d_expr = (
+            _d_unrolled()
+            if sublen <= _UNROLL_DIM_MAX
+            else F.aggregate(
+                F.zip_with(
+                    F.col("sv"), F.col("cent"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         )
         for _ in range(iters):
             cw = spark.createDataFrame(

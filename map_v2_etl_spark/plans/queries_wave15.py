@@ -80,96 +80,23 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this near-CLIQUE dup graph it is the ~3x clique factor
     (measured 11.3s → 7.0s at sf0.1, identical counts — dense cluster
     graphs are the algorithm's worst case and the remaining cost is
-    genuine wedge volume). Both joins stay vertex-keyed equi-joins."""
-    from pyspark import StorageLevel
+    genuine wedge volume). Both joins stay vertex-keyed equi-joins.
 
+    r7: counting body extracted to operators.graph.triangle_counts so
+    bench_scale.py can time the distributed regime on above-gate
+    synthetic graphs; the dense-gate vertex universe is now the edge
+    ENDPOINT set (isolated docs never appear in the t>0 output, so
+    results are identical)."""
     from ..operators.dedup import simhash_pairs
+    from ..operators.graph import triangle_counts
 
     docs = load_table(spark, "documents", sf_dir)
     e = simhash_pairs(docs, max_hamming=3).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
-    # gate-bounded dense regime (the tfidf/pagerank pattern): a graph
-    # this small-and-dense counts fastest as ONE adjacency matmul —
-    # per-vertex triangles = row-sums of (A·A)∘A / 2, BLAS instead of
-    # 19M wedge join rows. Bounds keep the driver matrix ≤ ~512 MB;
-    # bigger graphs take the distributed degree-ordered join below.
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    n_edges = e.count()
-    if n_edges <= 2_000_000:
-        ids = docs.select(
-            F.col("doc_id").alias("a")).toPandas()["a"].tolist()
-        if len(ids) <= 8000:
-            import numpy as np
-
-            idx = {v: i for i, v in enumerate(ids)}
-            n = len(ids)
-            A = np.zeros((n, n), dtype=np.float64)
-            # Arrow toPandas + fancy indexing: columnar transfer of the
-            # (≤2M-row) edge list beats row-object collect ~5x
-            e_pdf = e.toPandas()
-            ii = e_pdf["a"].map(idx).to_numpy(dtype=np.int64)
-            jj = e_pdf["b"].map(idx).to_numpy(dtype=np.int64)
-            A[ii, jj] = 1.0
-            A[jj, ii] = 1.0
-            e.unpersist()
-            tri = ((A @ A) * A).sum(axis=1) / 2.0
-            rows = [
-                (int(v), int(t)) for v, t in zip(ids, tri) if t > 0
-            ]
-            return spark.createDataFrame(
-                rows, "doc_id long, n_triangles long"
-            )
-    sym = e.unionAll(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
-    # orient: lower (degree, id) -> higher; broadcast the vertex-degree
-    # table onto both endpoints (vertex-sized, not edge-sized)
-    da = deg.select(F.col("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("a").alias("b"), F.col("d").alias("db"))
-    keyed = (
-        e.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
-    )
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = keyed.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        # dst's (degree, id) rank rides along for the wedge ordering
-        F.when(a_first, F.struct("db", "b")).otherwise(
-            F.struct(F.col("da").alias("db"), F.col("a").alias("b"))
-        ).alias("dr"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    o1 = oriented.select(
-        F.col("src").alias("x"), F.col("dst").alias("y"),
-        F.col("dr").alias("ry"),
-    )
-    o2 = oriented.select(
-        F.col("src").alias("x"), F.col("dst").alias("z"),
-        F.col("dr").alias("rz"),
-    )
-    # wedge (y, z) ordered by rank so each pair forms once; close with
-    # the oriented edge low-rank -> high-rank
-    wedges = o1.join(o2, "x").filter(F.col("ry") < F.col("rz")).select(
-        "x", "y", "z"
-    )
-    closing = oriented.select(
-        F.col("src").alias("y"), F.col("dst").alias("z")
-    )
-    tri = wedges.join(closing, ["y", "z"])
-    pv = (
-        tri.select(F.col("x").alias("v"))
-        .unionAll(tri.select(F.col("y").alias("v")))
-        .unionAll(tri.select(F.col("z").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("n"))
-    )
-    return pv.select(
-        F.col("v").cast("long").alias("doc_id"),
-        F.col("n").cast("long").alias("n_triangles"),
+    return triangle_counts(e).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
     )
 
 

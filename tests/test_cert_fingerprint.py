@@ -107,6 +107,40 @@ def test_sibling_append_is_invisible(fake_root):
     assert a0 == a1, "appending a new query must not rotate its siblings"
 
 
+def test_function_local_import_traced(fake_root):
+    """A deferred import inside the query function body (`def q: from
+    fakepkg.ops import helper as H`) must contribute the imported
+    module — the wave modules' standard style. Before the r7 fix these
+    names were unknown to the slicer and operator edits routed through
+    them never de-certified anything (embedding_kmeans missed the whole
+    similarity module)."""
+    _write_pkg(
+        fake_root,
+        extra=textwrap.dedent(
+            """
+            def q_local(spark, sf):
+                from fakepkg.ops import helper as H
+                return H.bump(3)
+            """
+        ),
+    )
+    l0, contrib = _fp(fake_root, "fakepkg.plans.queries", "q_local")
+    assert any("helper" in c for c in contrib), contrib
+    _write_pkg(
+        fake_root,
+        helper_body="return x + 9",
+        extra=textwrap.dedent(
+            """
+            def q_local(spark, sf):
+                from fakepkg.ops import helper as H
+                return H.bump(3)
+            """
+        ),
+    )
+    l1, _ = _fp(fake_root, "fakepkg.plans.queries", "q_local")
+    assert l0 != l1, "edit behind a function-local import must de-certify"
+
+
 def test_oracle_change_changes_fp(fake_root):
     _write_pkg(fake_root)
     a0, _ = _fp(fake_root, "fakepkg.plans.queries", "q_a", oracle="SELECT 1")

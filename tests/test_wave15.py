@@ -28,6 +28,35 @@ def test_triangle_counts_on_known_graph(spark):
     assert out.filter(F.col("n_triangles") <= 0).count() == 0
 
 
+def test_triangle_counts_regimes_agree(spark):
+    """The dense adjacency-matmul regime and the distributed
+    compact-forward join must produce IDENTICAL counts — the gate is a
+    performance switch, never a semantics switch (the contract
+    bench_scale.py leans on when it times the distributed path on
+    synthetic above-gate graphs)."""
+    from map_v2_etl_spark.operators.graph import triangle_counts
+
+    # two overlapping cliques {1..4} and {4..7} plus a pendant: vertex 4
+    # sits in both cliques' triangles
+    edges = [
+        (a, b)
+        for clique in ([1, 2, 3, 4], [4, 5, 6, 7])
+        for i, a in enumerate(clique)
+        for b in clique[i + 1:]
+    ] + [(7, 8)]
+    e = spark.createDataFrame(sorted(set(edges)), ["a", "b"])
+    dense = {
+        (r["id"], r["n_triangles"])
+        for r in triangle_counts(e).collect()
+    }
+    dist = {
+        (r["id"], r["n_triangles"])
+        for r in triangle_counts(e, dense_max_edges=0).collect()
+    }
+    assert dense == dist
+    assert (1, 3) in dense and (4, 6) in dense and 8 not in dict(dense)
+
+
 def test_bfs_levels_monotone_and_rooted(spark):
     rows = REGISTRY["bfs_levels"].fn(spark, SF).collect()
     assert rows

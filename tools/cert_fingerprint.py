@@ -20,7 +20,12 @@ where the slice is computed by AST name-resolution, not module hashing:
   * a module-style import (``from ..operators import text as X``)
     contributes the WHOLE module file plus, recursively, the whole
     intra-package modules *it* imports — coarse on purpose: an operator
-    edit must de-certify every query whose plan can flow through it.
+    edit must de-certify every query whose plan can flow through it;
+  * imports are indexed wherever they appear, INCLUDING function-local
+    deferred imports (``def q(...): from ..operators import similarity
+    as S``) — the wave modules' standard import style; missing these
+    silently exempted every ``S.``-routed operator edit (r7 fix, store
+    re-seeded from the r1–r6 worktrees with the fixed slicer).
 
 Module-level hashing alone is useless here: plans/registry.py imports
 every wave module inside all_queries(), so a naive transitive closure
@@ -95,6 +100,23 @@ class _ModuleIndex:
         self.star_imports: list[str] = []
         for stmt in self._top_stmts(self.tree.body):
             self._index_stmt(stmt, root)
+        # FUNCTION-LOCAL imports (r7 fix): wave modules routinely defer
+        # operator imports into the query function body (`from
+        # ..operators import similarity as S`) to keep import time low.
+        # Indexing only top-level statements left those names unknown,
+        # so e.g. embedding_kmeans' fingerprint silently missed the
+        # whole similarity module — exactly the under-rotation this tool
+        # exists to prevent.  Walk the full tree for the remaining
+        # Import/ImportFrom nodes; top-level bindings win on collision
+        # (setdefault), and over-inclusion only costs a spurious re-cert.
+        top = set()
+        for stmt in self._top_stmts(self.tree.body):
+            top.add(id(stmt))
+        for node in ast.walk(self.tree):
+            if isinstance(node, (ast.Import, ast.ImportFrom)) and id(
+                node
+            ) not in top:
+                self._index_stmt(node, root, nested=True)
 
     def _top_stmts(self, body):
         # walk into top-level try/except and `if` guards (import
@@ -110,7 +132,7 @@ class _ModuleIndex:
                 yield from self._top_stmts(stmt.body)
                 yield from self._top_stmts(stmt.orelse)
 
-    def _index_stmt(self, stmt, root):
+    def _index_stmt(self, stmt, root, nested=False):
         if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             self.defs[stmt.name] = stmt
         elif isinstance(stmt, (ast.Assign, ast.AnnAssign, ast.AugAssign)):
@@ -124,7 +146,10 @@ class _ModuleIndex:
                 bound = alias.asname or alias.name.split(".")[0]
                 fq = alias.name if alias.asname else alias.name.split(".")[0]
                 if fq.split(".")[0] == PKG:
-                    self.imports[bound] = ("module", fq)
+                    if nested:
+                        self.imports.setdefault(bound, ("module", fq))
+                    else:
+                        self.imports[bound] = ("module", fq)
         elif isinstance(stmt, ast.ImportFrom):
             base = (
                 _resolve_relative(self.modname, stmt.level, stmt.module)
@@ -140,9 +165,13 @@ class _ModuleIndex:
                 bound = alias.asname or alias.name
                 sub = base + "." + alias.name
                 if _module_file(root, sub) is not None:
-                    self.imports[bound] = ("module", sub)
+                    spec = ("module", sub)
                 else:
-                    self.imports[bound] = ("name", base, alias.name)
+                    spec = ("name", base, alias.name)
+                if nested:
+                    self.imports.setdefault(bound, spec)
+                else:
+                    self.imports[bound] = spec
 
     def segment(self, node) -> str:
         parts = []
