@@ -1,0 +1,206 @@
+"""Wave-21 surface: snapshot time travel and the manual skew-split join.
+
+The reference (/root/reference) has neither; both extend the engine
+along VERDICT r6 item 7's axis — NEW PLAN SHAPES rather than new
+domains:
+
+* cdc_time_travel — the snapshot-read-with-time-travel twin of
+  cdc_apply (queries_wave18.py). cdc_apply compacts the whole log every
+  run; real lakehouse tables (Delta/Iceberg, public designs) instead
+  keep a VERSIONED SNAPSHOT LOG: version N+1 is computed from snapshot
+  N plus only the delta batch, and any historical version stays
+  readable ("time travel"). The query materializes snapshot v1 (log up
+  to a cutoff), derives v2 INCREMENTALLY (v1 parquet + post-cutoff
+  delta only — the full log is never re-scanned for v2), then reads
+  both versions back. Tombstones ('error' latest) are RETAINED inside
+  snapshots with their merge metadata (ts, event_id) and filtered at
+  read time — dropping them at write time would resurrect deleted keys
+  on the next merge (the reason Delta keeps tombstones until vacuum).
+  The oracle states both versions as full-log LWW windows, so the
+  incremental merge is value-hash-proved equivalent to recomputation.
+
+* skew_split_join — the manual hot/cold split join, the pre-AQE (and
+  beyond-AQE: runtime stats can miss) pattern for a shuffle join whose
+  key distribution is power-law. 75% of fact rows share ONE key
+  (l_orderkey % 4 != 0 -> key 1), which in a plain shuffle join lands
+  on a single reducer — the canonical 100 TB straggler. The plan
+  measures the skew itself (one partial-agg key census, skew-immune
+  because partial aggregation combines map-side), splits the fact at a
+  hot-key threshold, joins the hot leg against a BROADCAST slice of
+  the dim (bounded: at most HOT_MAX keys) and the cold leg through the
+  ordinary shuffle, then unions. Same rows either way — the oracle is
+  the plain join — but no reducer ever sees the hot key's fact rows
+  concentrated. Complements skew_salted_agg (queries_more.py), which
+  demonstrates salting for AGGREGATION; this is the JOIN-side
+  treatment.
+
+Scale notes: cdc_time_travel's merge shuffles only (snapshot ∪
+compacted delta) — per-key state, never the raw log; snapshots are
+plain parquet so version reads are partition-pruned FileScans. The
+skew census collect is bounded to HOT_MAX keys (loud failure past it);
+the broadcast carries at most that many dim rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .queries_wave17 import _eager
+from .registry import query
+
+DEC = "decimal(20,4)"
+
+#: v1 cutoff inside the events table's 2024-01-01..30 span; string
+#: literal cast to the column's own NTZ type — naive wall-clock on both
+#: engines, no session-timezone dependence (docs/ROUND6 TZ sweep class)
+_CUTOFF = "2024-01-15 00:00:00"
+
+_DUCK_TT = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '{_CUTOFF}'),
+ranked2 AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT CAST(1 AS INTEGER) AS version, user_id,
+       event_type AS last_type, value AS last_value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS version, user_id,
+       event_type AS last_type, value AS last_value
+FROM ranked2 WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def _compact(ev: DataFrame) -> DataFrame:
+    """Per-user latest event WITH merge metadata (the cdc_apply max_by
+    shape, keeping ts/event_id so later batches can merge against it)."""
+    return ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("ts", "event_id", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("s")
+    ).select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
+
+
+def _read_version(spark: SparkSession, root: str, v: int) -> DataFrame:
+    """Time-travel read: snapshot v is a self-contained full state
+    (checkpoint-style, not a delta chain); tombstones filter at read."""
+    snap = spark.read.parquet(os.path.join(root, f"v={v}"))
+    return snap.filter(F.col("event_type") != "error").select(
+        F.lit(v).cast("int").alias("version"),
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query("cdc_time_travel", _DUCK_TT, tags=["cdc", "snapshot", "time-travel"])
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshot log with time travel (module docstring): v1 =
+    compacted log ≤ cutoff, v2 = v1 snapshot MERGED with only the
+    post-cutoff delta, both versions read back and unioned. The oracle
+    recomputes each version from the full log — certifying that the
+    incremental merge path is exactly equivalent to recomputation."""
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    root = tempfile.mkdtemp(prefix="m2e_tt_")
+    try:
+        v1 = _compact(ev.filter(F.col("ts") <= cutoff))
+        v1.write.mode("overwrite").parquet(os.path.join(root, "v=1"))
+        delta = _compact(ev.filter(F.col("ts") > cutoff))
+        # incremental merge: snapshot ∪ delta, LWW per user on
+        # (ts, event_id) — the raw pre-cutoff log is never re-read
+        merged = _compact(
+            spark.read.parquet(os.path.join(root, "v=1")).unionByName(delta)
+        )
+        merged.write.mode("overwrite").parquet(os.path.join(root, "v=2"))
+        return _eager(
+            _read_version(spark, root, 1).unionByName(
+                _read_version(spark, root, 2)
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# skew_split_join
+# --------------------------------------------------------------------------
+
+#: a key is HOT when it carries more fact rows than this; at 100 TB the
+#: threshold is "rows that overwhelm one reducer" (partition-size
+#: budget / row width), here sized so exactly the deliberate 75%-key
+#: trips it at every test SF
+HOT_ROWS = 20_000
+#: loud upper bound on the hot-key census collect — the broadcast leg
+#: must stay dim-slice-sized; a distribution with thousands of hot keys
+#: needs salting (skew_salted_agg), not splitting
+HOT_MAX = 64
+
+_DUCK_SKEW = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+    f"CAST(sum(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_price "
+    "FROM lineitem JOIN orders ON "
+    "(CASE WHEN l_orderkey % 4 <> 0 THEN 1 ELSE l_orderkey END) "
+    "= o_orderkey GROUP BY o_orderpriority"
+)
+
+
+@query("skew_split_join", _DUCK_SKEW, tags=["join", "skew", "broadcast"])
+def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/cold split join over a deliberately power-law key (module
+    docstring): census -> split -> broadcast hot leg ∪ shuffle cold leg
+    -> aggregate. The oracle is the PLAIN join — the split must be
+    invisible in the result."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_extendedprice",
+    )
+    od = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    # key census: partial agg combines map-side, so the census itself
+    # never concentrates the hot key on one reducer
+    hot_rows = (
+        li.groupBy("k").agg(F.count("*").alias("c"))
+        .filter(F.col("c") > HOT_ROWS)
+        .limit(HOT_MAX + 1)
+        .collect()
+    )
+    if len(hot_rows) > HOT_MAX:
+        raise ValueError(
+            f"skew_split_join: >{HOT_MAX} hot keys — this distribution "
+            "needs salting (see skew_salted_agg), not hot/cold splitting"
+        )
+    hot = [r["k"] for r in hot_rows]
+    if hot:
+        joined = (
+            li.filter(~F.col("k").isin(hot))
+            .join(od, "k")
+            .unionByName(
+                li.filter(F.col("k").isin(hot)).join(
+                    F.broadcast(od.filter(F.col("k").isin(hot))), "k"
+                )
+            )
+        )
+    else:  # degenerate corpus: nothing hot, plain shuffle join
+        joined = li.join(od, "k")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast(DEC))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -1,0 +1,110 @@
+"""Wave-21 tests: snapshot time travel and the hot/cold split join.
+
+cdc_time_travel's load-bearing claims: (a) v2 via incremental merge
+equals full-log recomputation (the oracle also proves this at sf0.01),
+(b) tombstones delete in the version where they are latest and
+resurrect when a later batch writes the key again, (c) v1 stays
+readable after v2 exists. skew_split_join's claim: the split is
+result-invisible vs the plain join while the hot leg is a real
+broadcast join in the physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_v2_etl_spark.plans.registry import REGISTRY, all_queries
+
+all_queries()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cdc_time_travel_versions(spark):
+    out = REGISTRY["cdc_time_travel"].fn(spark, SF).collect()
+    v1 = {r["user_id"]: (r["last_type"], r["last_value"])
+          for r in out if r["version"] == 1}
+    v2 = {r["user_id"]: (r["last_type"], r["last_value"])
+          for r in out if r["version"] == 2}
+    assert v1 and v2
+    assert v1 != v2, "post-cutoff delta must change some user's state"
+    # v2 must equal a from-scratch recomputation of the full log
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    full = ev.groupBy("user_id").agg(
+        F.max_by(F.struct("event_type", "value"),
+                 F.struct("ts", "event_id")).alias("s")
+    )
+    expect = {
+        r["user_id"]: (r["s"]["event_type"], r["s"]["value"])
+        for r in full.collect() if r["s"]["event_type"] != "error"
+    }
+    assert v2 == expect
+    # no version ever surfaces a tombstone
+    assert all(r["last_type"] != "error" for r in out)
+
+
+def test_cdc_time_travel_tombstone_lifecycle(spark):
+    """A user deleted in v1 (latest pre-cutoff event is the tombstone)
+    must resurrect in v2 iff a later non-tombstone event exists — i.e.
+    the snapshot retained the tombstone for the merge to fight."""
+    from map_v2_etl_spark.plans.queries_wave21 import _CUTOFF
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    pre_latest = ev.filter(F.col("ts") <= cutoff).groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("t")
+    )
+    deleted_v1 = {r["user_id"] for r in pre_latest.collect()
+                  if r["t"] == "error"}
+    out = REGISTRY["cdc_time_travel"].fn(spark, SF).collect()
+    v1_users = {r["user_id"] for r in out if r["version"] == 1}
+    v2 = {r["user_id"]: r["last_type"] for r in out if r["version"] == 2}
+    assert deleted_v1, "fixture should contain pre-cutoff tombstoned users"
+    assert not (deleted_v1 & v1_users)
+    post_latest = ev.filter(F.col("ts") > cutoff).groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("t")
+    )
+    post = {r["user_id"]: r["t"] for r in post_latest.collect()}
+    for u in deleted_v1:
+        if u in post and post[u] != "error":
+            assert v2.get(u) == post[u], f"user {u} must resurrect in v2"
+        else:
+            assert u not in v2, f"user {u} must stay deleted in v2"
+
+
+def test_skew_split_join_matches_plain_join(spark):
+    out = {
+        r["o_orderpriority"]: (r["n"], round(r["sum_price"], 4))
+        for r in REGISTRY["skew_split_join"].fn(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    plain = (
+        li.select(
+            F.when(F.col("l_orderkey") % 4 != 0, F.lit(1))
+            .otherwise(F.col("l_orderkey")).alias("k"),
+            "l_extendedprice",
+        )
+        .join(od.select(F.col("o_orderkey").alias("k"), "o_orderpriority"), "k")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
+            .cast("double").alias("sum_price"),
+        )
+    )
+    expect = {
+        r["o_orderpriority"]: (r["n"], round(r["sum_price"], 4))
+        for r in plain.collect()
+    }
+    assert out == expect
+    assert sum(n for n, _ in out.values()) == li.count(), (
+        "every fact row must join exactly once (split legs must not "
+        "drop or duplicate)"
+    )
+
+
+def test_skew_split_join_hot_leg_is_broadcast(spark):
+    df = REGISTRY["skew_split_join"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
