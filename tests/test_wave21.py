@@ -108,3 +108,31 @@ def test_skew_split_join_hot_leg_is_broadcast(spark):
     df = REGISTRY["skew_split_join"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_snapshot_merge_associative(spark):
+    """The snapshot merge must be ASSOCIATIVE over batch boundaries:
+    merging two sequential deltas one at a time equals merging their
+    union at once equals compacting the full log — the property that
+    lets a 100 TB snapshot log apply micro-batches in any grouping
+    (e.g. the streaming foreachBatch upsert) without drift."""
+    from map_v2_etl_spark.plans.queries_wave21 import _compact
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    c1 = F.lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+    c2 = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    base = _compact(ev.filter(F.col("ts") <= c1))
+    d1 = _compact(ev.filter((F.col("ts") > c1) & (F.col("ts") <= c2)))
+    d2 = _compact(ev.filter(F.col("ts") > c2))
+
+    def rows(df):
+        return {
+            (r["user_id"], r["ts"], r["event_id"],
+             r["event_type"], r["value"])
+            for r in df.collect()
+        }
+
+    stepwise = _compact(_compact(base.unionByName(d1)).unionByName(d2))
+    at_once = _compact(base.unionByName(d1).unionByName(d2))
+    full = _compact(ev)
+    assert rows(stepwise) == rows(at_once) == rows(full)
