@@ -184,3 +184,40 @@ def write_sorted_csv(df: DataFrame, path: str, sort_cols: list[str] | None):
         shutil.move(part, path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_csv_stdout(
+    df: DataFrame,
+    sort_cols: list[str] | None,
+    out=None,
+    batch_rows: int = 10_000,
+):
+    """S6 stdout sink: the reference streams the SAME CSV it would
+    write to a file when no output path is given (shape-data.js:82,
+    extract-extents.js:58 — ``outputFile ? fs.write : console.log``).
+
+    Byte-identical to ``write_sorted_csv`` (test-pinned): the rows are
+    serialized by Spark's OWN CSV writer into a temp file — not
+    re-rendered driver-side, which would re-implement Spark's
+    quoting/float-formatting rules and drift — then streamed to ``out``
+    (default ``sys.stdout``) in bounded chunks. A driver-side
+    ``toLocalIterator`` + python csv render was rejected for exactly
+    that drift risk; the temp-file hop costs one local write of an
+    output that is by contract small enough for a single file (the
+    same bound as write_sorted_csv).
+    """
+    import sys
+
+    out = out if out is not None else sys.stdout
+    tmp = tempfile.mkdtemp(prefix="m2e_csv_stdout_")
+    tmp_file = os.path.join(tmp, "out.csv")
+    try:
+        write_sorted_csv(df, tmp_file, sort_cols)
+        with open(tmp_file, "rt", encoding="utf-8") as fh:
+            while True:
+                chunk = fh.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -149,3 +149,27 @@ def test_write_sorted_csv_refuses_directory_target(spark, tmp_path):
     df = spark.createDataFrame([("a",)], "x STRING")
     with pytest.raises(ValueError, match="existing directory"):
         write_sorted_csv(df, str(d), ["x"])
+
+
+def test_stdout_sink_matches_file_sink_bytes(spark, tmp_path):
+    """S6: the stdout sink must emit byte-for-byte what the single-file
+    sink writes (the reference's no-output-arg fallback streams the
+    same CSV to stdout — shape-data.js:82, extract-extents.js:58)."""
+    import io
+
+    from map_v2_etl_spark.sources.csv_io import (
+        write_csv_stdout,
+        write_sorted_csv,
+    )
+
+    df = spark.createDataFrame(
+        [("02", 'quo"te', 1.5), ("10", "comma, inside", None),
+         ("001", "", 2.0)],
+        "GEOID string, name string, er double",
+    )
+    p = str(tmp_path / "ref.csv")
+    write_sorted_csv(df, p, ["GEOID"])
+    buf = io.StringIO()
+    write_csv_stdout(df, ["GEOID"], out=buf)
+    assert buf.getvalue() == open(p, encoding="utf-8").read()
+    assert buf.getvalue().splitlines()[0] == "GEOID,name,er"
