@@ -25,7 +25,9 @@ Usage:  python bench_scale.py            # full suite, ~5-10 min local[32]
         python bench_scale.py pagerank   # one operator
 Env:    SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE_MULT (default 1
         — multiplies every size; the gates stay fixed, so >=1 keeps all
-        runs in the distributed regime).
+        runs in the distributed regime), SPARK_GRAFT_SCALE_OUT
+        (artifact path; "-" prints only — sweeps must not clobber the
+        curated best-of-N BENCH_SCALE.json).
 """
 
 from __future__ import annotations
@@ -348,8 +350,14 @@ def main() -> None:
     }
     line = json.dumps(out)
     print(line)
-    if not only:
-        with open(os.path.join(HERE, "BENCH_SCALE.json"), "w") as fh:
+    # SPARK_GRAFT_SCALE_OUT redirects the artifact (or "-" to skip the
+    # file entirely) — a MULT-sweep run must not clobber the curated
+    # best-of-N BENCH_SCALE.json (which merges cells across runs)
+    dest = os.environ.get(
+        "SPARK_GRAFT_SCALE_OUT", os.path.join(HERE, "BENCH_SCALE.json")
+    )
+    if not only and dest != "-":
+        with open(dest, "w") as fh:
             fh.write(line + "\n")
 
 
