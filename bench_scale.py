@@ -302,6 +302,87 @@ def bench_triangles(spark: SparkSession, frac: float) -> dict:
     return timed(spark, f"triangles_{frac}x", run)
 
 
+def bench_skew_join(spark: SparkSession, frac: float) -> dict:
+    """Generated-skew join shoot-out: the SAME fact (80% of rows on ONE
+    key, the rest hash-spread over a 100k-key dim) aggregated through
+    (a) the plain shuffle join — AQE skew-join handling ON, as in every
+    engine session — and (b) operators.joins.hot_cold_split_join. Both
+    paths must agree exactly (asserted in-run); the wall gap is the
+    measured value of keeping hot rows out of the key shuffle vs
+    letting AQE re-split oversized shuffle partitions after the fact.
+    """
+    from map_v2_etl_spark.operators.joins import hot_cold_split_join
+
+    dim_n = 100_000
+    n = int(5_000_000 * MULT * frac)
+    fact = spark.range(n).select(
+        F.when(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(10)) < 8,
+            F.lit(0),
+        )
+        .otherwise(F.pmod(F.xxhash64(F.col("id"), F.lit(11)), F.lit(dim_n)))
+        .alias("k"),
+        F.pmod(F.col("id"), F.lit(1000)).alias("v"),
+    )
+    dim = spark.range(dim_n).select(
+        F.col("id").alias("k"), F.pmod(F.col("id"), F.lit(50)).alias("grp")
+    )
+
+    def agg(joined):
+        rows = (
+            joined.groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+            .collect()
+        )
+        return {(r["grp"], r["n"], r["s"]) for r in rows}
+
+    # model the 100 TB condition the operator exists for: a dim too big
+    # to broadcast. At bench size the 100k-row dim auto-broadcasts
+    # (~1.6 MB < the 10 MB threshold) and a broadcast join has no key
+    # shuffle to skew — so disable AUTO broadcast for both strategies
+    # (the split join's hot leg broadcasts its bounded hot SLICE
+    # explicitly, which is exactly its contract; the cold leg and the
+    # plain join go through the skew-exposed SortMergeJoin, with AQE
+    # skew handling live as in every engine session).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # time each strategy under its own job group for attribution
+        t_plain = timed(
+            spark,
+            f"skew_plain_join_{frac}x",
+            lambda: {"rows": agg(fact.join(dim, "k"))},
+        )
+        t_split = timed(
+            spark,
+            f"skew_split_join_{frac}x",
+            lambda: {
+                "rows": agg(hot_cold_split_join(fact, dim, "k", n // 100))
+            },
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert t_plain["rows"] == t_split["rows"], "strategies disagree"
+    res = {
+        "wall_sec": t_split["wall_sec"],
+        "jobs": t_split["jobs"],
+        "stages": t_split["stages"],
+        "shuffle_stages": t_split["shuffle_stages"],
+        "plain_join_sec": t_plain["wall_sec"],
+        "split_join_sec": t_split["wall_sec"],
+        "speedup_vs_plain": round(
+            t_plain["wall_sec"] / t_split["wall_sec"], 2
+        )
+        if t_split["wall_sec"]
+        else None,
+        "n_fact_rows": n,
+        "dim_rows": dim_n,
+        "hot_share": 0.8,
+        "groups": len(t_split["rows"]),
+    }
+    return res
+
+
 BENCHES = {
     "pagerank": bench_pagerank,
     "cc_minlabel": bench_cc_minlabel,
@@ -309,6 +390,7 @@ BENCHES = {
     "lloyd": bench_lloyd,
     "pq_train": bench_pq_train,
     "triangles": bench_triangles,
+    "skew_join": bench_skew_join,
 }
 
 

@@ -217,3 +217,57 @@ def bucketed_range_join(
         left_val
     ].between(r_exploded[right_lo], r_exploded[right_hi])
     return l_bucketed.join(r_exploded, on=cond, how=how).drop(bl, br)
+
+
+def hot_cold_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    hot_threshold: int,
+    hot_max: int = 64,
+) -> DataFrame:
+    """Inner equi-join that survives a power-law key distribution: keys
+    carrying more than ``hot_threshold`` fact rows join against a
+    BROADCAST slice of ``dim`` (their rows never shuffle on the key),
+    everything else takes the ordinary shuffle join; the legs union.
+
+    Result-identical to ``fact.join(dim, on)`` (pinned by
+    tests/test_wave21.py and the skew_split_join oracle) — the split is
+    purely physical. The hot-key census is itself skew-immune: a
+    partial-aggregated count whose shuffle carries one row per
+    (partition, key). The census collect is bounded by ``hot_max``
+    (loud failure past it — thousands of hot keys mean the distribution
+    needs salting, see skew_salted_agg, not splitting).
+
+    vs AQE skew-join handling (spark.sql.adaptive.skewJoin, ON in this
+    engine's sessions): AQE splits oversized SHUFFLE PARTITIONS after
+    the map stage — the hot key's rows are still all written and read
+    through the shuffle. This operator keeps hot rows out of the
+    key-shuffle entirely (they move only through the final union), the
+    treatment that matters when ONE key is a double-digit percentage of
+    a 100 TB fact table. bench_scale.py measures both on the same
+    generated-skew input.
+    """
+    hot_rows = (
+        fact.groupBy(on).agg(F.count("*").alias("c"))
+        .filter(F.col("c") > int(hot_threshold))
+        .limit(hot_max + 1)
+        .collect()
+    )
+    if len(hot_rows) > hot_max:
+        raise ValueError(
+            f"hot_cold_split_join: >{hot_max} keys above "
+            f"{hot_threshold} rows — salt instead (skew_salted_agg)"
+        )
+    hot = [r[on] for r in hot_rows]
+    if not hot:
+        return fact.join(dim, on)
+    return (
+        fact.filter(~F.col(on).isin(hot))
+        .join(dim, on)
+        .unionByName(
+            fact.filter(F.col(on).isin(hot)).join(
+                F.broadcast(dim.filter(F.col(on).isin(hot))), on
+            )
+        )
+    )

@@ -140,9 +140,11 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: a key is HOT when it carries more fact rows than this; at 100 TB the
 #: threshold is "rows that overwhelm one reducer" (partition-size
-#: budget / row width), here sized so exactly the deliberate 75%-key
-#: trips it at every test SF
-HOT_ROWS = 20_000
+#: budget / row width). Sized so exactly the deliberate 75%-key trips
+#: it at EVERY test SF (sf0.001's hot key carries ~4.5k rows; no
+#: ordinary orderkey exceeds ~7 lineitems at any SF) — the hot leg must
+#: actually exercise at the smallest fixture, not only at oracle scale.
+HOT_ROWS = 2_000
 #: loud upper bound on the hot-key census collect — the broadcast leg
 #: must stay dim-slice-sized; a distribution with thousands of hot keys
 #: needs salting (skew_salted_agg), not splitting
@@ -163,6 +165,8 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring): census -> split -> broadcast hot leg ∪ shuffle cold leg
     -> aggregate. The oracle is the PLAIN join — the split must be
     invisible in the result."""
+    from ..operators.joins import hot_cold_split_join
+
     li = load_table(spark, "lineitem", sf_dir).select(
         F.when(F.col("l_orderkey") % 4 != 0, F.lit(1))
         .otherwise(F.col("l_orderkey"))
@@ -172,32 +176,7 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, "orders", sf_dir).select(
         F.col("o_orderkey").alias("k"), "o_orderpriority"
     )
-    # key census: partial agg combines map-side, so the census itself
-    # never concentrates the hot key on one reducer
-    hot_rows = (
-        li.groupBy("k").agg(F.count("*").alias("c"))
-        .filter(F.col("c") > HOT_ROWS)
-        .limit(HOT_MAX + 1)
-        .collect()
-    )
-    if len(hot_rows) > HOT_MAX:
-        raise ValueError(
-            f"skew_split_join: >{HOT_MAX} hot keys — this distribution "
-            "needs salting (see skew_salted_agg), not hot/cold splitting"
-        )
-    hot = [r["k"] for r in hot_rows]
-    if hot:
-        joined = (
-            li.filter(~F.col("k").isin(hot))
-            .join(od, "k")
-            .unionByName(
-                li.filter(F.col("k").isin(hot)).join(
-                    F.broadcast(od.filter(F.col("k").isin(hot))), "k"
-                )
-            )
-        )
-    else:  # degenerate corpus: nothing hot, plain shuffle join
-        joined = li.join(od, "k")
+    joined = hot_cold_split_join(li, od, "k", HOT_ROWS, HOT_MAX)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         F.sum(F.col("l_extendedprice").cast(DEC))
