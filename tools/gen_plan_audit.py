@@ -53,6 +53,12 @@ def audit(plan: str) -> dict[str, int | str]:
     }
 
 
+#: audited beyond the bench headline: new-plan-shape queries worth a
+#: standing physical-plan record even though they don't (yet) run in
+#: the per-round bench
+AUDIT_EXTRA = ["cdc_time_travel", "skew_split_join"]
+
+
 def main() -> None:
     from bench import HEADLINE  # the queries the driver times per round
 
@@ -64,7 +70,7 @@ def main() -> None:
 
     rows = []
     details = []
-    for name in HEADLINE:
+    for name in HEADLINE + AUDIT_EXTRA:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
