@@ -1,4 +1,5 @@
-"""Wave-21 surface: snapshot time travel and the manual skew-split join.
+"""Wave-21 surface: snapshot time travel, the manual skew-split join,
+and bit-exact weighted sampling.
 
 The reference (/root/reference) has neither; both extend the engine
 along VERDICT r6 item 7's axis — NEW PLAN SHAPES rather than new
@@ -33,6 +34,14 @@ domains:
   concentrated. Complements skew_salted_agg (queries_more.py), which
   demonstrates salting for AGGREGATION; this is the JOIN-side
   treatment.
+
+* weighted_sample — sequential Poisson / priority πps sampling
+  (Ohlsson 1998): the k smallest u/w win, u an exact dyadic from the
+  doc's own id hash, w the byte length — a reproducible size-weighted
+  corpus subsample whose ENTIRE float path (power-of-two scaling + one
+  IEEE division) is bit-identical across engines, so the sample itself
+  is value-hash certified. Plan shape: TakeOrderedAndProject — the
+  global top-k that never sorts or shuffles the corpus.
 
 Scale notes: cdc_time_travel's merge shuffles only (snapshot ∪
 compacted delta) — per-key state, never the raw log; snapshots are
@@ -182,4 +191,76 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast(DEC))
         .cast("double")
         .alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted_sample
+# --------------------------------------------------------------------------
+
+#: sample size and the dyadic-u resolution (2^20 buckets / 2^21 scale —
+#: both powers of two so u is EXACTLY representable and u/w is one
+#: correctly-rounded IEEE division, bit-identical across engines)
+_WS_K = 200
+_WS_M = 1 << 20
+_WS_SCALE = float(1 << 21)
+
+
+def _duck_weighted_sample() -> str:
+    from .duck_vec import xxhash64_ctes
+
+    return f"""
+WITH {xxhash64_ctes("hx", "documents", keep="doc_id, text", col="doc_id")},
+keyed AS (
+  SELECT doc_id,
+         CAST(strlen(text) AS BIGINT) AS w,
+         (CAST(((h % {_WS_M}) + {_WS_M}) % {_WS_M} + 1 AS DOUBLE)
+          / {_WS_SCALE}) / CAST(strlen(text) AS DOUBLE) AS key
+  FROM hx WHERE strlen(text) > 0)
+SELECT doc_id, w, key FROM keyed
+ORDER BY key, doc_id LIMIT {_WS_K}
+"""
+
+
+@query(
+    "weighted_sample",
+    _duck_weighted_sample(),
+    tags=["sampling", "weighted", "topk"],
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement — sequential
+    Poisson / priority πps sampling (Ohlsson 1998, public literature):
+    each doc draws u ~ Uniform(0,1] from its own id hash and the k
+    smallest u/w win, so inclusion odds scale with the weight (here
+    byte length — the "sample long documents proportionally" knob of
+    mixture curation). The training-data use: a size-weighted corpus
+    subsample whose members are REPRODUCIBLE from ids alone.
+
+    Cross-engine bit-exactness, by construction rather than tolerance:
+    u = (xxhash64(doc_id) mod 2^20 + 1) / 2^21 is an exact dyadic
+    (power-of-two scaling is lossless in binary floating point), w is
+    an integer byte count, and u/w is ONE correctly-rounded IEEE
+    division — so both engines rank identical doubles and the oracle
+    (duck_vec.xxhash64_ctes hash parity) value-hash-certifies the
+    sample itself. No pow/ln (last-ulp divergence across libm
+    implementations) anywhere.
+
+    Scale: the plan is TakeOrderedAndProject — each partition keeps its
+    local top-k and the driver merges k-sized heaps; no global sort, no
+    full shuffle. k rows of driver state for any corpus size."""
+    docs = load_table(spark, "documents", sf_dir)
+    u = (
+        (F.pmod(F.xxhash64("doc_id"), F.lit(_WS_M)) + 1).cast("double")
+        / F.lit(_WS_SCALE)
+    )
+    w = F.octet_length("text").cast("bigint")
+    return (
+        docs.filter(F.octet_length("text") > 0)
+        .select(
+            "doc_id",
+            w.alias("w"),
+            (u / w.cast("double")).alias("key"),
+        )
+        .orderBy("key", "doc_id")
+        .limit(_WS_K)
     )

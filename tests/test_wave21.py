@@ -136,3 +136,38 @@ def test_snapshot_merge_associative(spark):
     at_once = _compact(base.unionByName(d1).unionByName(d2))
     full = _compact(ev)
     assert rows(stepwise) == rows(at_once) == rows(full)
+
+
+def test_weighted_sample_properties(spark):
+    """Sequential-Poisson sample: reproducible, k-sized, keys are
+    exactly u/w (recomputed independently), and the plan is a global
+    top-k (TakeOrderedAndProject — per-partition heaps, no full sort)."""
+    df = REGISTRY["weighted_sample"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    rows = df.collect()
+    assert len(rows) == 200
+    again = {r["doc_id"] for r in REGISTRY["weighted_sample"].fn(spark, SF).collect()}
+    assert {r["doc_id"] for r in rows} == again, "must be reproducible"
+    # independent recomputation of u/w for the sampled docs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ids = [r["doc_id"] for r in rows]
+    chk = {
+        r["doc_id"]: (r["w"], r["key"])
+        for r in docs.filter(F.col("doc_id").isin(ids)).select(
+            "doc_id",
+            F.octet_length("text").cast("bigint").alias("w"),
+            (
+                (F.pmod(F.xxhash64("doc_id"), F.lit(1 << 20)) + 1)
+                .cast("double") / F.lit(float(1 << 21))
+                / F.octet_length("text").cast("double")
+            ).alias("key"),
+        ).collect()
+    }
+    for r in rows:
+        assert (r["w"], r["key"]) == chk[r["doc_id"]]
+    # weight bias: the sample's mean doc length should exceed the
+    # corpus mean (longer docs get smaller keys in expectation)
+    mean_all = docs.agg(F.avg(F.octet_length("text"))).first()[0]
+    mean_sample = sum(r["w"] for r in rows) / len(rows)
+    assert mean_sample > mean_all
