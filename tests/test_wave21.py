@@ -171,3 +171,63 @@ def test_weighted_sample_properties(spark):
     mean_all = docs.agg(F.avg(F.octet_length("text"))).first()[0]
     mean_sample = sum(r["w"] for r in rows) / len(rows)
     assert mean_sample > mean_all
+
+
+# ---------------------------------------------------------------------------
+# hot_cold_split_join property check
+# ---------------------------------------------------------------------------
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_spark = None
+
+
+@pytest.fixture(autouse=True)
+def _grab_spark(spark):
+    global _spark
+    _spark = spark
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=5), min_size=0, max_size=60
+    ),
+    threshold=st.integers(min_value=1, max_value=20),
+)
+def test_hot_cold_split_join_equals_plain(keys, threshold):
+    """Result-identity with the plain inner join over arbitrary key
+    distributions and thresholds — all-hot, all-cold, empty fact, and
+    keys absent from the dim included."""
+    from map_v2_etl_spark.operators.joins import hot_cold_split_join
+
+    spark = _spark
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k int, v int"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(5)], "k int, attr string"  # key 5 missing
+    )
+    split = {
+        tuple(r) for r in hot_cold_split_join(
+            fact, dim, "k", threshold
+        ).collect()
+    }
+    plain = {tuple(r) for r in fact.join(dim, "k").collect()}
+    assert split == plain
+
+
+def test_hot_cold_split_join_hot_max_overflow_raises(spark):
+    from map_v2_etl_spark.operators.joins import hot_cold_split_join
+
+    fact = spark.createDataFrame(
+        [(k, 0) for k in range(6) for _ in range(3)], "k int, v int"
+    )
+    dim = spark.createDataFrame([(k, k) for k in range(6)], "k int, a int")
+    with pytest.raises(ValueError, match="salt"):
+        hot_cold_split_join(fact, dim, "k", hot_threshold=1, hot_max=5).collect()
