@@ -171,3 +171,21 @@ def test_bpe_token_counts_broadcasts_symbol_table(spark, sf_dir):
     plan = plan_of("bpe_token_counts", spark, sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_no_shuffle_topk(spark, sf_dir):
+    """The πps sample is a per-partition-heap global top-k: no Exchange
+    anywhere, and the scan must prune to (doc_id, text)."""
+    plan = plan_of("weighted_sample", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema
+
+
+def test_skew_split_join_unions_broadcast_hot_leg(spark, sf_dir):
+    plan = plan_of("skew_split_join", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
