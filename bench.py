@@ -107,6 +107,12 @@ HEADLINE = [
     "winnow_pairs",
     "bpe_merges",
     "events_rolling_anomaly",
+    # round 8: the wave-21 shapes, deferred from r7 per VERDICT r6 item 4
+    # (don't grow the headline before the driver total is confirmed);
+    # solo sf0.1 cost measured in docs/ROUND7.md §11 (~2.4 s combined)
+    "cdc_time_travel",
+    "skew_split_join",
+    "weighted_sample",
 ]
 
 

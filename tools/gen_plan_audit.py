@@ -56,7 +56,11 @@ def audit(plan: str) -> dict[str, int | str]:
 #: audited beyond the bench headline: new-plan-shape queries worth a
 #: standing physical-plan record even though they don't (yet) run in
 #: the per-round bench
-AUDIT_EXTRA = ["cdc_time_travel", "skew_split_join", "weighted_sample"]
+AUDIT_EXTRA = [
+    # wave-22 (not in the bench headline yet)
+    "recursive_cte_paths", "python_datasource_scan",
+    "constraint_profile", "countmin_heavy",
+]
 
 
 def main() -> None:
