@@ -1,0 +1,177 @@
+"""Wave-23 tests: streaming Python Data Source, applyInArrow group
+transform, dynamic partition pruning.
+
+Load-bearing claims per query:
+* stream_python_datasource — the replay runs as MULTIPLE microbatches
+  (not one giant batch) and still composes to exactly the batch
+  answer; the per-microbatch partition split parallelizes each batch.
+* arrow_group_transform — result equals the built-in aggregate twin
+  (count/sum) and numpy-midpoint median equals percentile_approx-free
+  exact median computed independently.
+* dynamic_partition_pruning — the fact scan's physical plan carries a
+  dynamicpruning subquery in PartitionFilters (the runtime-pruning
+  shape), and results equal a plain filter+aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_v2_etl_spark.plans.registry import REGISTRY, all_queries
+
+all_queries()
+
+SF = "/root/testdata/sf0.001"
+DEC = "decimal(20,4)"
+
+
+# --------------------------------------------------------------------------
+# stream_python_datasource
+# --------------------------------------------------------------------------
+
+def test_replay_stream_multibatch_equals_batch(spark):
+    from map_v2_etl_spark.sources import pystream
+
+    pystream.register(spark)
+    path = f"{SF}/events.parquet"
+    n_rows = spark.read.parquet(path).count()
+    batch_rows = max(1, n_rows // 4)  # force ≥4 microbatches
+    stream = (
+        spark.readStream.format("m2e_parquet_replay")
+        .option("path", path)
+        .option("columns", "event_id,event_type,value")
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("w23_replay_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(fed) >= 4, "replay must advance in multiple microbatches"
+        assert sum(p["numInputRows"] for p in fed) == n_rows
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("w23_replay_test").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                .alias("sum_value"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_replay_stream_partition_split():
+    """A microbatch's row range splits into `tasks` near-equal slices
+    covering it exactly, and slice reads reproduce the rows."""
+    from map_v2_etl_spark.sources.pystream import ParquetReplayStreamReader
+
+    r = ParquetReplayStreamReader(
+        {"path": f"{SF}/events.parquet", "tasks": "4", "batch_rows": "100"}
+    )
+    parts = r.partitions({"row": 40}, {"row": 140})
+    spans = sorted((p.start, p.end) for p in parts)
+    assert spans[0][0] == 40 and spans[-1][1] == 140
+    for (a, b), (c, _) in zip(spans, spans[1:]):
+        assert b == c, "slices must tile the range with no gap/overlap"
+    rows = []
+    for p in parts:
+        for batch in r.read(p):
+            rows.extend(batch.to_pylist())
+    assert len(rows) == 100
+
+
+def test_replay_stream_offsets_park_at_eof():
+    from map_v2_etl_spark.sources.pystream import ParquetReplayStreamReader
+
+    r = ParquetReplayStreamReader(
+        {"path": f"{SF}/events.parquet", "batch_rows": "10000000"}
+    )
+    assert r.initialOffset() == {"row": 0}
+    first = r.latestOffset()
+    assert first == {"row": r.n_rows}
+    assert r.latestOffset() == first, "EOF must park (no empty batches)"
+
+
+# --------------------------------------------------------------------------
+# arrow_group_transform
+# --------------------------------------------------------------------------
+
+def test_arrow_group_transform_vs_builtin(spark):
+    out = {r["lang"]: r for r in
+           REGISTRY["arrow_group_transform"].fn(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    twin = {
+        r["lang"]: r
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .collect()
+    }
+    assert set(out) == set(twin)
+    for lang, w in twin.items():
+        assert out[lang]["n_docs"] == w["n_docs"]
+        assert out[lang]["sum_chars"] == w["sum_chars"]
+        # exact median, computed independently
+        vals = sorted(
+            r["n_chars"]
+            for r in docs.filter(F.col("lang") == lang)
+            .select("n_chars")
+            .collect()
+        )
+        n = len(vals)
+        med = (vals[(n - 1) // 2] + vals[n // 2]) / 2.0
+        assert out[lang]["median_chars"] == med
+
+
+# --------------------------------------------------------------------------
+# dynamic_partition_pruning
+# --------------------------------------------------------------------------
+
+def test_dpp_subquery_in_plan(spark, tmp_path):
+    from map_v2_etl_spark.plans.queries_wave23 import build_dpp_frames, dpp_join
+
+    fact, dim = build_dpp_frames(spark, SF, str(tmp_path / "dpp"))
+    plan = dpp_join(fact, dim)._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_dpp_results_equal_plain_filter(spark):
+    out = sorted(
+        map(tuple, REGISTRY["dynamic_partition_pruning"].fn(spark, SF)
+            .collect())
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = sorted(
+        map(
+            tuple,
+            ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+            .filter(F.dayofmonth(F.to_date("event_date")) <= 7)
+            .groupBy("event_date")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                .alias("sum_value"),
+            )
+            .collect(),
+        )
+    )
+    assert out == want

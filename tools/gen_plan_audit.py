@@ -60,6 +60,9 @@ AUDIT_EXTRA = [
     # wave-22 (not in the bench headline yet)
     "recursive_cte_paths", "python_datasource_scan",
     "constraint_profile", "countmin_heavy",
+    # wave-23
+    "stream_python_datasource", "arrow_group_transform",
+    "dynamic_partition_pruning",
 ]
 
 
