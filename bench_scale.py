@@ -383,6 +383,141 @@ def bench_skew_join(spark: SparkSession, frac: float) -> dict:
     return res
 
 
+def bench_dpp(spark: SparkSession, frac: float) -> dict:
+    """Dynamic-partition-pruning shoot-out: the SAME date-partitioned
+    fact (60 partitions on disk, padded payload so scan cost is real)
+    joined to a filtered 60-row dim keeping 10 keys, aggregated with
+    the DPP optimizer rule OFF vs ON. Results must agree exactly; the
+    wall gap is the measured value of runtime pruning — the fact scan
+    lists 10/60 directories instead of all of them. The fixture write
+    is setup, not measured.
+
+    Two traps found (and dodged) while building this harness, both
+    worth knowing when reasoning about DPP at 100 TB:
+    * the dim MUST be opaque to constraint inference — a dim whose
+      filter is a deterministic expression of the join key (e.g.
+      ``range(60).filter(pmod(d,6)==0)``) lets Catalyst infer the
+      predicate onto the fact STATICALLY (InferFiltersFromConstraints)
+      and prune at plan time with the DPP rule off, collapsing the A/B
+      to 1.0x. Here the dim is written to parquet and read back with
+      an independent attribute column, so only runtime pruning can
+      skip fact partitions — the same situation as a real dim table.
+    * each timed run must build a FRESH reader — re-collecting over a
+      reused DataFrame re-reads ~4x faster than a first read ever
+      goes (session-level scan caching), burying the gap."""
+    import shutil
+    import tempfile
+
+    # 30M rows x ~250B incompressible pad ≈ 7 GB on disk at 1x — full
+    # scan ~2.8 s vs pruned ~0.8 s with a FRESH reader per run (see
+    # below; a reused reader object re-scans 4x faster via session-
+    # level scan caching and buries the gap under fixed overhead —
+    # measured while building this bench)
+    n = int(30_000_000 * MULT * frac)
+    n_parts, kept = 60, 10
+    path = tempfile.mkdtemp(prefix="m2e_scale_dpp_")
+    try:
+        fact = spark.range(n).select(
+            F.pmod(F.col("id"), F.lit(n_parts)).alias("d"),
+            F.pmod(F.col("id"), F.lit(1000)).alias("v"),
+            # payload pad: makes the pruned bytes a real cost, as the
+            # wide fact rows of a production table would be (sha output
+            # is incompressible, so parquet cannot encode it away)
+            F.concat(
+                F.sha2(F.col("id").cast("string"), 256),
+                F.sha2(F.col("id").cast("string"), 224),
+                F.sha2((F.col("id") + 1).cast("string"), 256),
+                F.sha2((F.col("id") + 1).cast("string"), 224),
+            ).alias("pad"),
+        )
+        fact.write.mode("overwrite").partitionBy("d").parquet(path)
+        # dim as a REAL table: written to disk and read back so its
+        # `region` column is opaque to the optimizer (no static
+        # inference onto the fact — see docstring trap #1)
+        dim_path = os.path.join(path, "_dim")
+        spark.range(n_parts).select(
+            F.col("id").alias("d"),
+            F.pmod(F.col("id"), F.lit(5)).alias("grp"),
+            F.pmod(F.col("id"), F.lit(n_parts // kept)).alias("region"),
+        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+
+        def joined():
+            # FRESH reader + dim per run (docstring trap #2)
+            on_disk = spark.read.parquet(path)
+            dim = (
+                spark.read.parquet(dim_path)
+                .filter(F.col("region") == 0)
+                .select("d", "grp")
+            )
+            return on_disk.join(dim, "d")
+
+        def agg():
+            rows = (
+                joined()
+                .groupBy("grp")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("v").alias("s"),
+                    F.sum(F.length("pad")).alias("b"),
+                )
+                .collect()
+            )
+            return {"rows": {(r["grp"], r["n"], r["s"], r["b"]) for r in rows}}
+
+        conf = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+        prev = spark.conf.get(conf)
+
+        def best_of_2(label):
+            a = timed(spark, label + "_r1", agg)
+            b = timed(spark, label + "_r2", agg)
+            return a if a["wall_sec"] <= b["wall_sec"] else b
+
+        try:
+            spark.conf.set(conf, "false")
+            t_off = best_of_2(f"dpp_off_{frac}x")
+            spark.conf.set(conf, "true")
+            t_on = best_of_2(f"dpp_on_{frac}x")
+        finally:
+            spark.conf.set(conf, prev)
+        assert t_off["rows"] == t_on["rows"], "DPP changed the result"
+        # the cluster-transferable metric: with the optimizer rule on,
+        # the fact scan's PartitionFilters carry the dynamicpruning
+        # subquery — assert it actually fired, then the 6x rows/bytes
+        # reduction is arithmetic, not hope. (Wall clock on a page-
+        # cache-warm local NVMe under 32 decode threads understates the
+        # gap a bandwidth-bound cluster scan would see; both numbers
+        # are recorded, the byte ratio is the one that transfers.)
+        plan = (
+            joined()
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "dynamicpruning" in plan.lower(), "DPP did not fire"
+        return {
+            "wall_sec": t_on["wall_sec"],
+            "jobs": t_on["jobs"],
+            "stages": t_on["stages"],
+            "shuffle_stages": t_on["shuffle_stages"],
+            "dpp_off_sec": t_off["wall_sec"],
+            "dpp_on_sec": t_on["wall_sec"],
+            "speedup_vs_full_scan": round(
+                t_off["wall_sec"] / t_on["wall_sec"], 2
+            )
+            if t_on["wall_sec"]
+            else None,
+            "n_fact_rows": n,
+            "partitions_total": n_parts,
+            "partitions_kept": kept,
+            "rows_read_ratio": round(n_parts / kept, 2),
+            "groups": len(t_on["rows"]),
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 BENCHES = {
     "pagerank": bench_pagerank,
     "cc_minlabel": bench_cc_minlabel,
@@ -391,6 +526,7 @@ BENCHES = {
     "pq_train": bench_pq_train,
     "triangles": bench_triangles,
     "skew_join": bench_skew_join,
+    "dpp": bench_dpp,
 }
 
 

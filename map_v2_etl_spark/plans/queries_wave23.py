@@ -31,14 +31,24 @@ EXECUTION SURFACES rather than new domains:
 
 * dynamic_partition_pruning — the runtime-pruning plan shape: a
   date-partitioned fact joined to a filtered dim on the partition
-  column. Static pruning cannot help (the kept dates are only known
-  after the dim's filter runs); Catalyst's DPP inserts a
-  dynamicpruning#N subquery into the fact scan's partition filters, so
-  the scan lists ONLY the surviving date directories — at 100 TB the
-  difference between reading 7/30ths of the table and all of it. The
-  physical-plan presence of `dynamicpruning` is asserted in
-  tests/test_wave23.py; the oracle recomputes the join's semantics
-  (dates with day-of-month ≤ 7) directly from events.
+  column. The dim keeps dates whose TOTAL EVENT COUNT is odd — a
+  deliberately data-dependent predicate, because a predicate that is a
+  deterministic expression of the join key (a date-arithmetic filter,
+  a pmod of the key) gets inferred onto the fact STATICALLY by
+  Catalyst's constraint propagation and prunes at plan time with no
+  DPP involved at all (measured while building bench_scale's dpp op —
+  the A/B collapsed to 1.0x until the dim went opaque). With a
+  count-based predicate only runtime pruning can skip fact
+  directories: Catalyst inserts a dynamicpruning#N subquery into the
+  fact scan's PartitionFilters, the dim executes first, and the scan
+  lists ONLY surviving date directories — at 100 TB the difference
+  between reading half the table and all of it. The physical-plan
+  presence of `dynamicpruning` is asserted in tests/test_wave23.py;
+  the oracle recomputes the semantics (dates with odd counts) from
+  events. Measured at generated scale in bench_scale.py (`dpp` op):
+  2.1-2.3x wall over the full scan at 7-15 GB fixtures, gap growing
+  with size (the byte ratio, 6x there, is the cluster-transferable
+  number — local page-cache decode understates it).
 """
 
 from __future__ import annotations
@@ -168,10 +178,12 @@ def q_arrow_group_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_DPP = (
     "WITH f AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date, value "
-    "           FROM events) "
+    "           FROM events), "
+    "keep AS (SELECT event_date FROM f GROUP BY event_date "
+    "         HAVING count(*) % 2 = 1) "
     "SELECT event_date, CAST(count(*) AS BIGINT) AS n, "
     f"CAST(sum(CAST(value AS {DEC})) AS DOUBLE) AS sum_value "
-    "FROM f WHERE day(CAST(event_date AS DATE)) <= 7 "
+    "FROM f JOIN keep USING (event_date) "
     "GROUP BY event_date"
 )
 
@@ -195,18 +207,24 @@ def build_dpp_frames(
 ) -> tuple[DataFrame, DataFrame]:
     """Write the date-partitioned fact and derive the filtered dim.
 
-    The dim is the fact's own partition listing (metadata-only read)
-    filtered to day-of-month ≤ 7 — only resolvable at RUNTIME, which is
-    precisely what forces Catalyst to inject the dynamic pruning
-    subquery instead of static partition pruning."""
+    The dim keeps dates with an ODD total event count — a
+    data-dependent predicate the optimizer CANNOT infer onto the fact
+    statically (a key-derivable predicate would static-prune and make
+    the DPP machinery dead weight; see module docstring). The dim is
+    computed from the source events table, the fact from the
+    partitioned copy, so the pruning subquery is a genuinely
+    independent relation as in a real star schema."""
     from .queries_wave17 import _read_string_partitions, build_partitioned_events
 
     build_partitioned_events(spark, sf_dir, path)
     fact = _read_string_partitions(spark, path)
     dim = (
-        fact.select("event_date")
-        .distinct()
-        .filter(F.dayofmonth(F.to_date("event_date")) <= 7)
+        load_table(spark, "events", sf_dir)
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n_day"))
+        .filter(F.pmod(F.col("n_day"), F.lit(2)) == 1)
+        .select("event_date")
     )
     return fact, dim
 

@@ -159,19 +159,41 @@ def test_dpp_results_equal_plain_filter(spark):
         map(tuple, REGISTRY["dynamic_partition_pruning"].fn(spark, SF)
             .collect())
     )
-    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    day = ev.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
     want = sorted(
         map(
             tuple,
-            ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
-            .filter(F.dayofmonth(F.to_date("event_date")) <= 7)
-            .groupBy("event_date")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("value").cast(DEC)).cast("double")
-                .alias("sum_value"),
-            )
-            .collect(),
+            day.filter(F.pmod(F.col("n"), F.lit(2)) == 1).collect(),
         )
     )
     assert out == want
+    assert out, "fixture should have at least one odd-count date"
+
+
+def test_dpp_dim_predicate_not_statically_inferable(spark, tmp_path):
+    """The guard this query exists to keep: the fact scan's STATIC
+    PartitionFilters must stay trivial (isnotnull only) — if a future
+    edit makes the dim predicate key-derivable, Catalyst infers it
+    onto the fact and the dynamicpruning subquery stops being
+    load-bearing (the bench_scale trap)."""
+    import re
+
+    from map_v2_etl_spark.plans.queries_wave23 import build_dpp_frames, dpp_join
+
+    fact, dim = build_dpp_frames(spark, SF, str(tmp_path / "dpp2"))
+    plan = dpp_join(fact, dim)._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)", plan):
+        inner = m.group(1)
+        for pred in inner.split(","):
+            pred = pred.strip()
+            assert (
+                not pred
+                or pred.startswith("isnotnull")
+                or "dynamicpruning" in pred
+            ), f"static inferred partition filter leaked into the scan: {pred}"
