@@ -63,6 +63,8 @@ AUDIT_EXTRA = [
     # wave-23
     "stream_python_datasource", "arrow_group_transform",
     "dynamic_partition_pruning",
+    # wave-24
+    "stream_foreach_batch_upsert",
 ]
 
 
