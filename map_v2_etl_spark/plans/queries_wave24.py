@@ -29,6 +29,18 @@ pattern it still lacked:
   Tombstone semantics carried from wave 21: 'error' rows RIDE THROUGH
   the merge with their metadata (dropping them would resurrect deleted
   keys on a later merge) and filter only at the final read.
+
+* python_datasource_write_roundtrip — the WRITE half of the Python
+  Data Source API (`sources/pydatasource.py` ArrowParquetWriter):
+  documents flow OUT through the custom Arrow writer — each task
+  writes a uniquely-named temp file and returns a commit message;
+  the driver promotes exactly the files named in successful messages
+  (two-phase job commit, the protocol that makes task retries and
+  speculative duplicates invisible) — then back IN through the custom
+  reader, and the aggregate must equal the source-of-truth oracle.
+  With wave 22's reader, wave 23's stream reader and the stream
+  writer (tests/test_wave24.py), the pluggable-source surface is now
+  certified in all four quadrants: batch/stream × read/write.
 """
 
 from __future__ import annotations
@@ -116,3 +128,57 @@ def q_stream_foreach_batch_upsert(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# python_datasource_write_roundtrip
+# --------------------------------------------------------------------------
+
+_DUCK_PYDS_WRITE = (
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+    "CAST(max(n_chars) AS BIGINT) AS max_chars "
+    "FROM documents GROUP BY lang"
+)
+
+
+@query(
+    "python_datasource_write_roundtrip",
+    _DUCK_PYDS_WRITE,
+    tags=["sink", "datasource-api", "arrow", "roundtrip"],
+)
+def q_python_datasource_write_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """documents → custom Arrow writer (two-phase commit) → custom
+    Arrow reader → per-lang aggregate. See module docstring."""
+    from ..sources import pydatasource
+    from ..sources.registry import load_table
+
+    pydatasource.register(spark)
+    out = tempfile.mkdtemp(prefix="m2e_pydsw_")
+    try:
+        docs = load_table(spark, "documents", sf_dir).select(
+            "doc_id", "lang", "n_chars"
+        )
+        (
+            docs.repartition(4)
+            .write.format("m2e_arrow_parquet")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+        back = (
+            spark.read.format("m2e_arrow_parquet")
+            .option("path", out)
+            .load()
+        )
+        return _eager(
+            back.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.max("n_chars").alias("max_chars"),
+            )
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -94,6 +94,147 @@ class ArrowParquetReader(DataSourceReader):
         )
 
 
+# --------------------------------------------------------------------------
+# write path: the two-phase job-commit protocol, made visible
+# --------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (  # noqa: E402  (grouped with use site)
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _PartFileCommit(WriterCommitMessage):
+    """Per-task commit message: which temp file this task produced (or
+    None for an empty partition) and how many rows it holds. Picklable
+    by construction (plain dataclass)."""
+
+    filename: str | None
+    num_rows: int
+
+
+def _write_task_tempfile(path: str, iterator, tag: str = "") -> _PartFileCommit:
+    """Executor side of the protocol: write this task's Arrow batches
+    to a UNIQUELY-NAMED file under `<path>/_tmp`, return its name in
+    the commit message. A retried/speculative task writes a different
+    name, and only files named in SUCCESSFUL tasks' messages get
+    promoted by the driver — the classic two-phase job commit that
+    turns at-least-once task attempts into an exactly-once sink."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows > 0]
+    if not batches:
+        return _PartFileCommit(None, 0)
+    tmp_dir = os.path.join(path, "_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    name = f"part-{tag}{uuid.uuid4().hex}.parquet"
+    tbl = pa.Table.from_batches(batches)
+    pq.write_table(tbl, os.path.join(tmp_dir, name))
+    return _PartFileCommit(name, tbl.num_rows)
+
+
+def _promote(path: str, messages, *, clear_existing: bool) -> None:
+    """Driver side: atomically (per file: os.replace) move exactly the
+    files named in the commit messages from `_tmp` into the table root;
+    stray temp files from failed/speculative attempts are discarded
+    with the `_tmp` dir. Local/shared-FS layout — on object storage the
+    same protocol rides the storage's rename/commit primitive (which is
+    precisely what Spark's own committers do)."""
+    tmp_dir = os.path.join(path, "_tmp")
+    if clear_existing:
+        for f in glob(os.path.join(path, "*.parquet")):
+            os.remove(f)
+    for m in messages:
+        if m is not None and m.filename is not None:
+            os.replace(
+                os.path.join(tmp_dir, m.filename),
+                os.path.join(path, m.filename),
+            )
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def _discard_tmp(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "_tmp"), ignore_errors=True)
+
+
+class ArrowParquetWriter(DataSourceArrowWriter):
+    """Batch writer: task temp files + driver promote-on-commit."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> _PartFileCommit:
+        return _write_task_tempfile(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        _promote(self.path, messages, clear_existing=self.overwrite)
+
+    def abort(self, messages) -> None:
+        _discard_tmp(self.path)
+
+
+class ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming writer: same protocol per EPOCH — files are tagged
+    with the batch id, so a replayed epoch (restart between sink write
+    and checkpoint commit) overwrites its own files instead of
+    duplicating rows: the sink-side idempotence that upgrades the
+    stream's at-least-once delivery to exactly-once output."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> _PartFileCommit:
+        from pyspark import TaskContext
+
+        # partitionId-keyed (not uuid-keyed) name so an epoch REPLAY
+        # maps onto the same file set; the epoch tag is added at commit
+        pid = TaskContext.get().partitionId()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows > 0]
+        if not batches:
+            return _PartFileCommit(None, 0)
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        name = f"task-{pid}.parquet"
+        pq.write_table(
+            pa.Table.from_batches(batches), os.path.join(tmp_dir, name)
+        )
+        return _PartFileCommit(name, sum(b.num_rows for b in batches))
+
+    def commit(self, messages, batchId: int) -> None:
+        tmp_dir = os.path.join(self.path, "_tmp")
+        for m in messages:
+            if m is not None and m.filename is not None:
+                os.replace(
+                    os.path.join(tmp_dir, m.filename),
+                    os.path.join(
+                        self.path, f"epoch-{batchId}-{m.filename}"
+                    ),
+                )
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        _discard_tmp(self.path)
+
+
 class ArrowParquetDataSource(DataSource):
     """`spark.read.format("m2e_arrow_parquet").option("path", ...)`."""
 
@@ -117,6 +258,12 @@ class ArrowParquetDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return ArrowParquetReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> ArrowParquetWriter:
+        return ArrowParquetWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> ArrowParquetStreamWriter:
+        return ArrowParquetStreamWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -71,3 +71,134 @@ def test_foreach_batch_runs_multiple_merges(spark, monkeypatch):
     fed = [c for c in calls if c[1] > 0]
     assert len(fed) >= 3
     assert sum(c[1] for c in fed) == n
+
+
+# --------------------------------------------------------------------------
+# custom Arrow writer (batch + streaming)
+# --------------------------------------------------------------------------
+
+def test_batch_writer_overwrite_and_stray_tmp(spark, tmp_path):
+    """Two-phase commit contract: overwrite replaces prior content, and
+    a stray temp file (a crashed/speculative attempt's leftover) is
+    never promoted into the table."""
+    import os
+
+    from map_v2_etl_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    d = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id % 3 AS g")
+    df.write.format("m2e_arrow_parquet").option("path", d).mode(
+        "append"
+    ).save()
+    assert spark.read.parquet(d).count() == 100
+    # plant a stray temp file, then overwrite-write half the rows
+    os.makedirs(os.path.join(d, "_tmp"), exist_ok=True)
+    stray = os.path.join(d, "_tmp", "part-stray.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"junk")
+    df.filter("id < 50").write.format("m2e_arrow_parquet").option(
+        "path", d
+    ).mode("overwrite").save()
+    assert spark.read.parquet(d).count() == 50, "overwrite must replace"
+    assert not os.path.exists(os.path.join(d, "_tmp")), "tmp dir cleared"
+    names = os.listdir(d)
+    assert "part-stray.parquet" not in names, "stray file must not promote"
+
+
+def test_batch_writer_append_accumulates(spark, tmp_path):
+    from map_v2_etl_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    d = str(tmp_path / "a")
+    df = spark.range(40)
+    for _ in range(2):
+        df.write.format("m2e_arrow_parquet").option("path", d).mode(
+            "append"
+        ).save()
+    assert spark.read.parquet(d).count() == 80
+
+
+def test_stream_writer_epoch_replay_idempotent(spark, tmp_path):
+    """An epoch replay (restart between sink write and checkpoint
+    commit) rewrites ITS epoch's files instead of duplicating rows —
+    simulated by driving write+commit twice with the same batchId."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from map_v2_etl_spark.sources.pydatasource import (
+        ArrowParquetStreamWriter,
+    )
+
+    d = str(tmp_path / "s")
+
+    class _Ctx:  # stand-in for TaskContext in the unit harness
+        def partitionId(self):
+            return 0
+
+
+    batch = pa.RecordBatch.from_pydict({"x": list(range(10))})
+    w = ArrowParquetStreamWriter({"path": d}, overwrite=False)
+    import pyspark
+
+    real_get = pyspark.TaskContext.get
+    pyspark.TaskContext.get = staticmethod(lambda: _Ctx())
+    try:
+        for _replay in range(2):  # same epoch delivered twice
+            msg = w.write(iter([batch]))
+            w.commit([msg], batchId=7)
+    finally:
+        pyspark.TaskContext.get = real_get
+    files = sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+    assert files == ["epoch-7-task-0.parquet"], files
+    assert spark.read.parquet(d).count() == 10
+
+
+def test_stream_writer_end_to_end(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from map_v2_etl_spark.sources import pydatasource, pystream
+
+    pydatasource.register(spark)
+    pystream.register(spark)
+    src = f"{SF}/events.parquet"
+    n = spark.read.parquet(src).count()
+    d = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.format("m2e_parquet_replay")
+        .option("path", src)
+        .option("columns", "event_id,event_type,value")
+        .option("batch_rows", str(max(1, n // 3)))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("m2e_arrow_parquet")
+        .option("path", d)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(d)
+    assert back.count() == n
+    # exact content: decimal sum is order-independent
+    a = back.agg(F.sum(F.col("value").cast("decimal(20,4)")).alias("s")).first()["s"]
+    b = spark.read.parquet(src).agg(
+        F.sum(F.col("value").cast("decimal(20,4)")).alias("s")
+    ).first()["s"]
+    assert a == b
+    epochs = {
+        os.path.basename(f).split("-")[1]
+        for f in glob.glob(os.path.join(d, "epoch-*.parquet"))
+    }
+    assert len(epochs) >= 3, "stream must have written multiple epochs"

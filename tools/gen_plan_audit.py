@@ -64,7 +64,7 @@ AUDIT_EXTRA = [
     "stream_python_datasource", "arrow_group_transform",
     "dynamic_partition_pruning",
     # wave-24
-    "stream_foreach_batch_upsert",
+    "stream_foreach_batch_upsert", "python_datasource_write_roundtrip",
 ]
 
 
