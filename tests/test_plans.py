@@ -189,3 +189,29 @@ def test_skew_split_join_unions_broadcast_hot_leg(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Union" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_countmin_sketch_join_is_broadcast(spark, sf_dir):
+    """The estimate join must ship the ≤d×w-cell sketch to executors,
+    never shuffle the candidate keys against it; top-k must be a
+    TakeOrdered, not a global sort."""
+    plan = plan_of("countmin_heavy", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_constraint_profile_anti_join_broadcast(spark, sf_dir):
+    """Referential check: the dim's key column broadcasts; the fact
+    side must not shuffle for the anti join."""
+    plan = plan_of("constraint_profile", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_recursive_cte_compiles_to_union_loop(spark, sf_dir):
+    """WITH RECURSIVE must execute as Catalyst's iterative UnionLoop —
+    not an unrolled/materialized expansion — with the recursion's step
+    free of shuffles (the only Exchanges belong to the final join+agg)."""
+    plan = plan_of("recursive_cte_paths", spark, sf_dir)
+    assert "UnionLoop" in plan
