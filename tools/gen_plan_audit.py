@@ -65,6 +65,8 @@ AUDIT_EXTRA = [
     "dynamic_partition_pruning",
     # wave-24
     "stream_foreach_batch_upsert", "python_datasource_write_roundtrip",
+    # wave-25
+    "hll_merge_rollup",
 ]
 
 
