@@ -518,6 +518,132 @@ def bench_dpp(spark: SparkSession, frac: float) -> dict:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def bench_bloom_join(spark: SparkSession, frac: float) -> dict:
+    """Runtime bloom-filter join A/B: a wide fact SMJ-joined to a
+    SELECTIVE dim (1% of the key space survives its filter). With the
+    rule off, every fact row is shuffled and discarded at the join;
+    with it on, Catalyst builds a bloom filter from the dim side at
+    runtime and injects `might_contain` into the fact SCAN, so ~99% of
+    rows never enter the shuffle. This is the row-level sibling of the
+    dpp op's partition-level runtime pruning — the pair covers both
+    granularities of runtime filtering.
+
+    Local-scale modeling, stated explicitly: the rule's application-
+    side threshold defaults to 10 GB (it exists FOR the 100 TB
+    condition), so the op lowers it to fire at bench size — the same
+    move as skew_join's auto-broadcast disable, modeling the regime
+    the operator exists for. Auto-broadcast is off so the join is the
+    shuffle join the bloom filter actually protects. Results must
+    agree exactly; the plan with the rule on is asserted to carry
+    might_contain.
+
+    Boundary measured while building this op (and why the fact is
+    parquet-backed): with a RAM-resident spark.range fact the bloom
+    arm was 0.75x — the per-row might_contain probe cost MORE than
+    the shuffle it saved, because a generated fact has no scan cost
+    to skip and a local shuffle runs at RAM speed. Against a real
+    parquet scan the same filter wins 2-5x. That asymmetry is the
+     10 GB default threshold's whole rationale: runtime row filters
+    pay exactly when the application side is scan-bound."""
+    import shutil
+    import tempfile
+
+    n = int(20_000_000 * MULT * frac)
+    keyspace = 1_000_000
+    path = tempfile.mkdtemp(prefix="m2e_scale_bloom_")
+    spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(keyspace)).alias("k"),
+        F.pmod(F.col("id"), F.lit(1000)).alias("v"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    ).write.mode("overwrite").parquet(path)
+    dim_path = os.path.join(path, "_dim")
+    spark.range(keyspace).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(7)).alias("grp"),
+        # opaque selectivity attr (read back from disk, like dpp's dim)
+        F.pmod(F.xxhash64(F.col("id"), F.lit(9)), F.lit(100)).alias("sel"),
+    ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+
+    def joined():
+        # FRESH readers per run (the dpp op's trap #2)
+        fact = spark.read.parquet(path)
+        dim = (
+            spark.read.parquet(dim_path)
+            .filter(F.col("sel") == 0)
+            .select("k", "grp")
+        )
+        return fact.join(dim, "k")
+
+    def agg():
+        rows = (
+            joined()
+            .groupBy("grp")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v").alias("s"),
+                F.sum(F.length("pad")).alias("b"),
+            )
+            .collect()
+        )
+        return {"rows": {(r["grp"], r["n"], r["s"], r["b"]) for r in rows}}
+
+    bloom_conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    app_conf = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    # creation side: the 1M-key dim's plan stats exceed the default
+    # 10 MB creation threshold (the rule would silently skip); at
+    # 100 TB the equivalent dim is exactly the thing you RAISE this
+    # for, so the op raises it — same modeling move as app_conf below
+    create_conf = (
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    )
+    prev_bloom = spark.conf.get(bloom_conf)
+    prev_app = spark.conf.get(app_conf)
+    prev_create = spark.conf.get(create_conf)
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.conf.set(bloom_conf, "false")
+        t_off = timed(spark, f"bloom_off_{frac}x", agg)
+        spark.conf.set(bloom_conf, "true")
+        spark.conf.set(app_conf, "0")
+        spark.conf.set(create_conf, "1GB")
+        plan = (
+            joined()
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan, "bloom filter did not inject"
+        t_on = timed(spark, f"bloom_on_{frac}x", agg)
+    finally:
+        spark.conf.set(bloom_conf, prev_bloom)
+        spark.conf.set(app_conf, prev_app)
+        spark.conf.set(create_conf, prev_create)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+    assert t_off["rows"] == t_on["rows"], "bloom filter changed the result"
+    shutil.rmtree(path, ignore_errors=True)
+    return {
+        "wall_sec": t_on["wall_sec"],
+        "jobs": t_on["jobs"],
+        "stages": t_on["stages"],
+        "shuffle_stages": t_on["shuffle_stages"],
+        "bloom_off_sec": t_off["wall_sec"],
+        "bloom_on_sec": t_on["wall_sec"],
+        "speedup_vs_no_bloom": round(t_off["wall_sec"] / t_on["wall_sec"], 2)
+        if t_on["wall_sec"]
+        else None,
+        "n_fact_rows": n,
+        "dim_keyspace": keyspace,
+        "dim_selectivity": 0.01,
+        "groups": len(t_on["rows"]),
+    }
+
+
 BENCHES = {
     "pagerank": bench_pagerank,
     "cc_minlabel": bench_cc_minlabel,
@@ -527,6 +653,7 @@ BENCHES = {
     "triangles": bench_triangles,
     "skew_join": bench_skew_join,
     "dpp": bench_dpp,
+    "bloom_join": bench_bloom_join,
 }
 
 
