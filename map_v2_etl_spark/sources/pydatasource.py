@@ -33,6 +33,13 @@ Design points, all load-bearing for the 100 TB posture:
 
 Schema is resolved ONCE on the driver from the parquet footer at plan
 time (`schema()`), so executors never re-infer types.
+
+Deployment note (100 TB posture): cloudpickle serializes these classes
+BY REFERENCE, so Python workers must be able to import
+`map_v2_etl_spark` — automatic in local mode (workers fork the driver's
+interpreter), and on a real cluster the standard `--py-files` /
+`spark.submit.pyFiles` package shipment, same as every other module in
+this engine.
 """
 
 from __future__ import annotations
