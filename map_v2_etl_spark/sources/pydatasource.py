@@ -205,6 +205,10 @@ class ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator) -> _PartFileCommit:
+        import os as _os
+        if _os.environ.get("M2E_SINK_DEBUG"):
+            with open("/tmp/sink_debug.log", "a") as fh:
+                fh.write(f"write called pid={_os.getpid()}\n")
         from pyspark import TaskContext
 
         # partitionId-keyed (not uuid-keyed) name so an epoch REPLAY
@@ -225,6 +229,9 @@ class ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
         return _PartFileCommit(name, sum(b.num_rows for b in batches))
 
     def commit(self, messages, batchId: int) -> None:
+        if os.environ.get("M2E_SINK_DEBUG"):
+            with open("/tmp/sink_debug.log", "a") as fh:
+                fh.write(f"commit batchId={batchId} msgs={[(m.filename, m.num_rows) if m else None for m in messages]}\n")
         tmp_dir = os.path.join(self.path, "_tmp")
         for m in messages:
             if m is not None and m.filename is not None:
@@ -239,6 +246,9 @@ class ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
     def abort(self, messages, batchId: int) -> None:
+        if os.environ.get("M2E_SINK_DEBUG"):
+            with open("/tmp/sink_debug.log", "a") as fh:
+                fh.write(f"abort batchId={batchId}\n")
         _discard_tmp(self.path)
 
 

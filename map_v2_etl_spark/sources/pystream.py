@@ -65,51 +65,64 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
 
         self.n_rows = pq.ParquetFile(self.path).metadata.num_rows
 
+    def _dbg(self, msg: str) -> None:
+        import os as _os
+
+        if _os.environ.get("M2E_SRC_DEBUG"):
+            with open("/tmp/src_debug.log", "a") as fh:
+                fh.write(f"pid={_os.getpid()} id={id(self)%10000} {msg}\n")
+
     def initialOffset(self) -> dict:
+        self._dbg("initialOffset")
         return {"row": 0}
 
     # ------------------------------------------------------------------
     # Restart correctness. The pacing cursor lives in the reader object,
     # which is RECREATED on query restart — a naive cursor restarts at 0
-    # and re-plans offsets the checkpoint already committed (measured:
+    # and re-plans offsets the checkpoint already planned (measured:
     # a mid-stream stop + restart delivered 14000 rows of a 10000-row
     # replay). The engine never hands the reader its checkpoint, but its
-    # own callbacks reveal the committed frontier, which `_floor` tracks:
-    #   * commit(end)   — end is committed by definition;
-    #   * a BACKWARD plan request (partitions with end <= start) — the
-    #     engine only plans a new batch once prior batches are recovered
-    #     and committed, so its `start` is a committed frontier that our
-    #     reset cursor undershot.
-    # latestOffset never returns below the floor, and a forward range's
-    # low edge clamps to it. The clamp cannot lose data: floor only ever
-    # holds committed offsets, and every legitimate forward range starts
-    # at-or-after the committed frontier — only a log entry poisoned by
-    # our own pre-floor backward answer can sit below it, and those rows
-    # were delivered before the restart. Crash restarts (uncommitted
-    # tail in the offset log) replay through explicit ranges that never
-    # touch the floor. Test-pinned in tests/test_wave23.py.
+    # own call sequence reveals the PLANNED frontier, which `_frontier`
+    # tracks (traced against a live restart, /tmp-instrumented):
+    #   1. the engine's FIRST action on a restarted reader is a
+    #      degenerate partitions(F, F) probe at the offset log's
+    #      frontier F — recorded;
+    #   2. it then replays the uncommitted tail via explicit forward
+    #      ranges — honored IN FULL (an earlier design clamped forward
+    #      ranges to the frontier and silently emptied exactly this
+    #      replay: 150 rows lost; the clamp is gone);
+    #   3. commit(end) keeps the frontier current from then on.
+    # latestOffset never returns below the frontier, so the replanned
+    # NEXT batch continues where the log ends — no duplicates — while
+    # explicit recovery ranges are never second-guessed — no loss.
+    # Both restart paths (mid-stream stop, fully-committed stop) are
+    # test-pinned in tests/test_wave23.py and the source→custom-sink
+    # compose restart in tests/test_wave24.py.
     # ------------------------------------------------------------------
 
     def latestOffset(self) -> dict:
         # one chunk per call ⇒ the replay is a SEQUENCE of microbatches
         # (the property the wave-23 test asserts), not one giant batch
-        cur = max(getattr(self, "_cursor", 0), getattr(self, "_floor", 0))
+        cur = max(getattr(self, "_cursor", 0), getattr(self, "_frontier", 0))
         nxt = min(cur + self.batch_rows, self.n_rows)
         self._cursor = nxt
+        self._dbg(f"latestOffset -> {nxt}")
         return {"row": nxt}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["row"], end["row"]
-        floor = getattr(self, "_floor", 0)
+        self._dbg(
+            f"partitions {lo}..{hi} frontier={getattr(self, '_frontier', 0)}"
+        )
         if hi <= lo:
-            # backward request: the engine's start IS a committed
-            # frontier our reset cursor undershot — record it
-            self._floor = max(floor, lo)
+            # degenerate/backward probe: the engine's start is the
+            # offset log's planned frontier — learn it (restart
+            # protocol step 1 in the block above)
+            self._frontier = max(getattr(self, "_frontier", 0), lo)
             return [_RowRangePartition(self.path, lo, lo, self.columns)]
-        lo = max(lo, floor)
-        if hi <= lo:
-            return [_RowRangePartition(self.path, hi, hi, self.columns)]
-        # split the microbatch range into `tasks` near-equal slices
+        # explicit forward range: honored in full, never clamped
+        # (restart protocol step 2 — clamping here LOSES the engine's
+        # recovery replay of the uncommitted tail)
         step = max(1, (hi - lo + self.tasks - 1) // self.tasks)
         return [
             _RowRangePartition(
@@ -140,9 +153,10 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
             yield from tbl.slice(lo, hi - lo).to_batches()
 
     def commit(self, end: dict) -> None:
-        # record the committed frontier (see the restart-correctness
-        # block above); the parquet replay itself needs no acking
-        self._floor = max(getattr(self, "_floor", 0), end["row"])
+        # keep the frontier current (restart protocol step 3); the
+        # parquet replay itself needs no acking
+        self._dbg(f"commit {end}")
+        self._frontier = max(getattr(self, "_frontier", 0), end["row"])
 
 
 class ParquetReplayDataSource(DataSource):
