@@ -67,6 +67,8 @@ AUDIT_EXTRA = [
     "stream_foreach_batch_upsert", "python_datasource_write_roundtrip",
     # wave-25
     "hll_merge_rollup",
+    # wave-26
+    "compact_small_files", "snapshot_vacuum",
 ]
 
 
