@@ -69,6 +69,8 @@ AUDIT_EXTRA = [
     "hll_merge_rollup",
     # wave-26
     "compact_small_files", "snapshot_vacuum",
+    # wave-27
+    "scd2_intervals",
 ]
 
 
