@@ -215,3 +215,13 @@ def test_recursive_cte_compiles_to_union_loop(spark, sf_dir):
     free of shuffles (the only Exchanges belong to the final join+agg)."""
     plan = plan_of("recursive_cte_paths", spark, sf_dir)
     assert "UnionLoop" in plan
+
+
+def test_scd2_single_shuffle_single_sort(spark, sf_dir):
+    """Both window passes ride ONE hash partitioning AND one sort:
+    the closing window's (valid_from, from_event_id) order over
+    surviving episodes IS the detection window's (ts, event_id) order,
+    so Catalyst plans no second Exchange and no second Sort."""
+    plan = plan_of("scd2_intervals", spark, sf_dir)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort") == 1, plan
