@@ -37,6 +37,11 @@ from map_v2_etl_spark.plans import registry as _r  # noqa: E402
 #: but the stale bucket drains oldest-cert-first and four of them
 #: (r4/r5 certs) would otherwise sit behind ~45 older r2/r3 records,
 #: i.e. outside the driver's ~50-query certification window this round.
+#: r9 NOTE: the driver produced no r7 artifacts, so this r7 set is
+#: still pending. Once CORRECTNESS_r08 (or later) shows these 13 green,
+#: CLEAR the set — their fingerprints will be re-seeded by the round-
+#: start `tools/cert_fingerprint.py update` and the automatic key takes
+#: over (docs/ROUND7.md §1 protocol).
 FORCE_RECERT: set[str] = {
     # r6 ADVICE: edited in r6 but not re-certified there
     "events_tumbling_window",
