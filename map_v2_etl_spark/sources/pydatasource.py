@@ -29,7 +29,13 @@ Design points, all load-bearing for the 100 TB posture:
   docstring of the wave-22 query states this trade honestly: for
   formats Spark already speaks, the native reader with automatic
   pruning/pushdown is the right path; this API is for formats it
-  doesn't.
+  doesn't. Measured cost of the Python hop (sf0.1 documents,
+  3-column per-lang aggregate, best-of-3 warm, local[32]): custom
+  0.62 s vs native 0.31 s — ~2x on a scan-dominated job, the price
+  of the extra Arrow IPC handoff through the Python runner. For a
+  system Spark has NO native reader for, 2x-of-optimal through a
+  pluggable, pruning-capable, partition-parallel source is the
+  honest comparison point (the alternative is a driver-side fetch).
 
 Schema is resolved ONCE on the driver from the parquet footer at plan
 time (`schema()`), so executors never re-infer types.
