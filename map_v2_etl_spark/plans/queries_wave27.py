@@ -64,16 +64,10 @@ FROM closed
 """
 
 
-@query(
-    "scd2_intervals",
-    _DUCK_SCD2,
-    tags=["warehouse", "scd2", "window", "intervals"],
-)
-def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a state-change log → SCD Type-2 validity intervals per
-    user. See module docstring (change detection + interval closing,
-    one shuffle, duplicate-state suppression)."""
-    ev = load_table(spark, "events", sf_dir)
+def scd2_intervals_from(ev: DataFrame) -> DataFrame:
+    """The SCD2 build over any (user_id, event_type, ts, event_id)
+    change log — separated from the fixture load so the property tests
+    can drive it with hypothesis-generated logs."""
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     episodes = (
         ev.withColumn("prev_type", F.lag("event_type").over(order))
@@ -92,3 +86,15 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return episodes.withColumn(
         "valid_to", F.lead("valid_from").over(close)
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@query(
+    "scd2_intervals",
+    _DUCK_SCD2,
+    tags=["warehouse", "scd2", "window", "intervals"],
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a state-change log → SCD Type-2 validity intervals per
+    user. See module docstring (change detection + interval closing,
+    one shuffle, duplicate-state suppression)."""
+    return scd2_intervals_from(load_table(spark, "events", sf_dir))

@@ -79,3 +79,64 @@ def test_every_event_resolves_to_latest_state(spark):
                 key=lambda iv: (iv["valid_from"], iv["from_event_id"]),
             )
             assert covering["state"] == state, (user, e, covering)
+
+
+# --------------------------------------------------------------------------
+# property test over hypothesis-generated logs (degenerate patterns the
+# fixture may lack: single-event users, all-same-state runs, ts ties)
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),      # user_id
+            st.sampled_from(["a", "b", "c"]),           # state
+            st.integers(min_value=0, max_value=20),     # ts (many ties)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_scd2_properties_on_random_logs(spark, log):
+    from map_v2_etl_spark.plans.queries_wave27 import scd2_intervals_from
+
+    rows = [
+        (u, s, t, i)  # event_id = list position: unique tie-break
+        for i, (u, s, t) in enumerate(log)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts bigint, event_id bigint"
+    )
+    out = scd2_intervals_from(ev).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expected_users = {u for u, _, _ in log}
+    assert set(by_user) == expected_users
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: (r["valid_from"], r["from_event_id"]))
+        # tiling, one open interval, duplicate suppression
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["state"] != b["state"]
+        assert ivs[-1]["valid_to"] is None and ivs[-1]["is_current"]
+        assert sum(iv["is_current"] for iv in ivs) == 1
+        # episode count == number of state CHANGES in the ordered log
+        seq = [
+            s
+            for _, s, _, _ in sorted(
+                (r for r in rows if r[0] == user),
+                key=lambda r: (r[2], r[3]),
+            )
+        ]
+        changes = 1 + sum(1 for x, y in zip(seq, seq[1:]) if x != y)
+        assert len(ivs) == changes
