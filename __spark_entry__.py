@@ -31,39 +31,12 @@ from map_v2_etl_spark.plans import registry as _r  # noqa: E402
 #: passing driver record attested (CERT_FINGERPRINTS.json), this set is
 #: normally EMPTY — it remains as an escape hatch for staleness the
 #: slicer cannot see (e.g. a behavior change routed through dynamic
-#: dispatch or data files rather than package source). r7: the eight
-#: queries ADVICE.md (r6) identified as edited-but-not-re-certified are
-#: PROMOTED here — the fingerprint key already marks all eight stale,
-#: but the stale bucket drains oldest-cert-first and four of them
-#: (r4/r5 certs) would otherwise sit behind ~45 older r2/r3 records,
-#: i.e. outside the driver's ~50-query certification window this round.
-#: r9 NOTE: the driver produced no r7 artifacts, so this r7 set is
-#: still pending. Once CORRECTNESS_r08 (or later) shows these 13 green,
-#: CLEAR the set — their fingerprints will be re-seeded by the round-
-#: start `tools/cert_fingerprint.py update` and the automatic key takes
-#: over (docs/ROUND7.md §1 protocol).
-FORCE_RECERT: set[str] = {
-    # r6 ADVICE: edited in r6 but not re-certified there
-    "events_tumbling_window",
-    "events_topk_stream",
-    "events_sliding_window",
-    "text_token_count",
-    "text_quality",
-    "text_lang_id",
-    "curation_pipeline",
-    "binary_file_source",
-    # r7 plan changes (unrolled crossJoin distances in pq_train /
-    # assign_clusters' broadcast leg; triangle counting extracted to
-    # operators.graph with the endpoint-set dense universe): their r5/r6
-    # certs sit at the BACK of the 119-deep stale queue, so without
-    # promotion this round's own edits would go uncertified — the exact
-    # r6 failure mode.
-    "triangle_count",
-    "embedding_pq_topk",
-    "embedding_kmeans",
-    "embedding_semdedup",
-    "ann_recall_report",
-}
+#: dispatch or data files rather than package source). r9: CLEARED —
+#: CORRECTNESS_r08 certified all 13 members of the r7 set green, and
+#: the round-start `tools/cert_fingerprint.py update` re-seeded their
+#: fingerprints at the attested state, so the automatic staleness key
+#: has taken over (docs/ROUND7.md §1 protocol).
+FORCE_RECERT: set[str] = set()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -93,17 +93,22 @@ def q_stream_foreach_batch_upsert(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         compacted = _compact(batch_df)
-        if state["v"] >= 0:
-            prev = spark.read.parquet(os.path.join(root, f"v={state['v']}"))
+        # snapshot keyed BY BATCH ID (not a per-invocation counter): a
+        # retried/replayed batch k re-derives from v={k-1} and rewrites
+        # ITS OWN v={k} directory — that directory-level idempotence is
+        # the sink half of the exactly-once foreachBatch recipe. (This
+        # bounded cert run starts fresh each time so ids are 0..n; with
+        # a checkpointLocation the restarted query replays the same
+        # uncommitted id and lands on the same directory. The LWW
+        # merge's own idempotence is a second, independent safety net.)
+        prev_v = batch_id - 1
+        if prev_v >= 0:
+            prev = spark.read.parquet(os.path.join(root, f"v={prev_v}"))
             compacted = _compact(prev.unionByName(compacted))
-        nxt = state["v"] + 1
-        # version-per-batch: a retried batch rewrites ITS version
-        # directory instead of corrupting the previous snapshot —
-        # the idempotent-sink half of exactly-once for foreachBatch
         compacted.write.mode("overwrite").parquet(
-            os.path.join(root, f"v={nxt}")
+            os.path.join(root, f"v={batch_id}")
         )
-        state["v"] = nxt
+        state["v"] = max(state["v"], batch_id)
 
     try:
         stream = (

@@ -95,6 +95,11 @@ class ArrowParquetReader(DataSourceReader):
         return parts
 
     def read(self, partition: _RowGroupPartition):
+        if partition is None:
+            # an empty partitions() list (zero-file dataset read with an
+            # explicit schema) still gets one read(None) call from the
+            # Python data source runner — yield nothing
+            return
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(partition.path)
@@ -124,10 +129,18 @@ from pyspark.sql.datasource import (  # noqa: E402  (grouped with use site)
 class _PartFileCommit(WriterCommitMessage):
     """Per-task commit message: which temp file this task produced (or
     None for an empty partition) and how many rows it holds. Picklable
-    by construction (plain dataclass)."""
+    by construction (plain dataclass).
+
+    `final_name` (streaming only): the DESIRED promoted base name
+    (task-{partitionId}); the temp name stays collision-free (uuid) so
+    two concurrent attempts of the same task (speculation, or a retry
+    racing a zombie original) can never interleave writes into one
+    temp path — only the attempt whose message reaches commit() is
+    renamed to the deterministic final name."""
 
     filename: str | None
     num_rows: int
+    final_name: str | None = None
 
 
 def _write_task_tempfile(path: str, iterator, tag: str = "") -> _PartFileCommit:
@@ -211,15 +224,11 @@ class ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator) -> _PartFileCommit:
-        import os as _os
-        if _os.environ.get("M2E_SINK_DEBUG"):
-            with open("/tmp/sink_debug.log", "a") as fh:
-                fh.write(f"write called pid={_os.getpid()}\n")
         from pyspark import TaskContext
 
-        # partitionId-keyed (not uuid-keyed) name so an epoch REPLAY
-        # maps onto the same file set; the epoch tag is added at commit
         pid = TaskContext.get().partitionId()
+        import uuid
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -228,23 +237,31 @@ class ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
             return _PartFileCommit(None, 0)
         tmp_dir = os.path.join(self.path, "_tmp")
         os.makedirs(tmp_dir, exist_ok=True)
-        name = f"task-{pid}.parquet"
+        # temp name is uuid-unique PER ATTEMPT (two live attempts of the
+        # same task must never share a write path — same reasoning as
+        # the batch writer); the deterministic partitionId-keyed name is
+        # applied at commit so an epoch REPLAY still maps onto the same
+        # final file set (epoch-{batchId}-task-{pid}) and overwrites
+        # itself instead of duplicating rows.
+        tmp_name = f"attempt-{uuid.uuid4().hex}.parquet"
         pq.write_table(
-            pa.Table.from_batches(batches), os.path.join(tmp_dir, name)
+            pa.Table.from_batches(batches), os.path.join(tmp_dir, tmp_name)
         )
-        return _PartFileCommit(name, sum(b.num_rows for b in batches))
+        return _PartFileCommit(
+            tmp_name,
+            sum(b.num_rows for b in batches),
+            final_name=f"task-{pid}.parquet",
+        )
 
     def commit(self, messages, batchId: int) -> None:
-        if os.environ.get("M2E_SINK_DEBUG"):
-            with open("/tmp/sink_debug.log", "a") as fh:
-                fh.write(f"commit batchId={batchId} msgs={[(m.filename, m.num_rows) if m else None for m in messages]}\n")
         tmp_dir = os.path.join(self.path, "_tmp")
         for m in messages:
             if m is not None and m.filename is not None:
                 os.replace(
                     os.path.join(tmp_dir, m.filename),
                     os.path.join(
-                        self.path, f"epoch-{batchId}-{m.filename}"
+                        self.path,
+                        f"epoch-{batchId}-{m.final_name or m.filename}",
                     ),
                 )
         import shutil
@@ -252,9 +269,6 @@ class ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
     def abort(self, messages, batchId: int) -> None:
-        if os.environ.get("M2E_SINK_DEBUG"):
-            with open("/tmp/sink_debug.log", "a") as fh:
-                fh.write(f"abort batchId={batchId}\n")
         _discard_tmp(self.path)
 
 
@@ -272,6 +286,18 @@ class ArrowParquetDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         files = _file_list(self.options["path"])
+        if not files:
+            # e.g. reading back a custom-writer table where every task
+            # partition was empty, so no part files were promoted —
+            # schema inference is impossible; fail with a clear message
+            # instead of an IndexError. (A caller who supplies
+            # .schema(...) explicitly skips this method and gets the
+            # correct zero-row result from an empty partitions() list.)
+            raise ValueError(
+                f"m2e_arrow_parquet: no .parquet files under "
+                f"{self.options['path']!r} — cannot infer a schema; pass "
+                f"an explicit .schema(...) to read an empty dataset"
+            )
         arrow_schema = pq.ParquetFile(files[0]).schema_arrow
         cols = self.options.get("columns")
         if cols:

@@ -64,16 +64,50 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         self.n_rows = pq.ParquetFile(self.path).metadata.num_rows
+        self._cursor = 0
+        self._frontier = 0  # planned frontier (probe/commit signals)
+        self._committed = 0  # committed frontier (commit() only)
+        self._warn_if_unpinned_engine()
 
-    def _dbg(self, msg: str) -> None:
-        import os as _os
+    # The restart protocol below reads UNDOCUMENTED MicroBatchExecution
+    # call-sequence behavior, traced and pinned against pyspark 4.1.2
+    # (this repo's baked-in version). A pyspark upgrade that reorders
+    # or drops the restart probe would silently restart the cursor at 0
+    # and re-deliver committed rows — from inside the reader a fresh
+    # query and a probe-less restart are INDISTINGUISHABLE (traced on
+    # 4.1.2: even a fresh query's first call is latestOffset, before
+    # any initialOffset), so the failure cannot be detected at call
+    # time. Two guards make it loud anyway:
+    #   * construction WARNS whenever the running pyspark is not the
+    #     traced 4.1.x line — the upgrade is flagged before any data
+    #     can duplicate;
+    #   * partitions() RAISES if the engine ever plans a forward range
+    #     below an offset it has itself committed in this run — the
+    #     in-run signature of duplicate delivery.
+    _TRACED_ENGINE_PREFIX = "4.1."
 
-        if _os.environ.get("M2E_SRC_DEBUG"):
-            with open("/tmp/src_debug.log", "a") as fh:
-                fh.write(f"pid={_os.getpid()} id={id(self)%10000} {msg}\n")
+    @classmethod
+    def _warn_if_unpinned_engine(cls) -> None:
+        import pyspark
+
+        if not pyspark.__version__.startswith(cls._TRACED_ENGINE_PREFIX):
+            import warnings
+
+            warnings.warn(
+                f"m2e_parquet_replay: the restart exactly-once protocol "
+                f"was traced against pyspark "
+                f"{cls._TRACED_ENGINE_PREFIX}x but this session runs "
+                f"{pyspark.__version__}; the MicroBatchExecution restart "
+                f"call sequence it relies on (degenerate partitions "
+                f"probe before the first latestOffset) is undocumented "
+                f"and may have changed — re-trace it (protocol block in "
+                f"sources/pystream.py) before trusting restart "
+                f"exactly-once.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def initialOffset(self) -> dict:
-        self._dbg("initialOffset")
         return {"row": 0}
 
     # ------------------------------------------------------------------
@@ -97,29 +131,41 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
     # explicit recovery ranges are never second-guessed — no loss.
     # Both restart paths (mid-stream stop, fully-committed stop) are
     # test-pinned in tests/test_wave23.py and the source→custom-sink
-    # compose restart in tests/test_wave24.py.
+    # compose restart in tests/test_wave24.py; the version-pin warning
+    # and the committed-frontier regression raise live with
+    # _warn_if_unpinned_engine above.
     # ------------------------------------------------------------------
 
     def latestOffset(self) -> dict:
         # one chunk per call ⇒ the replay is a SEQUENCE of microbatches
         # (the property the wave-23 test asserts), not one giant batch
-        cur = max(getattr(self, "_cursor", 0), getattr(self, "_frontier", 0))
+        cur = max(self._cursor, self._frontier)
         nxt = min(cur + self.batch_rows, self.n_rows)
         self._cursor = nxt
-        self._dbg(f"latestOffset -> {nxt}")
         return {"row": nxt}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["row"], end["row"]
-        self._dbg(
-            f"partitions {lo}..{hi} frontier={getattr(self, '_frontier', 0)}"
-        )
         if hi <= lo:
             # degenerate/backward probe: the engine's start is the
             # offset log's planned frontier — learn it (restart
             # protocol step 1 in the block above)
-            self._frontier = max(getattr(self, "_frontier", 0), lo)
+            self._frontier = max(self._frontier, lo)
             return [_RowRangePartition(self.path, lo, lo, self.columns)]
+        if lo < self._committed:
+            # the engine is re-planning rows at-or-below an offset it
+            # has itself committed IN THIS RUN — the in-run signature
+            # of duplicate delivery (a legitimate restart replay starts
+            # AT the committed frontier, never below it). Fail loudly
+            # instead of silently re-emitting committed rows.
+            raise RuntimeError(
+                f"m2e_parquet_replay: engine planned forward range "
+                f"[{lo}, {hi}) below its own committed frontier "
+                f"{self._committed} — duplicate delivery; the "
+                f"MicroBatchExecution call-sequence assumptions "
+                f"(traced on pyspark 4.1.2, see protocol block in "
+                f"sources/pystream.py) no longer hold."
+            )
         # explicit forward range: honored in full, never clamped
         # (restart protocol step 2 — clamping here LOSES the engine's
         # recovery replay of the uncommitted tail)
@@ -155,8 +201,8 @@ class ParquetReplayStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # keep the frontier current (restart protocol step 3); the
         # parquet replay itself needs no acking
-        self._dbg(f"commit {end}")
-        self._frontier = max(getattr(self, "_frontier", 0), end["row"])
+        self._frontier = max(self._frontier, end["row"])
+        self._committed = max(self._committed, end["row"])
 
 
 class ParquetReplayDataSource(DataSource):

@@ -265,3 +265,48 @@ def test_replay_restart_after_clean_stop_delivers_nothing(spark, tmp_path):
     finally:
         q2.stop()
     assert sum(c for _, c in sink) == n, "clean restart must not replay"
+
+
+def test_replay_stream_duplicate_delivery_tripwire():
+    """The reader RAISES if the engine plans a forward range below an
+    offset it committed in this run (the in-run signature of duplicate
+    delivery), and accepts the legitimate boundary case (replay starts
+    exactly AT the committed frontier)."""
+    import pytest
+
+    from map_v2_etl_spark.sources.pystream import ParquetReplayStreamReader
+
+    r = ParquetReplayStreamReader(
+        {"path": f"{SF}/events.parquet", "batch_rows": "100"}
+    )
+    r.commit({"row": 100})
+    # legal: next batch starts at the committed frontier
+    assert r.partitions({"row": 100}, {"row": 200})
+    # illegal: re-planning committed rows
+    with pytest.raises(RuntimeError, match="committed frontier"):
+        r.partitions({"row": 50}, {"row": 150})
+    # degenerate probes below the frontier are engine bookkeeping, not
+    # data delivery — never fatal
+    assert r.partitions({"row": 50}, {"row": 50})
+
+
+def test_replay_stream_engine_version_pin_warns(monkeypatch):
+    """The restart protocol is pinned to the traced pyspark line; any
+    other engine version warns loudly at reader construction instead of
+    silently trusting an undocumented call sequence."""
+    import warnings
+
+    import pyspark
+
+    from map_v2_etl_spark.sources.pystream import ParquetReplayStreamReader
+
+    opts = {"path": f"{SF}/events.parquet"}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # traced version: no warning
+        ParquetReplayStreamReader(opts)
+    monkeypatch.setattr(pyspark, "__version__", "4.9.0")
+    with pytest.warns(RuntimeWarning, match="re-trace"):
+        ParquetReplayStreamReader(opts)
+
+
+import pytest  # noqa: E402  (used by the tripwire tests above)

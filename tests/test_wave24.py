@@ -265,3 +265,78 @@ def test_custom_source_to_custom_sink_survives_restart(spark, tmp_path):
         F.sum("event_id").alias("ids"),
     ).first()
     assert (a["s"], a["ids"]) == (b["s"], b["ids"])
+
+
+def test_stream_writer_concurrent_attempts_isolated(spark, tmp_path):
+    """Two concurrent attempts of the SAME task (speculation / a retry
+    racing a zombie original) must never share a temp path: each write
+    lands in its own uuid-named temp file, and only the attempt whose
+    message reaches commit() is promoted to the deterministic
+    epoch-{batchId}-task-{pid} name."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from map_v2_etl_spark.sources.pydatasource import (
+        ArrowParquetStreamWriter,
+    )
+
+    d = str(tmp_path / "s")
+
+    class _Ctx:
+        def partitionId(self):
+            return 0
+
+    w = ArrowParquetStreamWriter({"path": d}, overwrite=False)
+    import pyspark
+
+    real_get = pyspark.TaskContext.get
+    pyspark.TaskContext.get = staticmethod(lambda: _Ctx())
+    try:
+        # attempt A (the zombie) and attempt B (the retry) both write
+        # BEFORE either commits — with a shared temp path B would be
+        # appending over A's partial file
+        msg_a = w.write(iter([pa.RecordBatch.from_pydict({"x": [1, 2]})]))
+        msg_b = w.write(iter([pa.RecordBatch.from_pydict({"x": [3, 4, 5]})]))
+        assert msg_a.filename != msg_b.filename, "attempts shared a temp path"
+        assert msg_a.final_name == msg_b.final_name == "task-0.parquet"
+        tmp_files = glob.glob(os.path.join(d, "_tmp", "*.parquet"))
+        assert len(tmp_files) == 2, "each attempt must own its temp file"
+        # only the successful attempt (B) is committed
+        w.commit([msg_b], batchId=3)
+    finally:
+        pyspark.TaskContext.get = real_get
+    files = sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+    assert files == ["epoch-3-task-0.parquet"], files
+    assert spark.read.parquet(d).count() == 3  # B's rows, not A's
+    assert not os.path.exists(os.path.join(d, "_tmp")), "stray tmp survived"
+
+
+def test_reader_empty_dataset(spark, tmp_path):
+    """Reading back a dataset directory with no promoted part files
+    (every task partition was empty) fails with a clear message when
+    the schema must be inferred, and yields a correct zero-row result
+    when the caller supplies the schema explicitly."""
+    import pytest
+
+    from map_v2_etl_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    d = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(d)
+    with pytest.raises(Exception, match="no .parquet files under"):
+        spark.read.format("m2e_arrow_parquet").option("path", d).load()
+
+    out = (
+        spark.read.format("m2e_arrow_parquet")
+        .schema("doc_id bigint, lang string")
+        .option("path", d)
+        .load()
+    )
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang"]
