@@ -644,6 +644,53 @@ def bench_bloom_join(spark: SparkSession, frac: float) -> dict:
     }
 
 
+def bench_kmv(spark: SparkSession, frac: float) -> dict:
+    """KMV sketch build at high per-group cardinality: the plain path
+    ranks EVERY distinct hash inside each group's window sort; the
+    prefilter path bounds the sort input to ~8k survivors per group
+    via the approx-threshold pass (operators/sketches.py). Same sketch
+    rows out both ways — the A/B measures what the prefilter buys when
+    a group holds millions of distincts (the 100 TB regime), and the
+    estimate is checked against the generator's exact cardinality."""
+    from map_v2_etl_spark.operators.sketches import kmv_sketch, kmv_stats
+
+    k, groups = 256, 8
+    n = int(16_000_000 * MULT * frac)
+    per_group = n // groups
+    df = spark.range(n).select(
+        (F.col("id") % groups).alias("g"), F.col("id").alias("v")
+    )
+
+    def run_variant(prefilter: bool):
+        sk = kmv_sketch(df, "g", "v", k, prefilter=prefilter)
+        stats = kmv_stats(sk, "g", k).collect()
+        worst = max(
+            abs(r["est"] - per_group) / per_group for r in stats
+        )
+        return {"groups_out": len(stats), "worst_rel_err": round(worst, 4)}
+
+    t_plain = timed(spark, f"kmv_plain_{frac}x", lambda: run_variant(False))
+    t_pre = timed(spark, f"kmv_pre_{frac}x", lambda: run_variant(True))
+    return {
+        "wall_sec": t_pre["wall_sec"],
+        "jobs": t_pre["jobs"],
+        "stages": t_pre["stages"],
+        "shuffle_stages": t_pre["shuffle_stages"],
+        "plain_sec": t_plain["wall_sec"],
+        "prefilter_sec": t_pre["wall_sec"],
+        "speedup_vs_plain": round(
+            t_plain["wall_sec"] / t_pre["wall_sec"], 2
+        )
+        if t_pre["wall_sec"]
+        else None,
+        "n_rows": n,
+        "distinct_per_group": per_group,
+        "k": k,
+        "worst_rel_err_plain": t_plain["worst_rel_err"],
+        "worst_rel_err_prefilter": t_pre["worst_rel_err"],
+    }
+
+
 BENCHES = {
     "pagerank": bench_pagerank,
     "cc_minlabel": bench_cc_minlabel,
@@ -654,6 +701,7 @@ BENCHES = {
     "skew_join": bench_skew_join,
     "dpp": bench_dpp,
     "bloom_join": bench_bloom_join,
+    "kmv": bench_kmv,
 }
 
 
