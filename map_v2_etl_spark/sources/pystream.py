@@ -55,6 +55,13 @@ class _RowRangePartition(InputPartition):
 
 
 class ParquetReplayStreamReader(DataSourceStreamReader):
+    # class-level defaults so harnesses that construct a bare instance
+    # (__new__, the property tests' idiom for driving partitions()
+    # without a parquet fixture) still see zeroed protocol state
+    _cursor = 0
+    _frontier = 0
+    _committed = 0
+
     def __init__(self, options: dict):
         self.path = options["path"]
         cols = options.get("columns")
