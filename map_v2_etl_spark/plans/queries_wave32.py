@@ -98,6 +98,36 @@ FROM per GROUP BY user_id
 """
 
 
+def coverage_from_intervals(
+    iv: DataFrame, key: str = "user_id", tie: str = "event_id"
+) -> DataFrame:
+    """Gaps-and-islands over interval rows (key, tie, s, e) → per-key
+    (n_islands, covered_us). Extracted so the property tests can drive
+    it over hypothesis-generated interval sets."""
+    order = W.partitionBy(key).orderBy("s", tie)
+    o = iv.withColumn(
+        "pmax",
+        F.max("e").over(order.rowsBetween(W.unboundedPreceding, -1)),
+    )
+    fl = o.withColumn(
+        "nf",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+        ).otherwise(0),
+    )
+    isl = fl.withColumn(
+        "iid",
+        F.sum("nf").over(order.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per = isl.groupBy(key, "iid").agg(
+        (F.max("e") - F.min("s")).alias("cov")
+    )
+    return per.groupBy(key).agg(
+        F.count("*").cast("int").alias("n_islands"),
+        F.sum("cov").cast("bigint").alias("covered_us"),
+    )
+
+
 @query(
     "interval_coverage",
     _DUCK_COVERAGE,
@@ -114,28 +144,7 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_us.alias("s"),
         (t_us + F.lit(_IV_US)).alias("e"),
     )
-    order = W.partitionBy("user_id").orderBy("s", "event_id")
-    o = iv.withColumn(
-        "pmax",
-        F.max("e").over(order.rowsBetween(W.unboundedPreceding, -1)),
-    )
-    fl = o.withColumn(
-        "nf",
-        F.when(
-            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
-        ).otherwise(0),
-    )
-    isl = fl.withColumn(
-        "iid",
-        F.sum("nf").over(order.rowsBetween(W.unboundedPreceding, 0)),
-    )
-    per = isl.groupBy("user_id", "iid").agg(
-        (F.max("e") - F.min("s")).alias("cov")
-    )
-    return per.groupBy("user_id").agg(
-        F.count("*").cast("int").alias("n_islands"),
-        F.sum("cov").cast("bigint").alias("covered_us"),
-    )
+    return coverage_from_intervals(iv)
 
 
 _DUCK_PEAK = f"""
@@ -158,6 +167,28 @@ FROM pk JOIN n ON n.event_type = pk.event_type
 """
 
 
+def peak_from_intervals(iv: DataFrame, key: str) -> DataFrame:
+    """Boundary sweep over interval rows (key, s, e) → per-key
+    (peak_concurrent, n_intervals). Extracted for the property tests."""
+    b = iv.select(
+        key, F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select(key, F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    # default frame with ORDER BY = RANGE ... CURRENT ROW, peer-
+    # inclusive in both engines (the determinism argument in the
+    # module docstring relies on it)
+    running = F.sum("d").over(W.partitionBy(key).orderBy("t", "d"))
+    r = b.withColumn("conc", running)
+    pk = r.groupBy(key).agg(F.max("conc").alias("peak"))
+    n = iv.groupBy(key).agg(F.count("*").alias("n_iv"))
+    return pk.join(n, key).select(
+        key,
+        F.col("peak").cast("int").alias("peak_concurrent"),
+        F.col("n_iv").cast("bigint").alias("n_intervals"),
+    )
+
+
 @query(
     "peak_concurrency",
     _DUCK_PEAK,
@@ -173,24 +204,4 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_us.alias("s"),
         (t_us + F.lit(_IV_US)).alias("e"),
     )
-    b = iv.select(
-        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
-    ).unionByName(
-        iv.select(
-            "event_type", F.col("e").alias("t"), F.lit(-1).alias("d")
-        )
-    )
-    # default frame with ORDER BY = RANGE ... CURRENT ROW, peer-
-    # inclusive in both engines (the determinism argument in the
-    # module docstring relies on it)
-    running = F.sum("d").over(
-        W.partitionBy("event_type").orderBy("t", "d")
-    )
-    r = b.withColumn("conc", running)
-    pk = r.groupBy("event_type").agg(F.max("conc").alias("peak"))
-    n = iv.groupBy("event_type").agg(F.count("*").alias("n_iv"))
-    return pk.join(n, "event_type").select(
-        "event_type",
-        F.col("peak").cast("int").alias("peak_concurrent"),
-        F.col("n_iv").cast("bigint").alias("n_intervals"),
-    )
+    return peak_from_intervals(iv, "event_type")
