@@ -691,6 +691,97 @@ def bench_kmv(spark: SparkSession, frac: float) -> dict:
     }
 
 
+def bench_merkle(spark: SparkSession, frac: float) -> dict:
+    """Segment-checksum replica reconciliation at replica scale
+    (plans/queries_wave31-era wave-30 operator): two n-key replicas
+    with ~1/50k divergence, 4096 segments. Measures the protocol's
+    scan economics — the summary stage touches all rows once per
+    replica (map-combining bit_xor agg), the drill-down rescans ONLY
+    mismatched segments; prune_rate is the fraction of segments proven
+    equal by checksum and never rescanned at key granularity."""
+    from map_v2_etl_spark.plans.queries_wave30 import _row_hash
+
+    n = int(20_000_000 * MULT * frac)
+    n_seg = 4096
+    base = spark.range(n).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
+            "event_type"
+        ),
+        ((F.col("id") % 1000) / F.lit(10.0)).alias("value"),
+    )
+    b = base.filter(F.col("user_id") % 99991 != 0).withColumn(
+        "event_type",
+        F.when(
+            F.col("user_id") % 100003 == 0, F.lit("corrupted")
+        ).otherwise(F.col("event_type")),
+    )
+
+    def seg_rows(state):
+        return state.select(
+            "user_id",
+            (F.col("user_id") % n_seg).alias("seg"),
+            _row_hash().alias("rh"),
+        )
+
+    def run():
+        a_rows, b_rows = seg_rows(base), seg_rows(b)
+
+        def summary(rows):
+            return rows.groupBy("seg").agg(
+                F.bit_xor("rh").alias("cks"), F.count("*").alias("n")
+            )
+
+        sa, sb = summary(a_rows).alias("sa"), summary(b_rows).alias("sb")
+        bad = (
+            sa.join(sb, F.col("sa.seg") == F.col("sb.seg"), "full_outer")
+            .filter(
+                F.col("sa.seg").isNull()
+                | F.col("sb.seg").isNull()
+                | (F.col("sa.cks") != F.col("sb.cks"))
+                | (F.col("sa.n") != F.col("sb.n"))
+            )
+            .select(F.coalesce("sa.seg", "sb.seg").alias("bad_seg"))
+            .localCheckpoint(eager=True)
+        )
+        n_bad = bad.count()
+        a_bad = a_rows.join(
+            F.broadcast(bad), a_rows["seg"] == bad["bad_seg"], "left_semi"
+        ).alias("a")
+        b_bad = b_rows.join(
+            F.broadcast(bad), b_rows["seg"] == bad["bad_seg"], "left_semi"
+        ).alias("b")
+        rescanned = a_bad.count()
+        diff = (
+            a_bad.join(
+                b_bad,
+                F.col("a.user_id") == F.col("b.user_id"),
+                "full_outer",
+            )
+            .filter(
+                F.col("a.user_id").isNull()
+                | F.col("b.user_id").isNull()
+                | (F.col("a.rh") != F.col("b.rh"))
+            )
+            .count()
+        )
+        return {
+            "n_keys": n,
+            "n_segments": n_seg,
+            "mismatched_segments": n_bad,
+            "prune_rate": round(1.0 - n_bad / n_seg, 4),
+            "keys_rescanned": rescanned,
+            "rescan_fraction": round(rescanned / n, 6),
+            "diff_rows": diff,
+            # deletes: ids ≡0 (mod 99991) incl. id 0; changes: ids ≡0
+            # (mod 100003) except id 0 (deleted first — delete wins)
+            "expected_diff": 1 + (n - 1) // 99991 + (n - 1) // 100003,
+        }
+
+    rec = timed(spark, f"merkle_{frac}x", run)
+    return rec
+
+
 BENCHES = {
     "pagerank": bench_pagerank,
     "cc_minlabel": bench_cc_minlabel,
@@ -702,6 +793,7 @@ BENCHES = {
     "dpp": bench_dpp,
     "bloom_join": bench_bloom_join,
     "kmv": bench_kmv,
+    "merkle": bench_merkle,
 }
 
 
