@@ -180,6 +180,45 @@ def byte_histogram(payload: bytes, bins: int = FEATURE_BINS) -> list[int]:
     return hist
 
 
+def byte_low_histogram(payload: bytes) -> list[int]:
+    """16-bin count of byte LOW nibbles (b & 0x0F). On text-like
+    payloads the high nibble collapses whole character classes into
+    one bucket (all lowercase ASCII → 0x6/0x7), so the value-bucket
+    histogram above carries almost no per-document signal — the low
+    nibble separates individual letters and does. Used by the
+    media_near_dups signature (queries_wave33)."""
+    hist = [0] * 16
+    for b in _fake_decode(payload):
+        hist[b & 0x0F] += 1
+    return hist
+
+
+def extract_low_features(media: DataFrame) -> DataFrame:
+    """extract_features twin over the low-nibble histogram — same
+    Arrow-batched mapInPandas boundary, same schema contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else None
+                    ),
+                    "histogram": pdf["payload"].map(
+                        lambda p: byte_low_histogram(p)
+                        if p is not None
+                        else None
+                    ),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
+
+
 def extract_features(media: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
