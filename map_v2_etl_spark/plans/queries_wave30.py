@@ -180,9 +180,17 @@ def q_replica_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-checksum replica reconciliation (module docstring):
     summarize → compare → drill down only into mismatched segments."""
     ev = load_table(spark, "events", sf_dir)
-    a_state = _lww_state(ev)
-    a_rows = _segmented(a_state)
-    b_rows = _segmented(_perturbed_replica(a_state))
+    # In production the replicas are STORED TABLES; this fixture
+    # derives them from the log, so materialize each derived row set
+    # once (key-sized: one row per visible key). Without this the
+    # summary AND drill-down stages each replay the full log->state
+    # aggregation per replica — measured 8 scans / 18 exchanges for a
+    # protocol whose whole point is one data pass per replica.
+    a_state = _lww_state(ev).localCheckpoint(eager=True)
+    a_rows = _segmented(a_state).localCheckpoint(eager=True)
+    b_rows = _segmented(_perturbed_replica(a_state)).localCheckpoint(
+        eager=True
+    )
     a_seg = _seg_summary(a_rows).alias("sa")
     b_seg = _seg_summary(b_rows).alias("sb")
     bad = (

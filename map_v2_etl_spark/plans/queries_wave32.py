@@ -180,12 +180,14 @@ def peak_from_intervals(iv: DataFrame, key: str) -> DataFrame:
     # module docstring relies on it)
     running = F.sum("d").over(W.partitionBy(key).orderBy("t", "d"))
     r = b.withColumn("conc", running)
-    pk = r.groupBy(key).agg(F.max("conc").alias("peak"))
-    n = iv.groupBy(key).agg(F.count("*").alias("n_iv"))
-    return pk.join(n, key).select(
-        key,
-        F.col("peak").cast("int").alias("peak_concurrent"),
-        F.col("n_iv").cast("bigint").alias("n_intervals"),
+    # interval count derived from the boundary rows themselves (each
+    # interval contributes exactly one d=+1 row) — a separate count
+    # aggregate over `iv` would re-scan the source a third time
+    return r.groupBy(key).agg(
+        F.max("conc").cast("int").alias("peak_concurrent"),
+        F.sum(((F.col("d") + 1) / 2).cast("int"))
+        .cast("bigint")
+        .alias("n_intervals"),
     )
 
 

@@ -254,6 +254,12 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang robust profile: exact median, MAD, 1.5-MAD outlier
     count (module docstring)."""
     docs = load_table(spark, "documents", sf_dir).select("lang", "n_chars")
+    # exact medians need full passes, so the floor is 3 scans: one for
+    # the medians, one for the MADs (needs med), one for the outlier
+    # count (needs both). Joining the PER-GROUP maps first (group-sized,
+    # localCheckpointed so the final pass doesn't replay the first two)
+    # keeps the plan at that floor — re-deriving `dev` for the final
+    # aggregate cost a 4th scan in the first cut.
     med = docs.groupBy("lang").agg(
         F.expr("percentile(n_chars, 0.5)").alias("med")
     )
@@ -263,8 +269,12 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("lang").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
     )
+    stats = (
+        med.join(mad, "lang").localCheckpoint(eager=True)
+    )  # one row per group
     return (
-        dev.join(F.broadcast(mad), "lang")
+        docs.join(F.broadcast(stats), "lang")
+        .withColumn("adev", F.abs(F.col("n_chars") - F.col("med")))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n"),
