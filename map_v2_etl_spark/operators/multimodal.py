@@ -194,33 +194,15 @@ def byte_low_histogram(payload: bytes) -> list[int]:
 
 
 def extract_low_features(media: DataFrame) -> DataFrame:
-    """extract_features twin over the low-nibble histogram — same
-    Arrow-batched mapInPandas boundary, same schema contract."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(
-                        lambda p: len(p) if p is not None else None
-                    ),
-                    "histogram": pdf["payload"].map(
-                        lambda p: byte_low_histogram(p)
-                        if p is not None
-                        else None
-                    ),
-                }
-            )
-
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        run, FEATURE_SCHEMA
-    )
+    """Low-nibble histogram features (see _extract; used by the
+    media_near_dups signature, queries_wave33)."""
+    return _extract(media, byte_low_histogram)
 
 
-def extract_features(media: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
-    """Arrow-batched feature extraction over the payload column.
+def _extract(media: DataFrame, hist_fn) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column, with
+    the per-payload histogram function as the ONE varying piece (the
+    r9 review flagged two full copies of this body).
 
     mapInPandas: each pandas batch holds (media_id, kind, payload);
     the output batch is the typed feature frame. The decode call is the
@@ -237,9 +219,7 @@ def extract_features(media: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
                         lambda p: len(p) if p is not None else None
                     ),
                     "histogram": pdf["payload"].map(
-                        lambda p: byte_histogram(p, bins)
-                        if p is not None
-                        else None
+                        lambda p: hist_fn(p) if p is not None else None
                     ),
                 }
             )
@@ -247,6 +227,11 @@ def extract_features(media: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         run, FEATURE_SCHEMA
     )
+
+
+def extract_features(media: DataFrame, bins: int = FEATURE_BINS) -> DataFrame:
+    """Value-bucket byte-histogram features (see _extract)."""
+    return _extract(media, lambda p: byte_histogram(p, bins))
 
 
 def synth_real_media(docs: DataFrame) -> DataFrame:

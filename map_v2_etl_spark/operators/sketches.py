@@ -80,9 +80,23 @@ def kmv_sketch(
     ``prefilter=True`` engages the approx-threshold pass documented in
     the module docstring — same rows out, bounded shuffle+sort in."""
     raw = df.select(F.col(group_col), hash60(F.col(value_col)).alias("h"))
-    if prefilter:
-        return _sketch_prefiltered(raw, group_col, k, headroom)
     rn = F.row_number().over(W.partitionBy(group_col).orderBy("h"))
+    if prefilter:
+        # a NULL group key cannot ride the broadcast threshold
+        # equi-join (NULL never equi-matches), so it takes the plain
+        # path — one extra bottom-k for at most ONE group, preserving
+        # the same-rows-out contract for null-keyed data
+        nn = _sketch_prefiltered(
+            raw.filter(F.col(group_col).isNotNull()), group_col, k, headroom
+        )
+        nul = (
+            raw.filter(F.col(group_col).isNull())
+            .distinct()
+            .withColumn("rn", rn)
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        return nn.unionByName(nul)
     return (
         raw.distinct().withColumn("rn", rn).filter(F.col("rn") <= k).drop("rn")
     )

@@ -54,7 +54,7 @@ from .registry import query
 #: k=64 sketches FULL (the estimator regime actually exercises; k above
 #: the per-group cardinality would certify only the trivial exact path)
 _KMV_K = 64
-_KMV_M = float(1 << 60)
+from ..operators.sketches import KMV_M as _KMV_M  # noqa: E402
 
 # the oracle computes the IDENTICAL sketch: same md5-prefix hash, same
 # bottom-k ranks over distinct hashes, same (k-1)*(M/kth) double
@@ -168,13 +168,16 @@ WHERE s1.user_id IS NULL OR s2.user_id IS NULL
 """
 
 
-def _lww_state(ev: DataFrame, cutoff: str) -> DataFrame:
-    """Visible LWW state at a cutoff: per-user latest (event_type,
-    value) by (ts, event_id), tombstones ('error' latest) absent — the
-    read semantics shared with cdc_time_travel (queries_wave21)."""
+def _lww_state(ev: DataFrame, cutoff: str | None = None) -> DataFrame:
+    """Visible LWW state, optionally as of a cutoff: per-user latest
+    (event_type, value) by (ts, event_id), tombstones ('error' latest)
+    absent — the read semantics shared with cdc_time_travel
+    (queries_wave21). The ONE canonical copy: wave-30's replica
+    reconciliation imports it rather than re-stating the semantics."""
+    if cutoff is not None:
+        ev = ev.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp_ntz"))
     return (
-        ev.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp_ntz"))
-        .groupBy("user_id")
+        ev.groupBy("user_id")
         .agg(
             F.max_by(
                 F.struct("event_type", "value"), F.struct("ts", "event_id")

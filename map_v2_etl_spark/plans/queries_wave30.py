@@ -106,19 +106,9 @@ WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.rh <> b.rh
 """
 
 
-def _lww_state(ev: DataFrame) -> DataFrame:
-    """Visible LWW state (per-user latest by (ts, event_id), tombstones
-    absent) — wave-21/28 semantics."""
-    return (
-        ev.groupBy("user_id")
-        .agg(
-            F.max_by(
-                F.struct("event_type", "value"), F.struct("ts", "event_id")
-            ).alias("s")
-        )
-        .filter(F.col("s.event_type") != "error")
-        .select("user_id", "s.event_type", "s.value")
-    )
+# the LWW read-state semantics live in ONE place (queries_wave28);
+# re-stating them here is the drift surface the r9 review flagged
+from .queries_wave28 import _lww_state  # noqa: E402
 
 
 def _perturbed_replica(a_state: DataFrame) -> DataFrame:
@@ -142,7 +132,10 @@ def _perturbed_replica(a_state: DataFrame) -> DataFrame:
 
 
 def _row_hash() -> Column:
-    """Engine-portable row checksum input (module docstring)."""
+    """Engine-portable row checksum input (module docstring); the
+    60-bit md5 hash itself is operators.sketches.hash60."""
+    from ..operators.sketches import hash60
+
     rendered = F.concat_ws(
         "|",
         F.col("user_id").cast("string"),
@@ -152,7 +145,7 @@ def _row_hash() -> Column:
             F.lit("<null>"),
         ),
     )
-    return F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("long")
+    return hash60(rendered)
 
 
 def _segmented(state: DataFrame) -> DataFrame:

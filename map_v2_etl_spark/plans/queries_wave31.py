@@ -57,8 +57,9 @@ from .registry import query
 # stream_kmv_merge
 # --------------------------------------------------------------------------
 
+from ..operators.sketches import KMV_M as _M  # noqa: E402
+
 _K = 64
-_M = float(1 << 60)
 
 # batch oracle: the from-scratch per-type KMV estimate over user_id —
 # the streaming merge must land on exactly this

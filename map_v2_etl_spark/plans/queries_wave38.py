@@ -44,7 +44,8 @@ _DUCK_DRIFT = f"""
 WITH binned AS (
   SELECT event_type,
          ts <= TIMESTAMP '{_SPLIT}' AS first_half,
-         least(CAST(floor(value / {_BIN_W}) AS INTEGER), {_N_BINS - 1})
+         greatest(least(CAST(floor(value / {_BIN_W}) AS INTEGER),
+                        {_N_BINS - 1}), 0)
            AS bin
   FROM events WHERE value IS NOT NULL),
 grid AS (
@@ -96,17 +97,25 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") <= F.lit(_SPLIT).cast("timestamp_ntz")).alias(
             "first_half"
         ),
-        F.least(
-            F.floor(F.col("value") / _BIN_W).cast("int"),
-            F.lit(_N_BINS - 1),
+        # clamp BOTH ends: values past the top land in the last bin,
+        # negatives in the first — an unclamped negative bin would fall
+        # out of the 0..N grid join and silently vanish from the totals
+        F.greatest(
+            F.least(
+                F.floor(F.col("value") / _BIN_W).cast("int"),
+                F.lit(_N_BINS - 1),
+            ),
+            F.lit(0),
         ).alias("bin"),
     )
-    types = binned.select("event_type").distinct()
     bins = spark.range(_N_BINS).select(F.col("id").cast("int").alias("bin"))
     halves = binned.groupBy("event_type", "bin").agg(
         F.sum(F.col("first_half").cast("int")).alias("ca"),
         F.sum((~F.col("first_half")).cast("int")).alias("cb"),
     )
+    # the type list is derivable from the group-sized aggregate — a
+    # distinct over `binned` would scan the source a second time
+    types = halves.select("event_type").distinct()
     grid = (
         types.crossJoin(F.broadcast(bins))
         .join(halves, ["event_type", "bin"], "left")

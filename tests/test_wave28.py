@@ -156,3 +156,28 @@ def test_snapshot_diff_replays_to_t2_state(spark):
             replayed[r["user_id"]] = (r["after_type"], r["after_value"])
     assert replayed == s2
     assert "update" in seen_ops  # the window must exercise real changes
+
+
+def test_kmv_prefilter_null_group_contract(spark):
+    """NULL group keys cannot ride the prefilter's broadcast equi-join
+    (NULL never equi-matches) — they must take the plain path so
+    prefilter=True stays result-identical on null-keyed data (r9
+    review finding: the first cut silently DROPPED the NULL group)."""
+    k = 32
+    df = (
+        spark.range(0, 300)
+        .selectExpr(
+            "CASE WHEN id % 3 = 0 THEN NULL ELSE concat('g', id % 2) END"
+            " AS g",
+            "id AS v",
+        )
+    )
+    def rows_nullsafe(out):
+        return sorted(
+            map(tuple, out.collect()), key=lambda r: (r[0] is None, r)
+        )
+
+    plain = rows_nullsafe(S.kmv_sketch(df, "g", "v", k))
+    pre = rows_nullsafe(S.kmv_sketch(df, "g", "v", k, prefilter=True))
+    assert pre == plain
+    assert any(r[0] is None for r in plain), "fixture lost the NULL group"
