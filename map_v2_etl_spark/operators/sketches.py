@@ -154,11 +154,17 @@ def _sketch_prefiltered(
         .drop("rn")
         .localCheckpoint(eager=True)  # ≤ k·groups rows, read twice
     )
+    # Starvation is derived from `active` (every group that exists), not
+    # from sk: a group whose EVERY hash exceeded the threshold has zero
+    # rows in sk, so an sk-side groupBy would never see it and the group
+    # would silently vanish from the output. Left-joining sk counts onto
+    # active and coalescing the miss to 0 makes the fully-starved case
+    # (P = e^-(headroom·k) per filtered group) detectable.
+    sk_counts = sk.groupBy(group_col).agg(F.count("*").alias("n_sk"))
     starved = [
         r[0]
-        for r in sk.groupBy(group_col)
-        .agg(F.count("*").alias("n_sk"))
-        .join(active, group_col)
+        for r in active.join(sk_counts, group_col, "left")
+        .withColumn("n_sk", F.coalesce(F.col("n_sk"), F.lit(0)))
         .filter((F.col("n_sk") < k) & F.col("was_filtered"))
         .select(group_col)
         .collect()

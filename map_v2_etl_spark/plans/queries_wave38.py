@@ -12,15 +12,18 @@
   exactly quantile_binning, wave-35 — complementary, not a substitute).
 
   Exactness discipline (the media_near_dups integer-L1 trick): with
-  per-bin counts c and totals n, Σ|c_a·n_b − c_b·n_a| is an exact
-  BIGINT; ppm = (num · 10^6) intdiv (n_a·n_b) stays integer end-to-end
-  — no float proportions, no summation-order dependence, identical in
-  both engines. The most-drifted bin breaks ties toward the lower bin
-  id (explicit rank order), so even a symmetric fixture hashes
-  deterministically. Bound note: n_a·n_b·10^6 must fit int64 —
-  fine to ~3M rows per side per group; past that, scale the ppm factor
-  down or lift the numerator into DECIMAL (one-line change, noted
-  here because at 100 TB per-type halves exceed the bound).
+  per-bin counts c and totals n, Σ|c_a·n_b − c_b·n_a| is exact
+  integer arithmetic; ppm = (num · 10^6) intdiv (n_a·n_b) stays
+  integer end-to-end — no float proportions, no summation-order
+  dependence, identical in both engines. The most-drifted bin breaks
+  ties toward the lower bin id (explicit rank order), so even a
+  symmetric fixture hashes deterministically. The cross-products run
+  in DECIMAL(38,0) on Spark and HUGEINT in DuckDB (r10): int64 would
+  silently wrap past ~3M rows per side per group under Spark's
+  non-ANSI arithmetic, and 100 TB per-type halves exceed that bound —
+  38-digit headroom covers ~10^10 rows per side. The widening costs
+  nothing: it applies only to the grid-sized frame (N_BINS × types
+  rows), never the full scan.
 
   Scale: two filtered aggregates over one scan each (bin × type
   grids), a grid-sized join, one grid-sized window — no full-data
@@ -64,7 +67,8 @@ tot AS (
   GROUP BY event_type),
 d AS (
   SELECT g.event_type, g.bin,
-         abs(g.ca * t.nb - g.cb * t.na) AS diff, t.na, t.nb
+         abs(CAST(g.ca AS HUGEINT) * t.nb
+             - CAST(g.cb AS HUGEINT) * t.na) AS diff, t.na, t.nb
   FROM grid g JOIN tot t ON t.event_type = g.event_type),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY event_type
@@ -73,7 +77,8 @@ ranked AS (
 SELECT event_type,
        CAST(max(na) AS BIGINT) AS n_first,
        CAST(max(nb) AS BIGINT) AS n_second,
-       CAST((sum(diff) * 1000000) // (max(na) * max(nb)) AS BIGINT)
+       CAST((sum(diff) * 1000000)
+            // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT)
          AS l1_ppm,
        CAST(max(CASE WHEN rn = 1 THEN bin END) AS INTEGER)
          AS most_drifted_bin
@@ -130,7 +135,14 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(tot).alias("na"),
         F.sum("cb").over(tot).alias("nb"),
     ).withColumn(
-        "diff", F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        # DECIMAL(38,0) cross-products: exact far past the int64 wrap
+        # point (module docstring) — the frame is grid-sized, so the
+        # widening is free
+        "diff",
+        F.abs(
+            F.col("ca").cast("decimal(38,0)") * F.col("nb")
+            - F.col("cb").cast("decimal(38,0)") * F.col("na")
+        ),
     )
     rn = F.row_number().over(
         W.partitionBy("event_type").orderBy(F.desc("diff"), "bin")
@@ -141,7 +153,10 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("na").cast("bigint").alias("n_first"),
             F.max("nb").cast("bigint").alias("n_second"),
-            F.expr("(sum(diff) * 1000000) DIV (max(na) * max(nb))")
+            F.expr(
+                "(sum(diff) * 1000000)"
+                " DIV (CAST(max(na) AS DECIMAL(38,0)) * max(nb))"
+            )
             .cast("bigint")
             .alias("l1_ppm"),
             F.max(F.when(F.col("rn") == 1, F.col("bin")))

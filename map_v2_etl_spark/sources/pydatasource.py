@@ -255,6 +255,23 @@ class ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         tmp_dir = os.path.join(self.path, "_tmp")
+        # Epoch replacement must be atomic PER EPOCH, not per file: a
+        # replayed epoch can produce rows in FEWER partitions than the
+        # previously committed attempt (a partition that had rows is now
+        # empty after a repartition-count change or data re-read), and a
+        # per-file os.replace would leave the first commit's stale task
+        # file alive next to the replay's files — duplicating rows.
+        # Clear every existing epoch-{batchId}-* file first, then
+        # promote the replay's set.
+        import glob as _glob
+
+        for stale in _glob.glob(
+            os.path.join(self.path, f"epoch-{batchId}-*.parquet")
+        ):
+            try:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass
         for m in messages:
             if m is not None and m.filename is not None:
                 os.replace(

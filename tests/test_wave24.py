@@ -158,6 +158,63 @@ def test_stream_writer_epoch_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(d).count() == 10
 
 
+def test_stream_writer_epoch_replay_shrinking_partitions(spark, tmp_path):
+    """An epoch replay that lands rows in FEWER partitions than the
+    first commit must still replace the epoch atomically: the first
+    attempt's task-1 file (a partition that is empty in the replay) has
+    to be cleared at commit, or its rows survive alongside the replay's
+    and duplicate. Pins the r10 fix (clear epoch-{batchId}-* before
+    promoting)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from map_v2_etl_spark.sources.pydatasource import (
+        ArrowParquetStreamWriter,
+    )
+
+    d = str(tmp_path / "s")
+
+    class _Ctx:
+        def __init__(self, pid):
+            self._pid = pid
+
+        def partitionId(self):
+            return self._pid
+
+    w = ArrowParquetStreamWriter({"path": d}, overwrite=False)
+    import pyspark
+
+    real_get = pyspark.TaskContext.get
+    try:
+        # first commit of epoch 9: two task partitions with rows
+        msgs = []
+        for pid, vals in [(0, [1, 2, 3]), (1, [4, 5])]:
+            pyspark.TaskContext.get = staticmethod(
+                lambda p=pid: _Ctx(p)
+            )
+            msgs.append(
+                w.write(iter([pa.RecordBatch.from_pydict({"x": vals})]))
+            )
+        w.commit(msgs, batchId=9)
+        assert spark.read.parquet(d).count() == 5
+        # replay of epoch 9: same logical rows, all in partition 0
+        pyspark.TaskContext.get = staticmethod(lambda: _Ctx(0))
+        msg = w.write(
+            iter([pa.RecordBatch.from_pydict({"x": [1, 2, 3, 4, 5]})])
+        )
+        w.commit([msg], batchId=9)
+    finally:
+        pyspark.TaskContext.get = real_get
+    files = sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+    # the stale epoch-9-task-1 file from the first commit must be gone
+    assert files == ["epoch-9-task-0.parquet"], files
+    assert spark.read.parquet(d).count() == 5
+
+
 def test_stream_writer_end_to_end(spark, tmp_path):
     import glob
     import os

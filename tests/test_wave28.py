@@ -85,6 +85,25 @@ def test_kmv_prefilter_identical_and_self_heal(spark):
     assert healed == plain
 
 
+def test_kmv_prefilter_fully_starved_group_self_heals(spark):
+    """A headroom so small the threshold casts to 0 leaves EVERY group
+    with zero survivors (h <= 0 never matches a 60-bit hash). The r9
+    starvation check derived starved groups from sk itself, so a
+    zero-survivor group never appeared in the check's groupBy and
+    vanished from the output entirely. The fix derives starvation from
+    `active` (left-join sk counts, coalesce to 0) — this pins that the
+    fully-starved regime still returns the exact plain-path sketch."""
+    k = 64
+    df = _overlap_df(spark)
+    plain = _rows(S.kmv_sketch(df, "g", "id", k))
+    healed = _rows(
+        S.kmv_sketch(df, "g", "id", k, prefilter=True, headroom=1e-18)
+    )
+    assert healed == plain
+    # both groups must still be present — the r9 bug dropped them
+    assert {r[0] for r in healed} == {"a", "b"}
+
+
 def test_kmv_sketch_sets_regime(spark):
     """At fixture scale the monthly sketches FILL (estimator regime) —
     the query certifies the approximate path, not the trivial one —
