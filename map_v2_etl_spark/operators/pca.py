@@ -128,3 +128,111 @@ def pca_project(
             ).alias(f"pc{j}")
         )
     return df.select(*cols)
+
+
+def pca_certificate(
+    df: DataFrame, k: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Engine-portable PCA invariant certificate (r10) — the frame that
+    turns the PCA pipeline from a rows-only check into a value-hash
+    oracle. One row per component, every column an exact-comparable
+    integer:
+
+      n, dim        — corpus size / vector width (exact, both engines);
+      sum_sq_e12    — Σ over the corpus of Σ_coords q(v)² with
+                      q(v) = round(v·1e6) as BIGINT: pure integer
+                      arithmetic after one shared double multiply, so
+                      any summation order in either engine produces the
+                      same value — certifies the scan feeding the Gram
+                      phase saw the same data the oracle reads;
+      mean_e9       — round(mean of the UNROUNDED pc-j projection ·1e9).
+                      Centered projections sum to zero mathematically;
+                      float cancellation noise is ~1e-16·n·|p|, parts
+                      per 1e9 of nothing — exactly 0 unless centering
+                      is broken;
+      var_match_e6  — round((Σp²/n − λ_j)/λ_j · 1e6): the projection
+                      variance along component j IS the j-th eigenvalue
+                      (biased /n covariance, consistent with gram_stats)
+                      — 0 unless the eigensolve/projection disagree;
+      orth_resid_e9 — round(max|CCᵀ − I|·1e9) over the top-k components
+                      (same value on every row) — 0 unless eigh returns
+                      non-orthonormal components;
+      eig_trace_resid_e9 — round((Σ_all λ − tr(cov))/tr(cov)·1e9) — the
+                      full-spectrum trace identity, 0 by construction.
+
+    The DuckDB oracle recomputes n/dim/sum_sq_e12 from the raw table
+    and asserts the four residual columns are 0: a wrong projection,
+    a broken eigensolve, or a data mismatch each flip an integer and
+    hash-mismatch. Tolerances sit ≥1e3× above measured float noise and
+    ≥1e3× below any real defect, so the integers are stable. All
+    driver state is dim²-bounded (gram) + k-bounded (this frame)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    n, mean, cov = gram_stats(df, vec_col)
+    comps, eig = principal_components(cov, k)
+    if comps.shape[0] < k:
+        raise ValueError(
+            f"pca_certificate k={k} exceeds embedding dim {comps.shape[0]}"
+        )
+    dim = comps.shape[1]
+    w_all = np.linalg.eigvalsh(cov)
+    trace = float(np.trace(cov))
+    eig_trace_resid = (float(w_all.sum()) - trace) / trace
+    orth = float(np.abs(comps @ comps.T - np.eye(k)).max())
+
+    q = (
+        f"CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)"
+    )
+    sum_sq = (
+        df.select(
+            F.expr(
+                f"aggregate(transform({vec_col}, v -> {q} * {q}), "
+                "CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("row_sq")
+        )
+        .agg(F.sum(F.col("row_sq").cast("decimal(38,0)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    sum_sq_e12 = int(sum_sq)
+
+    offsets = comps @ mean
+    score_cols = []
+    for j in range(k):
+        lit = F.array(*[F.lit(float(c)) for c in comps[j]])
+        score_cols.append(
+            (
+                dot(F.col(vec_col).cast("array<double>"), lit)
+                - float(offsets[j])
+            ).alias(f"p{j}")
+        )
+    aggs = []
+    for j in range(k):
+        aggs.append(F.sum(F.col(f"p{j}")).alias(f"s{j}"))
+        aggs.append(
+            F.sum(F.col(f"p{j}") * F.col(f"p{j}")).alias(f"q{j}")
+        )
+    stats = df.select(*score_cols).agg(*aggs).collect()[0]
+
+    rows = []
+    for j in range(k):
+        mean_j = stats[f"s{j}"] / n
+        var_j = stats[f"q{j}"] / n
+        rows.append(
+            (
+                j,
+                n,
+                dim,
+                sum_sq_e12,
+                int(round(mean_j * 1e9)),
+                int(round((var_j - float(eig[j])) / float(eig[j]) * 1e6)),
+                int(round(orth * 1e9)),
+                int(round(eig_trace_resid * 1e9)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "pc int, n bigint, dim int, sum_sq_e12 bigint, mean_e9 bigint, "
+        "var_match_e6 bigint, orth_resid_e9 bigint, "
+        "eig_trace_resid_e9 bigint",
+    ).orderBy("pc")

