@@ -206,7 +206,16 @@ def q_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
-    tw = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # load-bearing persist (r10 plan diet): tw is the shared tf-idf
+    # parent — dfq's driver count, the broadcast term index, and the wts
+    # build each consumed it, and un-persisted each of those re-ran
+    # tokenize + the (doc_id, w) aggregate from the raw scan (3 full
+    # corpus passes at runtime, 20 exchanges in the audited plan).
+    tw = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfq = tw.groupBy("w").agg(F.count("*").alias("df"))
     # bounded driver scalar, needed anyway for the strategy gate below —
     # used as a literal in the idf so no one-row crossJoin appears in
