@@ -124,6 +124,62 @@ def gen_pair_edges(
     return hashed.union(planted).distinct()
 
 
+def gen_docs(spark: SparkSession, n: int, length: int = 30) -> DataFrame:
+    """(doc_id, text) with planted near-dup structure: docs 2i and 2i+1
+    share a base token sequence; the odd twin differs in exactly ONE
+    position, so (even, odd) pairs sit at token-Jaccard ≈ (L-1)/(L+1)
+    — above every 0.8 screening threshold — while unrelated docs share
+    almost nothing. Token identities are hash-derived from a 100k-word
+    space, so shingle/fingerprint tables carry realistic cardinality
+    instead of collapsing onto a toy vocabulary."""
+    base = (F.col("id") / 2).cast("long")
+    alt = F.concat(
+        F.lit("x"), F.pmod(F.xxhash64(base, F.lit(0xA17)), F.lit(100_000))
+    )
+    swap_pos = F.pmod(base, F.lit(length))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(length - 1)),
+        lambda j: F.when(
+            (F.pmod(F.col("id"), F.lit(2)) == 1) & (j == swap_pos), alt
+        ).otherwise(
+            F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(base * 31 + j * 7, F.lit(0xD0C5)),
+                    F.lit(100_000),
+                ),
+            )
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", toks).alias("text")
+    )
+
+
+def gen_word_docs(spark: SparkSession, n: int, words_per_doc: int = 20,
+                  vocab: int | None = None) -> DataFrame:
+    """(doc_id, text) whose WORD vocabulary scales with the corpus
+    (default n distinct words): the regime where BPE's distributed
+    word_counts/pair_counts tables are real aggregates, not a toy
+    constant. Words are base-36 renderings of hash values, so merge
+    rounds see genuine character-pair statistics."""
+    v = vocab or max(1000, n)
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda j: F.conv(
+            F.pmod(
+                F.xxhash64(F.col("id") * 131 + j * 17, F.lit(0xB9E)),
+                F.lit(v),
+            ).cast("string"),
+            10,
+            36,
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", toks).alias("text")
+    )
+
+
 # --------------------------------------------------------------------------
 # measurement
 # --------------------------------------------------------------------------
@@ -782,6 +838,85 @@ def bench_merkle(spark: SparkSession, frac: float) -> dict:
     return rec
 
 
+def bench_bpe(spark: SparkSession, frac: float) -> dict:
+    """Distributed BPE training (operators/bpe.py): the driver merge
+    loop is the audited serialization point (one bounded collect of the
+    winning pair per round) — this cell measures how that loop's
+    per-round cost moves as the corpus AND the distinct-word table
+    scale together (vocab ≈ n_docs·0.8, so pair_counts aggregates a
+    genuinely growing symbol table, the 100 TB-shaped regime)."""
+    from map_v2_etl_spark.operators.bpe import learn_bpe
+
+    n = int(60_000 * MULT * frac)
+    merges = 12
+    docs = gen_word_docs(spark, n, words_per_doc=20, vocab=int(n * 0.8))
+
+    def run():
+        learned, final = learn_bpe(docs, k=merges)
+        vocab_rows = final.count()
+        return {
+            "n_docs": n,
+            "merge_rounds": len(learned),
+            "distinct_words": vocab_rows,
+            "top_pair_count": learned[0][3] if learned else 0,
+        }
+
+    rec = timed(spark, f"bpe_{frac}x", run)
+    rec["per_round_sec"] = round(rec["wall_sec"] / merges, 3)
+    # jobs ≈ one collect per merge round + the final count: the
+    # driver-loop overhead the r9 verdict asked to see recorded
+    rec["driver_jobs_per_round"] = round(rec["jobs"] / merges, 2)
+    return rec
+
+
+def bench_dedup_incremental(spark: SparkSession, frac: float) -> dict:
+    """Incremental MinHash-LSH screening (new increment vs existing
+    corpus) on generated docs with planted (even, odd) near-dup twins.
+    doc_id % 5 == 0 plays the new crawl — so ~1/5 of the planted pairs
+    straddle the increment boundary and must surface; the cell checks
+    the banding recall did not silently drop them while measuring the
+    cross-side bucket-join at growing corpus size."""
+    from map_v2_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    n = int(120_000 * MULT * frac)
+    docs = gen_docs(spark, n, length=30)
+
+    def run():
+        pairs = minhash_lsh_pairs(
+            docs, threshold=0.8, new_side=F.col("doc_id") % 5 == 0
+        )
+        found = pairs.count()
+        # planted twin pairs (2i, 2i+1) with exactly one side in the
+        # increment: 2i % 5 == 0 XOR (2i+1) % 5 == 0
+        expected = sum(
+            1
+            for i in range(0, n - 1, 2)
+            if (i % 5 == 0) != ((i + 1) % 5 == 0)
+        )
+        return {"n_docs": n, "pairs_found": found, "planted_cross": expected}
+
+    return timed(spark, f"dedup_incremental_{frac}x", run)
+
+
+def bench_winnow(spark: SparkSession, frac: float) -> dict:
+    """Winnowing fingerprint pair detection (operators/text.winnow_pairs)
+    on the same planted-twin corpus: per-doc fingerprint selection is a
+    map-side pass, the pair stage is a bucket equi-join on selected
+    hashes — the sum-of-bucket-sizes² shape whose scaling this cell
+    pins (all-pairs would be n²)."""
+    from map_v2_etl_spark.operators.text import winnow_pairs
+
+    n = int(60_000 * MULT * frac)
+    docs = gen_docs(spark, n, length=30)
+
+    def run():
+        pairs = winnow_pairs(docs, min_shared=2, k=4, w=5)
+        found = pairs.count()
+        return {"n_docs": n, "pairs_found": found}
+
+    return timed(spark, f"winnow_{frac}x", run)
+
+
 BENCHES = {
     "pagerank": bench_pagerank,
     "cc_minlabel": bench_cc_minlabel,
@@ -794,6 +929,9 @@ BENCHES = {
     "bloom_join": bench_bloom_join,
     "kmv": bench_kmv,
     "merkle": bench_merkle,
+    "bpe": bench_bpe,
+    "dedup_incremental": bench_dedup_incremental,
+    "winnow": bench_winnow,
 }
 
 

@@ -147,6 +147,15 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+#: winnowing packed-key geometry (r10): 40-bit gram hash (10 md5 hex
+#: chars) × 23-bit position field — h·2^23 + (2^23−1−pos) ≤ 2^63−1, the
+#: widest split that stays inside a signed 64-bit key in BOTH engines.
+#: The DuckDB oracles (plans/queries_wave19.py) import these so the
+#: geometry cannot drift between engines.
+WINNOW_HASH_HEX = 10
+WINNOW_POS_W = 1 << 23
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -168,15 +177,25 @@ def winnow_fingerprints(
     with NULL fp stats and n_fp = 0 for docs shorter than k tokens.
 
     Engine shape (and why it is exactly the textbook algorithm):
-      * gram hash h = first 7 md5 hex chars as int (28 bits) — the
+      * gram hash h = first 10 md5 hex chars as int (40 bits) — the
         repo's engine-portable hash (bit-equal in DuckDB via
-        ``CAST('0x'||substr(md5(g),1,7) AS BIGINT)``).
+        ``CAST('0x'||substr(md5(g),1,10) AS BIGINT)``). 40 bits, not
+        the r6 28: downstream match joins bucket on h, and accidental
+        collision PAIRS grow as n_fp²/2^bits — at 28 bits a 6.5M-
+        fingerprint corpus already produced ~80k phantom candidate
+        pairs (measured superlinear in bench_scale r10); at 40 bits
+        the same corpus expects ~20. At true 100 TB fingerprint counts
+        you would store h as its own full-64-bit column; the packed
+        form is kept because it makes the tie rule one integer ORDER BY
+        in both engines.
       * per-window rightmost-min without an argmin aggregate: the
-        window minimum of key = h·2^32 + (2^32−1−pos) decodes to
+        window minimum of key = h·2^23 + (2^23−1−pos) decodes to
         (min h, LARGEST pos among ties) — ties cannot survive the key
         (pos is injective), so the tie rule is enforced by integer
-        ordering, not engine-specific argmin behavior. 28-bit h keeps
-        key < 2^60: no ANSI overflow, pos capacity 2^32 grams/doc.
+        ordering, not engine-specific argmin behavior. 40-bit h keeps
+        key ≤ 2^63−1 exactly: no ANSI overflow; pos capacity 2^23
+        grams/doc, enforced by a loud raise_error guard (a silent
+        wrap would corrupt selection for megadocs).
       * ONE window pass (ROWS BETWEEN CURRENT AND w−1 FOLLOWING),
         partitioned by document — each reducer sorts its own docs'
         grams, nothing global. DISTINCT on the decoded key dedups
@@ -191,11 +210,10 @@ def winnow_fingerprints(
     no broadcast, no driver state — the signature of choice when the
     downstream join is on selected-hash equality (winnow_pairs).
     """
-    POS = 4294967296  # 2^32
     sel = winnow_selected(df, id_col, text_col, k, w)
-    # decode h = key DIV 2^32 — INTEGER division ("/" would go through
-    # double and lose bits above the 53-bit mantissa on 60-bit keys)
-    hdec = F.expr(f"mk DIV {POS}")
+    # decode h = key DIV 2^23 — INTEGER division ("/" would go through
+    # double and lose bits above the 53-bit mantissa on 63-bit keys)
+    hdec = F.expr(f"mk DIV {WINNOW_POS_W}")
     fp = sel.groupBy(id_col).agg(
         F.max("ng").alias("n_grams"),
         F.count("*").alias("n_fp"),
@@ -226,9 +244,10 @@ def winnow_selected(
 ) -> DataFrame:
     """The winnowing SELECTION set: one row per selected fingerprint,
     (id, ng, mk) where ng = the doc's gram count and mk = the packed
-    (hash, position) key (h·2^32 + (2^32−1−pos)). Shared subplan of
-    winnow_fingerprints (per-doc summary) and winnow_pairs (bucket
-    join) so the algorithm exists exactly once."""
+    (hash, position) key (h·2^23 + (2^23−1−pos), 40-bit h — see the
+    winnow_fingerprints docstring for the width rationale). Shared
+    subplan of winnow_fingerprints (per-doc summary) and winnow_pairs
+    (bucket join) so the algorithm exists exactly once."""
     from .dedup import tokens
 
     # token array bound ONCE per row via the transform-over-singleton
@@ -252,12 +271,29 @@ def winnow_selected(
             F.element_at(F.transform(F.array(toks), ordered_grams), 1)
         ).alias("p0", "g"),
     )
-    h = F.conv(F.substring(F.md5("g"), 1, 7), 16, 10).cast("long")
-    POS = 4294967296  # 2^32
+    h = F.conv(
+        F.substring(F.md5("g"), 1, WINNOW_HASH_HEX), 16, 10
+    ).cast("long")
+    # loud capacity guard: pos beyond the packed width would silently
+    # fold into the hash bits and corrupt selection for megadocs
+    pos1 = F.col("p0") + 1
+    guarded = F.when(
+        pos1 < WINNOW_POS_W, pos1
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"winnow_selected: document exceeds {WINNOW_POS_W - 1} "
+                "grams — widen WINNOW_POS_W / store h unpacked"
+            )
+        ).cast("long")
+    )
     keyed = grams.select(
         id_col,
-        (F.col("p0") + 1).alias("pos"),  # 1-based gram position
-        (h * POS + (F.lit(POS - 1) - F.col("p0") - 1)).alias("key"),
+        guarded.alias("pos"),  # 1-based gram position
+        (
+            h * WINNOW_POS_W
+            + (F.lit(WINNOW_POS_W - 1) - F.col("p0") - 1)
+        ).alias("key"),
     )
     from pyspark.sql.window import Window as W
 
@@ -306,12 +342,11 @@ def winnow_pairs(
     fingerprint sizes join back by id (AQE broadcasts them when small;
     at corpus scale they hash-join like any dimension — the
     jaccard_pairs rule: no forced broadcast of corpus-sized tables)."""
-    POS = 4294967296
     sel = winnow_selected(df, id_col, text_col, k, w)
     # distinct HASH per doc (a hash selected at several positions is one
     # match key; MOSS matches on hash equality, not position)
     fph = sel.select(
-        id_col, F.expr(f"mk DIV {POS}").alias("h")
+        id_col, F.expr(f"mk DIV {WINNOW_POS_W}").alias("h")
     ).distinct()
     sizes = fph.groupBy(id_col).agg(F.count("*").alias("n_fp"))
     a, b = fph.alias("a"), fph.alias("b")

@@ -70,9 +70,13 @@ def q_approx_topk_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the queries_ext tokenizer: full-whitespace strip + empty filter)
 from .queries_wave12 import _DUCK_TOKS_F  # noqa: E402
 
+from ..operators.text import (  # noqa: E402
+    WINNOW_HASH_HEX as _HASH_HEX,
+    WINNOW_POS_W as _POS,
+)
+
 _WINNOW_K = 4
 _WINNOW_W = 5
-_POS = 4294967296  # 2^32
 _WINNOW_MIN_SHARED = 2
 
 
@@ -89,7 +93,8 @@ WITH t AS (SELECT doc_id, {_DUCK_TOKS_F} AS w FROM documents),
 g AS (
   SELECT doc_id,
          unnest([{{'pos': i,
-                   'h': CAST(('0x' || substr(md5({gram}), 1, 7)) AS BIGINT)}}
+                   'h': CAST(('0x' || substr(md5({gram}), 1, {_HASH_HEX}))
+                             AS BIGINT)}}
                  for i in generate_series(1, len(w) - {k - 1})]) AS u
   FROM t),
 kk AS (

@@ -141,8 +141,11 @@ def _winnow_reference(text, k=4, w=5):
     grams = [
         " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
     ]
+    from map_v2_etl_spark.operators.text import WINNOW_HASH_HEX
+
     hs = [
-        int(hashlib.md5(g.encode()).hexdigest()[:7], 16) for g in grams
+        int(hashlib.md5(g.encode()).hexdigest()[:WINNOW_HASH_HEX], 16)
+        for g in grams
     ]
     n = len(hs)
     if n == 0:
