@@ -872,10 +872,12 @@ def bench_bpe(spark: SparkSession, frac: float) -> dict:
 def bench_dedup_incremental(spark: SparkSession, frac: float) -> dict:
     """Incremental MinHash-LSH screening (new increment vs existing
     corpus) on generated docs with planted (even, odd) near-dup twins.
-    doc_id % 5 == 0 plays the new crawl — so ~1/5 of the planted pairs
-    straddle the increment boundary and must surface; the cell checks
-    the banding recall did not silently drop them while measuring the
-    cross-side bucket-join at growing corpus size."""
+    doc_id % 5 == 0 plays the new crawl — 2 of every 5 planted twin
+    pairs straddle the increment boundary (pair (2i, 2i+1) straddles
+    iff i % 10 ∈ {0, 4}) and must surface. Banding recall is ASSERTED,
+    not just recorded: a candidate-generation regression that drops
+    cross-side pairs fails the cell instead of quietly shipping a
+    smaller pairs_found number."""
     from map_v2_etl_spark.operators.dedup import minhash_lsh_pairs
 
     n = int(120_000 * MULT * frac)
@@ -892,6 +894,13 @@ def bench_dedup_incremental(spark: SparkSession, frac: float) -> dict:
             1
             for i in range(0, n - 1, 2)
             if (i % 5 == 0) != ((i + 1) % 5 == 0)
+        )
+        # exact-Jaccard verification bounds found above by the planted
+        # set; banding (probabilistic candidates) bounds it below at
+        # ~e^(-n_bands·s^rows) misses — 99.9% leaves honest headroom
+        assert found <= expected, (found, expected)
+        assert found >= 0.999 * expected, (
+            f"banding recall regression: {found}/{expected}"
         )
         return {"n_docs": n, "pairs_found": found, "planted_cross": expected}
 

@@ -82,10 +82,12 @@ def gram_stats(df: DataFrame, vec_col: str = "embedding"):
     return int(n), mean, cov
 
 
-def principal_components(cov, k: int):
+def principal_components(cov, k: int, full_spectrum: bool = False):
     """Top-k eigenvectors of a symmetric matrix, eigenvalue-descending,
     sign-fixed: the largest-|coefficient| entry of each component is
-    made positive (deterministic up to exact eigenvalue ties)."""
+    made positive (deterministic up to exact eigenvalue ties). With
+    ``full_spectrum`` also returns ALL eigenvalues ascending (the same
+    eigh solve — callers needing the trace identity must not re-solve)."""
     import numpy as np
 
     w, v = np.linalg.eigh(cov)
@@ -95,7 +97,33 @@ def principal_components(cov, k: int):
         i = int(np.argmax(np.abs(comps[j])))
         if comps[j, i] < 0:
             comps[j] = -comps[j]
+    if full_spectrum:
+        return comps, w[order], w
     return comps, w[order]
+
+
+def _score_columns(comps, mean, vec_col: str, k: int):
+    """The ONE projection kernel: unrounded centered score columns
+    p_j = dot(x, c_j) − dot(μ, c_j), shared by pca_project (which
+    rounds them) and pca_certificate (which aggregates them) so the
+    certified invariants and the parity-tested projection can never
+    desynchronize. Raises on k > dim — eigh can only yield dim
+    components, and a silent clip would IndexError later."""
+    if comps.shape[0] < k:
+        raise ValueError(
+            f"pca k={k} exceeds embedding dim {comps.shape[0]}"
+        )
+    offsets = comps @ mean
+    cols = []
+    for j in range(k):
+        lit = F.array(*[F.lit(float(c)) for c in comps[j]])
+        cols.append(
+            (
+                dot(F.col(vec_col).cast("array<double>"), lit)
+                - float(offsets[j])
+            ).alias(f"p{j}")
+        )
+    return cols
 
 
 def pca_project(
@@ -109,24 +137,10 @@ def pca_project(
     components, rounded for cross-run stability."""
     _, mean, cov = gram_stats(df, vec_col)
     comps, _ = principal_components(cov, k)
-    if comps.shape[0] < k:
-        # eigh can only yield dim components; a silent clip would make
-        # the range(k) loop IndexError on the driver
-        raise ValueError(
-            f"pca_project k={k} exceeds embedding dim "
-            f"{comps.shape[0]}"
-        )
-    offsets = comps @ mean
-    cols = [F.col(id_col)]
-    for j in range(k):
-        lit = F.array(*[F.lit(float(c)) for c in comps[j]])
-        cols.append(
-            F.round(
-                dot(F.col(vec_col).cast("array<double>"), lit)
-                - float(offsets[j]),
-                decimals,
-            ).alias(f"pc{j}")
-        )
+    cols = [F.col(id_col)] + [
+        F.round(c, decimals).alias(f"pc{j}")
+        for j, c in enumerate(_score_columns(comps, mean, vec_col, k))
+    ]
     return df.select(*cols)
 
 
@@ -140,11 +154,16 @@ def pca_certificate(
 
       n, dim        — corpus size / vector width (exact, both engines);
       sum_sq_e12    — Σ over the corpus of Σ_coords q(v)² with
-                      q(v) = round(v·1e6) as BIGINT: pure integer
-                      arithmetic after one shared double multiply, so
-                      any summation order in either engine produces the
+                      q(v) = round(v·1e6): pure integer arithmetic
+                      after one shared double multiply, so any
+                      summation order in either engine produces the
                       same value — certifies the scan feeding the Gram
-                      phase saw the same data the oracle reads;
+                      phase saw the same data the oracle reads. q and
+                      the products run in DECIMAL(38,0) on the Spark
+                      side to mirror DuckDB's HUGEINT exactly — a
+                      BIGINT q·q would wrap at |v| ≥ ~3037 while the
+                      oracle stayed exact, a cross-engine asymmetry
+                      masquerading as data corruption;
       mean_e9       — round(mean of the UNROUNDED pc-j projection ·1e9).
                       Centered projections sum to zero mathematically;
                       float cancellation noise is ~1e-16·n·|p|, parts
@@ -170,49 +189,45 @@ def pca_certificate(
 
     spark = df.sparkSession
     n, mean, cov = gram_stats(df, vec_col)
-    comps, eig = principal_components(cov, k)
-    if comps.shape[0] < k:
-        raise ValueError(
-            f"pca_certificate k={k} exceeds embedding dim {comps.shape[0]}"
-        )
+    # ONE eigh solve yields both the top-k components and the full
+    # spectrum the trace identity needs
+    comps, eig, w_all = principal_components(cov, k, full_spectrum=True)
     dim = comps.shape[1]
-    w_all = np.linalg.eigvalsh(cov)
     trace = float(np.trace(cov))
+    # degeneracy guard: a rank-deficient corpus (n <= k rows, duplicated
+    # vectors, constant coordinates) puts λ_j at exact 0 or ±1e-17 float
+    # noise — the var_match division would crash or emit an arbitrary
+    # huge integer that reads as an engine mismatch. Fail loudly with
+    # the actual cause instead.
+    if trace <= 0.0 or float(eig[k - 1]) <= 1e-12 * max(trace, 1.0):
+        raise ValueError(
+            f"pca_certificate: covariance is degenerate for k={k} "
+            f"(trace={trace!r}, λ_{k - 1}={float(eig[k - 1])!r}) — the "
+            "corpus has rank < k; reduce k or fix the input"
+        )
     eig_trace_resid = (float(w_all.sum()) - trace) / trace
     orth = float(np.abs(comps @ comps.T - np.eye(k)).max())
 
-    q = (
-        f"CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)"
-    )
-    sum_sq = (
-        df.select(
-            F.expr(
-                f"aggregate(transform({vec_col}, v -> {q} * {q}), "
-                "CAST(0 AS BIGINT), (a, x) -> a + x)"
-            ).alias("row_sq")
-        )
-        .agg(F.sum(F.col("row_sq").cast("decimal(38,0)")).alias("s"))
-        .collect()[0]["s"]
-    )
-    sum_sq_e12 = int(sum_sq)
+    # DECIMAL(38,0) mirror of the oracle's HUGEINT arithmetic (see the
+    # docstring's width note)
+    q = "CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS DECIMAL(19,0))"
+    row_sq = F.expr(
+        f"aggregate(transform({vec_col}, "
+        f"v -> CAST({q} * {q} AS DECIMAL(38,0))), "
+        "CAST(0 AS DECIMAL(38,0)), (a, x) -> a + x)"
+    ).alias("row_sq")
 
-    offsets = comps @ mean
-    score_cols = []
-    for j in range(k):
-        lit = F.array(*[F.lit(float(c)) for c in comps[j]])
-        score_cols.append(
-            (
-                dot(F.col(vec_col).cast("array<double>"), lit)
-                - float(offsets[j])
-            ).alias(f"p{j}")
-        )
-    aggs = []
+    score_cols = _score_columns(comps, mean, vec_col, k)
+    aggs = [F.sum(F.col("row_sq")).alias("ssq")]
     for j in range(k):
         aggs.append(F.sum(F.col(f"p{j}")).alias(f"s{j}"))
         aggs.append(
             F.sum(F.col(f"p{j}") * F.col(f"p{j}")).alias(f"q{j}")
         )
-    stats = df.select(*score_cols).agg(*aggs).collect()[0]
+    # one corpus pass covers the integer data digest AND the projection
+    # moments (plus the gram pass above: two passes total)
+    stats = df.select(row_sq, *score_cols).agg(*aggs).collect()[0]
+    sum_sq_e12 = int(stats["ssq"])
 
     rows = []
     for j in range(k):

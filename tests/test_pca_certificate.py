@@ -36,10 +36,12 @@ def test_var_match_detects_projection_drift(spark, monkeypatch):
 
     real = P.principal_components
 
-    def skewed(cov, k):
-        comps, eig = real(cov, k)
+    def skewed(cov, k, full_spectrum=False):
+        comps, eig, w_all = real(cov, k, full_spectrum=True)
         eig = np.array(eig, dtype=float).copy()
         eig[0] *= 1.01  # 1% drift -> var_match_e6 ~ -9900
+        if full_spectrum:
+            return comps, eig, w_all
         return comps, eig
 
     monkeypatch.setattr(P, "principal_components", skewed)
@@ -47,3 +49,16 @@ def test_var_match_detects_projection_drift(spark, monkeypatch):
     rows = pca_certificate(df, k=4).collect()
     assert rows[0]["var_match_e6"] != 0
     assert all(r["var_match_e6"] == 0 for r in rows[1:])
+
+
+def test_degenerate_corpus_raises_loudly(spark):
+    """Rank-deficient input (every vector identical -> zero covariance)
+    must raise the degeneracy ValueError, not crash with
+    ZeroDivisionError or emit garbage residual integers."""
+    import pytest
+
+    df = spark.range(10).selectExpr(
+        "id AS vec_id", "array(1.0d, 2.0d, 3.0d) AS embedding"
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        pca_certificate(df, k=2).collect()
