@@ -376,7 +376,7 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 def connected_components(
-    vertices: DataFrame,
+    vertices: DataFrame | None,
     edges: DataFrame,
     id_col: str = "id",
     src_col: str = "src",
@@ -385,6 +385,12 @@ def connected_components(
     small_graph_vertices: int = 200_000,
 ) -> DataFrame:
     """(id, cluster) — cluster = min vertex id reachable from id.
+
+    ``vertices=None`` means "the edge endpoints ARE the vertex
+    universe" — callers whose vertex set is derived from the edges
+    (dup_clusters) would otherwise distinct the endpoints themselves
+    only for this function to union-and-distinct them again: one
+    redundant pairs-table pass per build (r10).
 
     Iterative min-label propagation: each round every vertex adopts the
     smallest label among itself and its neighbors; converges in
@@ -410,12 +416,14 @@ def connected_components(
     # absent from `vertices` must still propagate (and be eligible as a
     # min label) or the iterative path diverges from the union-find
     # fast path, which has always unioned endpoints in
-    all_verts = (
-        vertices.select(F.col(id_col).alias("id"))
-        .union(edges.select(F.col(src_col).alias("id")))
-        .union(edges.select(F.col(dst_col).alias("id")))
-        .distinct()
+    endpoints = edges.select(F.col(src_col).alias("id")).union(
+        edges.select(F.col(dst_col).alias("id"))
     )
+    all_verts = (
+        endpoints
+        if vertices is None
+        else vertices.select(F.col(id_col).alias("id")).union(endpoints)
+    ).distinct()
     # iteration partitioning sized to the actual vertex count (the
     # pagerank discipline): a 5k-vertex label table over 32 partitions
     # pays rounds of near-empty-task scheduling for nothing
@@ -436,7 +444,7 @@ def connected_components(
                 )
         finally:
             edges_c.unpersist()
-    n_part = iteration_partitions(vertices.sparkSession, n_vertices)
+    n_part = iteration_partitions(edges.sparkSession, n_vertices)
     labels = all_verts.select(
         F.col("id"), F.col("id").alias("label")
     ).repartition(n_part, "id")
@@ -716,13 +724,12 @@ def dup_clusters(
     pairs = pair_fn(
         df, threshold, id_col=id_col, text_col=text_col, n=n
     ).persist()
-    edge_ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    # vertices=None: the dup-graph vertex universe IS the pair
+    # endpoints — connected_components derives (and distincts) it
+    # internally, so computing edge_ids here was a second pass over the
+    # pairs table per build (r10)
     cc = connected_components(
-        edge_ids, pairs, id_col="id", src_col="id_a", dst_col="id_b"
+        None, pairs, id_col="id", src_col="id_a", dst_col="id_b"
     )
     return (
         df.select(F.col(id_col))
