@@ -225,3 +225,26 @@ def test_scd2_single_shuffle_single_sort(spark, sf_dir):
     plan = plan_of("scd2_intervals", spark, sf_dir)
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Sort") == 1, plan
+
+
+def test_tfidf_tf_parent_is_cached(spark, sf_dir):
+    """r10 plan diet: the shared (doc_id, term, tf) aggregate must stay
+    persisted — un-persisted, the vocabulary count, the broadcast term
+    index, and the weight build each re-ran tokenize + the aggregate
+    from the raw scan (measured 2x wall at sf0.1)."""
+    plan = plan_of("tfidf_similar_pairs", spark, sf_dir)
+    assert "InMemoryTableScan" in plan
+
+
+def test_dup_clusters_final_plan_is_bounded_join(spark, sf_dir):
+    """r10: dup_clusters passes vertices=None so connected_components
+    derives the endpoint universe itself. At test SF the small-graph
+    gate resolves the components driver-side, so the FINAL plan must be
+    corpus ⋈ bounded-local-result (ExistingRDD) with no trace of the
+    MinHash banding subplan (a banding explode here would mean the pair
+    table is being rebuilt inside the returned plan instead of read
+    from its persisted/consumed form)."""
+    plan = plan_of("dedup_clusters", spark, sf_dir)
+    assert "ExistingRDD" in plan
+    assert "posexplode" not in plan.lower()
+    assert "Generate" not in plan
