@@ -261,26 +261,33 @@ class ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
         # empty after a repartition-count change or data re-read), and a
         # per-file os.replace would leave the first commit's stale task
         # file alive next to the replay's files — duplicating rows.
-        # Clear every existing epoch-{batchId}-* file first, then
-        # promote the replay's set.
+        # Order matters WITHIN the epoch swap too: promote the replay's
+        # files FIRST (os.replace atomically overwrites the same-named
+        # file from the previous attempt, so every surviving file stays
+        # continuously visible), THEN remove only the epoch-{batchId}-*
+        # files that are NOT in the replay's set. The reverse order
+        # (clear-all, then promote) opens a window where a crash or a
+        # concurrent reader between the two loops observes the epoch
+        # with previously-committed files missing.
         import glob as _glob
 
+        promoted: set[str] = set()
+        for m in messages:
+            if m is not None and m.filename is not None:
+                final = f"epoch-{batchId}-{m.final_name or m.filename}"
+                os.replace(
+                    os.path.join(tmp_dir, m.filename),
+                    os.path.join(self.path, final),
+                )
+                promoted.add(final)
         for stale in _glob.glob(
             os.path.join(self.path, f"epoch-{batchId}-*.parquet")
         ):
-            try:
-                os.remove(stale)
-            except FileNotFoundError:
-                pass
-        for m in messages:
-            if m is not None and m.filename is not None:
-                os.replace(
-                    os.path.join(tmp_dir, m.filename),
-                    os.path.join(
-                        self.path,
-                        f"epoch-{batchId}-{m.final_name or m.filename}",
-                    ),
-                )
+            if os.path.basename(stale) not in promoted:
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass
         import shutil
 
         shutil.rmtree(tmp_dir, ignore_errors=True)
