@@ -98,8 +98,16 @@ g AS (
                  for i in generate_series(1, len(w) - {k - 1})]) AS u
   FROM t),
 kk AS (
+  -- guard mirrors operators/text.winnow_selected's raise_error: a
+  -- document with >= 2^23 grams must fail LOUDLY in both engines, not
+  -- silently pack a negative position field into a corrupted key
   SELECT doc_id, u.pos AS pos,
-         u.h * {_POS} + ({_POS - 1} - u.pos) AS key
+         u.h * {_POS} + ({_POS - 1} -
+           CASE WHEN u.pos >= {_POS}
+                THEN CAST(error('winnow oracle: document exceeds '
+                                || '{_POS - 1} grams — widen the pack')
+                          AS BIGINT)
+                ELSE u.pos END) AS key
   FROM g),
 m AS (
   SELECT doc_id, pos,

@@ -248,3 +248,46 @@ def test_dup_clusters_final_plan_is_bounded_join(spark, sf_dir):
     assert "ExistingRDD" in plan
     assert "posexplode" not in plan.lower()
     assert "Generate" not in plan
+
+
+def _live_nodes(jplan, depth=0, out=None):
+    """Walk the LIVE executed-plan tree (descending into AQE and
+    query-stage wrappers, whose subplans are not children()), WITHOUT
+    descending into InMemoryRelation cached-build plans — those live in
+    the relation's cachedPlan field, outside the tree. The textual
+    .toString() rendering DOES inline the cached build plans (raw
+    FileScans and all), which is exactly the ambiguity that confused
+    the r10 audit; the tree walk sees only what this query executes."""
+    if out is None:
+        out = []
+    out.append(jplan.nodeName())
+    for i in range(jplan.children().size()):
+        _live_nodes(jplan.children().apply(i), depth + 1, out)
+    cls = jplan.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        _live_nodes(jplan.executedPlan(), depth + 1, out)
+    elif cls.endswith("QueryStageExec"):
+        _live_nodes(jplan.plan(), depth + 1, out)
+    return out
+
+
+def test_curation_pipeline_scans_only_the_cached_token_parent(spark, sf_dir):
+    """r10 audit conclusion, pinned (VERDICT r10 item 6): the composed
+    curation pipeline tokenizes the corpus ONCE into a persisted
+    (doc_id, is_t, toks) parent and every signal sub-plan consumes that
+    cache — the 13+ raw document FileScans visible in the plan's
+    toString are the un-materialized InMemoryRelation build-plan
+    rendering, not live scans. Contract: the LIVE tree contains zero
+    parquet scans (every leaf that touches the corpus is an
+    InMemoryTableScan) and a bounded shuffle count, so a refactor that
+    drops the persist or forks the token parent fails here before it
+    4x-es the scan cost at 100 TB."""
+    df = REGISTRY["curation_pipeline"].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    nodes = _live_nodes(df._jdf.queryExecution().executedPlan())
+    scans = [n for n in nodes if "Scan parquet" in n or n == "FileSourceScan"]
+    assert not scans, f"live raw scans in curation_pipeline: {scans}"
+    imts = sum(1 for n in nodes if n == "InMemoryTableScan")
+    assert imts >= 4, f"expected >=4 cached-token consumers, saw {imts}"
+    live_ex = sum(1 for n in nodes if n == "Exchange")
+    assert live_ex <= 24, f"live shuffle exchanges grew to {live_ex}"

@@ -145,3 +145,60 @@ def test_late_audit_contract_on_real_watermark_stream(spark, tmp_path):
         if i > 0 and r[0] < seen_max[i] - pd.Timedelta(minutes=10)
     ]
     assert late == [(T("10:02:00"), "click")]
+
+
+def test_same_batch_late_row_still_merges_before_eviction(spark, tmp_path):
+    """Version-pin for the traced pyspark 4.1 nuance the late-audit
+    model documents (docs/STREAMING_MATRIX.md, VERDICT r10 item 7):
+    a late row arriving in the SAME micro-batch in which the watermark
+    first exceeds its window end still MERGES into live state — the
+    late-input filter and state eviction both take effect at batch end,
+    so the drop applies from the NEXT batch on. The audit query models
+    only the steady-state (next-batch) rule, so if a future pyspark
+    starts filtering late input eagerly at batch start, the audit's
+    count and the engine's would silently diverge by exactly these
+    boundary rows — this test fails loudly instead.
+
+    Arrival schedule: the 10:02 click's window [10:00, 10:10) is
+    already behind the 10:20 watermark when batch 2 STARTS (the 10:30
+    row advanced it at the end of batch 1), yet the click must still
+    merge: eviction of the window happens at the END of batch 2."""
+    from datetime import datetime as dt
+
+    T = lambda s: dt.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+    batches = [
+        [(T("10:00:00"), "click"), (T("10:05:00"), "click")],
+        # end of this batch: watermark -> 10:30 - 10 min = 10:20,
+        # past the click window's 10:10 end
+        [(T("10:30:00"), "view")],
+        # batch 2: late click arrives in the eviction batch itself —
+        # on pyspark 4.1 it still merges (emitted n=3, not 2)
+        [(T("10:02:00"), "click")],
+        # close out the view windows
+        [(T("10:55:00"), "view")],
+    ]
+    src = _write_arrival_files(tmp_path, batches)
+
+    def audited(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("ws"), "event_type", "n")
+        )
+
+    streamed = run_stream_on_parquet(
+        spark, src, audited,
+        query_name="t_same_batch_merge", output_mode="append",
+    )
+    click_rows = [
+        (r["ws"], r["event_type"], r["n"])
+        for r in streamed.collect()
+        if r["event_type"] == "click"
+    ]
+    assert click_rows == [(T("10:00:00"), "click", 3)], (
+        "pyspark's late-row eviction timing changed: the same-batch "
+        f"late click no longer merges before eviction ({click_rows}); "
+        "re-trace events_late_audit's steady-state model and update "
+        "docs/STREAMING_MATRIX.md"
+    )
