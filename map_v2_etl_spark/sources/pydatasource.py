@@ -264,12 +264,21 @@ class ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
         # Order matters WITHIN the epoch swap too: promote the replay's
         # files FIRST (os.replace atomically overwrites the same-named
         # file from the previous attempt, so every surviving file stays
-        # continuously visible), THEN remove only the epoch-{batchId}-*
-        # files that are NOT in the replay's set. The reverse order
+        # continuously visible), THEN remove only this epoch's files
+        # that are NOT in the replay's set. The reverse order
         # (clear-all, then promote) opens a window where a crash or a
         # concurrent reader between the two loops observes the epoch
-        # with previously-committed files missing.
+        # with previously-committed files missing. RESIDUAL window: the
+        # two loops are still not one atomic epoch swap — a concurrent
+        # reader that races a shrunk-partition replay between the
+        # promote loop and the prune loop can transiently see the
+        # replay's files PLUS the prior attempt's not-yet-pruned task
+        # files (over-count), which we accept over the old under-count
+        # because a retried read converges once the prune lands; true
+        # atomicity needs a per-epoch manifest readers key off, which
+        # this directory-listing sink deliberately does not require.
         import glob as _glob
+        import re as _re
 
         promoted: set[str] = set()
         for m in messages:
@@ -280,10 +289,21 @@ class ArrowParquetStreamWriter(DataSourceStreamArrowWriter):
                     os.path.join(self.path, final),
                 )
                 promoted.add(final)
+        # Prune by EXACT batch id, not by glob prefix: the glob
+        # "epoch-{batchId}-*" for batchId=1 also matches epoch-10-*,
+        # epoch-11-*, ... and would delete OTHER epochs' committed
+        # output when a stream restarts with a fresh checkpoint into an
+        # existing directory. Task/attempt basenames never start with a
+        # digit, so anchoring the post-id token to (task|attempt)
+        # disambiguates fully.
+        epoch_file = _re.compile(
+            rf"epoch-{batchId}-(task|attempt)-.*\.parquet"
+        )
         for stale in _glob.glob(
             os.path.join(self.path, f"epoch-{batchId}-*.parquet")
         ):
-            if os.path.basename(stale) not in promoted:
+            base = os.path.basename(stale)
+            if base not in promoted and epoch_file.fullmatch(base):
                 try:
                     os.remove(stale)
                 except FileNotFoundError:

@@ -215,6 +215,67 @@ def test_stream_writer_epoch_replay_shrinking_partitions(spark, tmp_path):
     assert spark.read.parquet(d).count() == 5
 
 
+def test_stream_writer_epoch_prune_is_exact_id_not_prefix(spark, tmp_path):
+    """Committing epoch 1 must never delete epoch 10/11/... output: the
+    prune step's directory glob "epoch-1-*" is prefix-ambiguous, so the
+    writer re-filters by EXACT batch id before removing anything. The
+    scenario is a stream restarted with a fresh checkpoint (batch ids
+    reset to 0,1,...) into a directory holding a prior run's later
+    epochs — prefix-pruning there destroyed committed data."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from map_v2_etl_spark.sources.pydatasource import (
+        ArrowParquetStreamWriter,
+    )
+
+    d = str(tmp_path / "s")
+
+    class _Ctx:
+        def __init__(self, pid):
+            self._pid = pid
+
+        def partitionId(self):
+            return self._pid
+
+    w = ArrowParquetStreamWriter({"path": d}, overwrite=False)
+    import pyspark
+
+    real_get = pyspark.TaskContext.get
+    try:
+        # prior run left committed epochs 10 and 11 in the directory
+        for bid, vals in [(10, [101, 102]), (11, [111])]:
+            pyspark.TaskContext.get = staticmethod(lambda: _Ctx(0))
+            msg = w.write(iter([pa.RecordBatch.from_pydict({"x": vals})]))
+            w.commit([msg], batchId=bid)
+        # fresh-checkpoint run commits epoch 1 twice (second is a
+        # shrunk-partition replay so the prune loop actually runs)
+        msgs = []
+        for pid, vals in [(0, [1, 2]), (1, [3])]:
+            pyspark.TaskContext.get = staticmethod(lambda p=pid: _Ctx(p))
+            msgs.append(
+                w.write(iter([pa.RecordBatch.from_pydict({"x": vals})]))
+            )
+        w.commit(msgs, batchId=1)
+        pyspark.TaskContext.get = staticmethod(lambda: _Ctx(0))
+        msg = w.write(iter([pa.RecordBatch.from_pydict({"x": [1, 2, 3]})]))
+        w.commit([msg], batchId=1)
+    finally:
+        pyspark.TaskContext.get = real_get
+    files = sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+    # epoch 1's stale task-1 pruned; epochs 10 and 11 untouched
+    assert files == [
+        "epoch-1-task-0.parquet",
+        "epoch-10-task-0.parquet",
+        "epoch-11-task-0.parquet",
+    ], files
+    assert spark.read.parquet(d).count() == 6
+
+
 def test_stream_writer_end_to_end(spark, tmp_path):
     import glob
     import os
