@@ -52,7 +52,6 @@ HOF folds end to end.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -116,8 +115,94 @@ def pair_counts(reps: DataFrame) -> DataFrame:
     )
 
 
+def merge_pairs_batch(rep: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Apply one round's merges SEQUENTIALLY inside a single expression:
+    an outer fold over the merge list whose accumulator is the symbol
+    string, each step running the same leftmost-greedy token fold as
+    ``merge_pair``. This keeps the expression tree O(len(pairs)) —
+    composing ``merge_pair`` textually instead multiplies the tree by
+    the ~6 references each fold makes to its input string (6^batch
+    nodes before any common-subexpression elimination can help)."""
+    merges = F.array(
+        *[
+            F.struct(F.lit(pl).alias("l"), F.lit(pr).alias("r"))
+            for pl, pr in pairs
+        ]
+    )
+
+    def _apply_one(acc: Column, m: Column) -> Column:
+        toks = F.split(acc, " ")
+        folded = F.aggregate(
+            F.slice(toks, 2, F.size(toks) - 1),
+            F.element_at(toks, 1),
+            lambda a, x: F.when(
+                (x == m.r)
+                & ((a == m.l) | a.endswith(F.concat(F.lit(" "), m.l))),
+                F.concat(a, x),
+            ).otherwise(F.concat(a, F.lit(" "), x)),
+        )
+        return F.when(F.size(toks) <= 1, acc).otherwise(folded)
+
+    return F.aggregate(merges, rep, _apply_one)
+
+
+def _select_merge_batch(rows, remaining: int, window: int):
+    """Pick the longest prefix of the sorted pair table that one round
+    can apply while staying MERGE-FOR-MERGE IDENTICAL to the classic
+    one-pair-per-iteration loop (counts, order and tie-breaks included).
+
+    ``rows`` is the top-``window`` slice of the pair table in the
+    canonical (count DESC, l, r) order. Rule:
+
+    1. Walk the prefix; accept a pair only while it shares no symbol
+       with any already-accepted pair — where an accepted (l, r) blocks
+       {l, r, l||r}: l||r because the merge MINTS that symbol, so a
+       later pair mentioning it would suddenly match the new tokens
+       too and its recorded count would diverge from the sequential
+       run's. STOP at the first conflict (skipping would let the
+       conflicting pair's post-merge count race the ones we keep).
+    2. Truncate the accepted list to counts STRICTLY above the stop
+       boundary (the first conflicting pair's count, or the last
+       collected count when the window may have been cut short by
+       ``limit``). Every pair whose count the batch can change —
+       conflicting pairs, pairs newly minted mid-batch (count bounded
+       by a conflicting parent's), resurrected pairs — sits at or
+       below that boundary, so everything we keep outranks anything
+       the batch perturbs: the sequential loop would pick exactly this
+       prefix, in this order, with these counts.
+    3. The top-1 pair is unconditionally the sequential argmax, so when
+       truncation empties the list (e.g. the top two pairs conflict at
+       equal counts) fall back to it — the round degrades to the
+       classic single merge rather than stalling.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    blocked: set[str] = set()
+    c_stop = None
+    for row in rows:
+        if row.l in blocked or row.r in blocked:
+            c_stop = int(row.c)
+            break
+        accepted.append((row.l, row.r, int(row.c)))
+        blocked.update((row.l, row.r, row.l + row.r))
+    else:
+        if len(rows) == window:
+            # table may extend past the collected window; its next
+            # count is <= the last collected one, so that is the
+            # boundary everything kept must strictly beat
+            c_stop = int(rows[-1].c)
+    if c_stop is not None:
+        accepted = [a for a in accepted if a[2] > c_stop]
+    if not accepted:
+        accepted = [(rows[0].l, rows[0].r, int(rows[0].c))]
+    return accepted[:remaining]
+
+
 def learn_bpe(
-    docs: DataFrame, k: int, text_col: str = "text"
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    batch: int = 16,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``k`` BPE merges; returns (merges, final symbol table).
 
@@ -126,47 +211,53 @@ def learn_bpe(
     The returned DataFrame is (w, cnt, rep) after all merges, eagerly
     checkpointed so callers can compose on it after the loop's interim
     persists are dropped.
+
+    ``batch`` > 1 applies up to that many symbol-disjoint merges per
+    driver round (one pair-count job + one collect per ROUND instead of
+    per MERGE), cutting driver round-trips ~3-4x while staying
+    merge-for-merge identical to the sequential algorithm — see
+    ``_select_merge_batch`` for the equivalence argument. ``batch=1``
+    is exactly the classic loop.
+
+    ``stats``, when given, is filled with ``{"rounds": N}`` — the
+    number of driver round-trips actually taken (bench introspection;
+    the merge list alone can't distinguish 1 round of 12 from 12 of 1).
     """
-    reps = (
-        word_counts(docs, text_col)
-        .select("w", "cnt", _chars(F.col("w")).alias("rep"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    window = max(4 * batch, 16)  # collect depth: room for conflicts
+    rounds = 0
+    # localCheckpoint (NOT persist) per round, the connected_components
+    # hygiene: persist caches the DATA but the logical plan still
+    # stacks one nested-HOF projection per round, and Catalyst
+    # re-analysis of that growing lineage goes superlinear (measured:
+    # k=16 in 6s, k=24 in 347s on the same 500-doc corpus before the
+    # truncation). Checkpointing makes every round's plan
+    # scan-of-checkpoint + one projection; dropped rounds' blocks are
+    # reclaimed by the ContextCleaner, same as the CC loop.
+    live = word_counts(docs, text_col).select(
+        "w", "cnt", _chars(F.col("w")).alias("rep")
+    ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    live = reps
-    prev = None  # the already-cached frame `live` was derived from
-    try:
-        for step in range(1, k + 1):
-            top = (
-                pair_counts(live)
-                .orderBy(F.desc("c"), "l", "r")
-                .limit(1)
-                .collect()
-            )
-            # ^ this action materialized (and cached) `live`; only NOW
-            # is its parent safe to drop — unpersisting before the
-            # child's first action would force every iteration to
-            # recompute the whole fold chain from the base table
-            if prev is not None:
-                prev.unpersist()
-                prev = None
-            if not top:  # every word is a single symbol — nothing left
-                break
-            l, r, c = top[0].l, top[0].r, int(top[0].c)
-            merges.append((step, l, r, c))
-            nxt = live.withColumn(
-                "rep", merge_pair(F.col("rep"), l, r)
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            if live is not reps:
-                prev = live
-            live = nxt
-        # materialize OUTSIDE the loop's persist chain so the interim
-        # blocks can be dropped now, not when the caller finally acts
-        final = live.localCheckpoint(eager=True)
-    finally:
-        if prev is not None:
-            prev.unpersist()
-        if live is not reps:
-            live.unpersist()
-        reps.unpersist()
-    return merges, final
+    while len(merges) < k:
+        rounds += 1
+        top = (
+            pair_counts(live)
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(window)
+            .collect()
+        )
+        if not top:  # every word is a single symbol — nothing left
+            break
+        picked = _select_merge_batch(
+            top, min(batch, k - len(merges)), window
+        )
+        for pl, pr, pc in picked:
+            merges.append((len(merges) + 1, pl, pr, pc))
+        live = live.withColumn(
+            "rep",
+            merge_pairs_batch(
+                F.col("rep"), [(pl, pr) for pl, pr, _ in picked]
+            ),
+        ).localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
+    return merges, live

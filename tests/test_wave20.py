@@ -177,6 +177,22 @@ def test_learn_bpe_property(words):
     assert {r.w: r.rep.split(" ") for r in final.collect()} == exp_reps
 
 
+def test_learn_bpe_batched_equals_sequential(spark, sf_dir):
+    """batch>1 must be MERGE-FOR-MERGE identical to the classic
+    one-pair-per-iteration loop (order, counts, tie-breaks, final
+    symbol table) — the whole point of _select_merge_batch's stop/
+    truncate discipline. k=24 is deep enough that several rounds hit
+    conflicts, truncation, and the top-1 fallback on real text."""
+    docs = load_table(spark, "documents", sf_dir)
+    seq_merges, seq_final = learn_bpe(docs, 24, batch=1)
+    bat_merges, bat_final = learn_bpe(docs, 24, batch=16)
+    assert bat_merges == seq_merges
+    assert len(bat_merges) == 24
+    seq = {r.w: r.rep for r in seq_final.collect()}
+    bat = {r.w: r.rep for r in bat_final.collect()}
+    assert bat == seq
+
+
 def test_xml_roundtrip_row_exact(spark, sf_dir):
     """The docstring's claim, asserted: every (key, double) row survives
     the XML write + schema-pinned read bit-exactly."""
