@@ -163,6 +163,61 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_sql(k: int) -> str:
+    return f"""{_bpe_chain(k)},
+tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id, {_DUCK_TOKS_F} AS toks FROM documents)
+)
+SELECT tok.doc_id,
+       string_agg(wk.rep, ' ' ORDER BY tok.pos) AS encoded
+FROM tok JOIN w{k} wk USING (w)
+GROUP BY tok.doc_id
+"""
+
+
+@query(
+    "bpe_encode",
+    _bpe_encode_sql(_BPE_K),
+    tags=["text", "tokenizer", "bpe"],
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned tokenizer to the corpus: each document's full
+    BPE symbol sequence (K=6 merges), word order preserved —
+    (doc_id, encoded) where `encoded` is the space-joined symbols of
+    every word in document order. The corpus-encode half of the
+    tokenizer-training pipeline (learn_bpe covers the learn half).
+
+    Plan shape: posexplode tokens (position carried ONLY for the
+    order-preserving reassembly), broadcast the vocabulary-bounded
+    symbol table, one shuffle on doc_id to reassemble. At a 100 M-row
+    web vocabulary the broadcast flips to a shuffle join on `w`; the
+    reassembly shuffle is corpus-token-sized either way, and each
+    group is one document (bounded by max doc length, no skew beyond
+    the longest document)."""
+    docs = load_table(spark, "documents", sf_dir)
+    _, final = learn_bpe(docs, _BPE_K)
+    from ..operators.dedup import tokens
+
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    sym = final.select("w", "rep")
+    return (
+        tok.join(F.broadcast(sym), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "rep"))),
+                    lambda s: s.rep,
+                ),
+                " ",
+            ).alias("encoded")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # xml_roundtrip
 # --------------------------------------------------------------------------
