@@ -1006,6 +1006,10 @@ def main() -> None:
     from map_v2_etl_spark.session import get_spark
 
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    scales = [1, 2]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales="):  # e.g. --scales=1,2,4
+            scales = [int(s) for s in a.split("=", 1)[1].split(",")]
     spark = get_spark("bench_scale", cpus=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
@@ -1018,16 +1022,18 @@ def main() -> None:
         # lands entirely on the 1x run and skews the 2x/1x ratio (it
         # runs BELOW the gates, so it times nothing we report)
         fn(spark, 0.02)
-        for scale in (1, 2):
+        for scale in scales:
             rec = fn(spark, float(scale))
-            if scale == 1 and name not in NO_STEADY_REP:
+            if name not in NO_STEADY_REP:
                 # the tiny warm-up runs BELOW the distributed-regime
-                # gates, so the 1x cell's FIRST rep still pays the
-                # distributed path's whole-stage-codegen/janino compile
-                # (measured r11: pq_train 33.5s first rep vs 8.97s
-                # steady at identical size — it manufactured two
-                # "superlinear" false alarms). Discard it and record
-                # the steady-state second rep; keep the first as a
+                # gates, so each recorded cell's FIRST rep may still
+                # pay the distributed path's whole-stage-codegen/janino
+                # compile — literal sizes fold into the generated code,
+                # so even a size CHANGE can recompile (measured r11:
+                # pq_train 33.5s first rep vs 8.97s steady at identical
+                # size — it manufactured two "superlinear" false
+                # alarms). Discard the first rep per size and record
+                # the steady-state second; keep the first as a
                 # diagnostic.
                 first = rec["wall_sec"]
                 rec = fn(spark, float(scale))
@@ -1039,8 +1045,12 @@ def main() -> None:
                 f"jobs={rec['jobs']} stages={rec['stages']}",
                 file=sys.stderr,
             )
-        w1, w2 = entry["1x"]["wall_sec"], entry["2x"]["wall_sec"]
-        entry["scaling_ratio_2x"] = round(w2 / w1, 2) if w1 else None
+        for lo, hi in zip(scales, scales[1:]):
+            w1 = entry[f"{lo}x"]["wall_sec"]
+            w2 = entry[f"{hi}x"]["wall_sec"]
+            entry[f"scaling_ratio_{hi}x"] = (
+                round(w2 / w1, 2) if w1 else None
+            )
         results[name] = entry
     out = {
         "metric": "distributed_regime_total",
