@@ -1045,11 +1045,13 @@ def main() -> None:
                 f"jobs={rec['jobs']} stages={rec['stages']}",
                 file=sys.stderr,
             )
-        for lo, hi in zip(scales, scales[1:]):
-            w1 = entry[f"{lo}x"]["wall_sec"]
-            w2 = entry[f"{hi}x"]["wall_sec"]
+        # historical semantics: scaling_ratio_Nx = Nx wall / 1x wall
+        base = entry[f"{scales[0]}x"]["wall_sec"]
+        for hi in scales[1:]:
             entry[f"scaling_ratio_{hi}x"] = (
-                round(w2 / w1, 2) if w1 else None
+                round(entry[f"{hi}x"]["wall_sec"] / base, 2)
+                if base
+                else None
             )
         results[name] = entry
     out = {
