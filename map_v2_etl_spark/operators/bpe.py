@@ -168,29 +168,62 @@ def _select_merge_batch(rows, remaining: int, window: int):
        too and its recorded count would diverge from the sequential
        run's. STOP at the first conflict (skipping would let the
        conflicting pair's post-merge count race the ones we keep).
-    2. Truncate the accepted list to counts STRICTLY above the stop
+    2. A SELF-pair (l == r) ends the batch after being accepted.
+       Merging ``s s`` over a run ``s s s`` mints the pair (ss, s)
+       whose parent occurrence is the accepted pair ITSELF, so its
+       post-merge count is bounded only by the accepted pair's count —
+       not by any conflict boundary — and the sequential loop may pick
+       that minted continuation before anything else we would have
+       batched (found by the 4000-case selection fuzzer: with
+       {aaa x4, bb x1}, sequential runs (a,a) -> (aa,a) -> (b,b), but a
+       batch of [(a,a),(b,b)] records (b,b) second). For a non-self
+       accepted pair every mintable pair's parent either conflicts
+       with an accepted pair (bounded by the stop, because a
+       conflicting row BETWEEN accepted rows would itself have stopped
+       the walk) or straddles two accepted pairs (bounded by the
+       conflicting bridge pair), so only l == r needs the early cut.
+    3. Truncate the accepted list to counts STRICTLY above the stop
        boundary (the first conflicting pair's count, or the last
        collected count when the window may have been cut short by
        ``limit``). Every pair whose count the batch can change —
-       conflicting pairs, pairs newly minted mid-batch (count bounded
-       by a conflicting parent's), resurrected pairs — sits at or
-       below that boundary, so everything we keep outranks anything
-       the batch perturbs: the sequential loop would pick exactly this
-       prefix, in this order, with these counts.
-    3. The top-1 pair is unconditionally the sequential argmax, so when
+       conflicting pairs, pairs newly minted mid-batch, resurrected
+       pairs — sits at or below that boundary, so everything we keep
+       outranks anything the batch perturbs: the sequential loop would
+       pick exactly this prefix, in this order, with these counts.
+    4. The top-1 pair is unconditionally the sequential argmax, so when
        truncation empties the list (e.g. the top two pairs conflict at
        equal counts) fall back to it — the round degrades to the
        classic single merge rather than stalling.
+
+    Equivalence is fuzz-pinned against a pure-Python sequential
+    reference over thousands of random multisets
+    (tests/test_wave20.py::test_select_merge_batch_fuzz_equivalence) in
+    addition to the Spark-level twins.
     """
     accepted: list[tuple[str, str, int]] = []
     blocked: set[str] = set()
     c_stop = None
+    accepting = True
     for row in rows:
         if row.l in blocked or row.r in blocked:
+            # first conflicting row: every mintable pair's parent
+            # conflicts with an accepted pair and therefore sorts here
+            # or later, so this count bounds everything the batch can
+            # perturb. The scan must reach this row even after
+            # acceptance stopped at a self-pair — breaking the scan
+            # there left minted pairs free to TIE a kept pair and win
+            # the (l, r) tie-break (fuzzer round 2).
             c_stop = int(row.c)
             break
-        accepted.append((row.l, row.r, int(row.c)))
-        blocked.update((row.l, row.r, row.l + row.r))
+        if accepting:
+            accepted.append((row.l, row.r, int(row.c)))
+            blocked.update((row.l, row.r, row.l + row.r))
+            if row.l == row.r:
+                # self-pair ends the batch: merging `s s` over `s s s`
+                # mints (ss, s) whose parent occurrence is the accepted
+                # pair ITSELF, so no conflict boundary bounds it; keep
+                # scanning (not accepting) for the c_stop row.
+                accepting = False
     else:
         if len(rows) == window:
             # table may extend past the collected window; its next

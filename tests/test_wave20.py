@@ -177,6 +177,97 @@ def test_learn_bpe_property(words):
     assert {r.w: r.rep.split(" ") for r in final.collect()} == exp_reps
 
 
+def test_select_merge_batch_fuzz_equivalence():
+    """Volume fuzz of the batched merge selection against a pure-Python
+    sequential reference: 4000 random word multisets over tiny
+    alphabets (maximal pair collisions, ties, self-pairs). This harness
+    found BOTH real holes in the original selection rule — (1) a
+    self-pair's minted continuation pair is bounded by the accepted
+    pair itself, not by any conflict boundary; (2) stopping the scan at
+    the self-pair skipped the conflict row that sets the strict count
+    boundary, letting a minted pair tie a kept pair and win the (l, r)
+    tie-break — so it must keep running as the selection rule's
+    regression net. Pure Python, no Spark session."""
+    import random
+    from collections import namedtuple
+
+    from map_v2_etl_spark.operators.bpe import _select_merge_batch
+
+    Row = namedtuple("Row", "l r c")
+
+    def py_merge(toks, l, r):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    def pair_counts(reps, words):
+        counts = {}
+        for w, toks in reps.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        return counts
+
+    def seq_bpe(words, k):
+        reps = {w: list(w) for w in words}
+        merges = []
+        for step in range(1, k + 1):
+            counts = pair_counts(reps, words)
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((step, l, r, c))
+            reps = {w: py_merge(t, l, r) for w, t in reps.items()}
+        return merges, reps
+
+    def batched_bpe(words, k, batch, window):
+        reps = {w: list(w) for w in words}
+        merges = []
+        while len(merges) < k:
+            counts = pair_counts(reps, words)
+            if not counts:
+                break
+            rows = [
+                Row(l, r, c)
+                for (l, r), c in sorted(
+                    counts.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+            ][:window]
+            picked = _select_merge_batch(
+                rows, min(batch, k - len(merges)), window
+            )
+            for l, r, c in picked:
+                merges.append((len(merges) + 1, l, r, c))
+                reps = {w: py_merge(t, l, r) for w, t in reps.items()}
+        return merges, reps
+
+    rng = random.Random(12)
+    for trial in range(4000):
+        alpha = rng.choice(["ab", "abc", "abcd", "01", "a"])
+        words = {}
+        for _ in range(rng.randint(1, 14)):
+            w = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, 10))
+            )
+            words[w] = words.get(w, 0) + rng.randint(1, 5)
+        k = rng.randint(1, 14)
+        batch = rng.choice([1, 2, 3, 4, 8, 16])
+        window = rng.choice([2, 4, 8, 16, 64])
+        sm, sr = seq_bpe(words, k)
+        bm, br = batched_bpe(words, k, batch, window)
+        assert sm == bm and sr == br, (
+            f"trial {trial}: words={words} k={k} batch={batch} "
+            f"window={window}\n seq={sm}\n bat={bm}"
+        )
+
+
 def test_learn_bpe_plan_is_lineage_truncated(spark, sf_dir):
     """The merge loop must localCheckpoint each round: with persist-only
     hygiene the logical plan stacks one nested-HOF projection per round
