@@ -279,6 +279,87 @@ def test_cc_paths_agree_on_endpoints_outside_vertices(spark):
         assert got == {(0, 0), (1, 0), (2, 0), (3, 0)}, got
 
 
+def test_cc_three_paths_fuzz_equivalence(spark):
+    """Randomized equivalence net over ALL THREE connected-components
+    code paths — the gated driver union-find, the distributed min-label
+    loop, and large-star/small-star — against a pure-Python reference,
+    on adversarial shapes: chains (diameter stress), self-loops,
+    duplicate and reversed edges, endpoint-only vertices (absent from
+    the vertex frame), isolated vertices. The r12 BPE fuzzer found two
+    equivalence holes that every example-based test had missed; this
+    applies the same discipline to the other gated regime switch."""
+    import random
+
+    from map_v2_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def py_cc(vert_ids, edge_list):
+        ids = set(vert_ids)
+        for a, b in edge_list:
+            ids.add(a)
+            ids.add(b)
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for i in ids:
+            comp.setdefault(find(i), []).append(i)
+        want = {}
+        for members in comp.values():
+            m = min(members)
+            for i in members:
+                want[i] = m
+        return want
+
+    rng = random.Random(7)
+    for trial in range(5):
+        n = rng.randint(2, 18)
+        verts = [i for i in range(n) if rng.random() < 0.8]
+        n_edges = rng.randint(0, 2 * n)
+        edge_list = []
+        for _ in range(n_edges):
+            a, b = rng.randrange(n + 3), rng.randrange(n + 3)
+            edge_list.append((a, b))
+            if rng.random() < 0.3:  # duplicates / reversals
+                edge_list.append((b, a))
+        if not edge_list:  # keep the edges frame non-empty: a self-loop
+            a = verts[0] if verts else 0  # never changes any label
+            edge_list.append((a, a))
+        want = py_cc(verts, edge_list)
+        vertices = (
+            spark.createDataFrame([(i,) for i in verts], "id LONG")
+            if verts
+            else None
+        )
+        edges = spark.createDataFrame(edge_list, "src LONG, dst LONG")
+        for label, impl in (
+            ("union-find", lambda: connected_components(vertices, edges)),
+            (
+                "min-label",
+                lambda: connected_components(
+                    vertices, edges, small_graph_vertices=0
+                ),
+            ),
+            ("star", lambda: connected_components_star(vertices, edges)),
+        ):
+            got = {r.id: r.cluster for r in impl().collect()}
+            assert got == want, (
+                f"trial {trial} path={label}: verts={verts} "
+                f"edges={edge_list}\n got={got}\n want={want}"
+            )
+
+
 def test_cc_unconverged_raises_not_silent(spark):
     """A diameter bigger than max_iter must raise, not silently return
     a split component."""
