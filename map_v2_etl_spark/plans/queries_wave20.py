@@ -163,6 +163,42 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_vocab_sql(k: int) -> str:
+    return f"""{_bpe_chain(k)}
+SELECT sym, CAST(sum(cnt) AS BIGINT) AS freq
+FROM (
+  SELECT unnest(string_split(rep, ' ')) AS sym, cnt FROM w{k}
+)
+GROUP BY sym
+"""
+
+
+@query(
+    "bpe_vocab",
+    _bpe_vocab_sql(_BPE_K),
+    tags=["text", "tokenizer", "bpe"],
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer's vocabulary file: every post-merge symbol
+    with its corpus frequency (symbol occurrences weighted by word
+    count) — the third deliverable of a tokenizer build alongside the
+    merge table (bpe_merges) and the encoded corpus (bpe_encode).
+
+    Plan shape: the symbol table is vocabulary-bounded, so this is one
+    explode + one hash aggregate over it — never a corpus pass. The
+    result is the artifact a serving tokenizer loads, and `freq` is
+    what frequency-ordered vocab ids are assigned from."""
+    docs = load_table(spark, "documents", sf_dir)
+    _, final = learn_bpe(docs, _BPE_K)
+    return (
+        final.select(
+            F.explode(F.split("rep", " ")).alias("sym"), F.col("cnt")
+        )
+        .groupBy("sym")
+        .agg(F.sum("cnt").cast("long").alias("freq"))
+    )
+
+
 def _bpe_encode_sql(k: int) -> str:
     return f"""{_bpe_chain(k)},
 tok AS (
