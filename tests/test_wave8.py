@@ -56,6 +56,45 @@ def test_pagerank_matches_numpy_twin(spark, edge_list, n, small_gate):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_pagerank_two_paths_fuzz_equivalence(spark):
+    """Randomized equivalence net over BOTH pagerank paths (driver
+    NumPy power iteration and the distributed join+agg loop) against
+    the textbook twin, on adversarial shapes: dangling vertices,
+    isolated vertices, self-loops, dense hubs. Same discipline as the
+    r12 BPE selection fuzzer, which found holes every example-based
+    test had missed."""
+    import random
+
+    rng = random.Random(21)
+    for trial in range(4):
+        n = rng.randint(2, 12)
+        edge_set = set()
+        for _ in range(rng.randint(0, 3 * n)):
+            s, t = rng.randrange(n), rng.randrange(n)
+            if s != t or rng.random() < 0.3:  # keep some self-loops
+                edge_set.add((s, t))
+        edge_list = sorted(edge_set)
+        if not edge_list:
+            edge_list = [(0, min(1, n - 1))]
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        edges = spark.createDataFrame(edge_list, ["src", "dst"])
+        want = _np_pagerank(n, edge_list, iters=8)
+        for label, gate in (("local", 10**6), ("distributed", 0)):
+            got = {
+                r["id"]: r["rank"]
+                for r in pagerank(
+                    nodes, edges, iters=8, small_graph_nodes=gate
+                ).collect()
+            }
+            assert set(got) == set(range(n))
+            for i in range(n):
+                assert got[i] == pytest.approx(want[i], abs=1e-10), (
+                    f"trial {trial} path={label} vertex {i}: "
+                    f"edges={edge_list}\n got={got}\n want={list(want)}"
+                )
+            assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 def test_doc_pagerank_ranks_dup_centers_higher(spark, sf_dir):
     from map_v2_etl_spark.plans.queries_wave8 import q_doc_pagerank
 
