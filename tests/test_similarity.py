@@ -248,6 +248,51 @@ def test_pq_oracle_assumptions(spark, sf_dir):
     assert spark_h == duck_h
 
 
+def test_lloyd_regimes_fuzz_bit_identical_in_envelope(spark):
+    """Randomized bit-equality net over BOTH Lloyd regimes (gated NumPy
+    twin vs distributed decimal loop) inside the documented exactness
+    envelope: component means must stay under 2^53/1e16 ~ 0.9007, above
+    which the local path's int->double step can legitimately
+    double-round 1 ulp away from the distributed float(decimal(31,16))
+    single rounding (the bound stated at similarity.py's dec_mean16 —
+    fuzzing at uniform(-2, 2) reproduces exactly that documented 1-ulp
+    case, so the generator draws from ±0.85). Covers duplicates, k up
+    to 8, empty-cluster carry-over, varying dims/iters."""
+    import random
+
+    from map_v2_etl_spark.operators.similarity import lloyd_centroids
+
+    rng = random.Random(3)
+    for trial in range(4):
+        n = rng.randint(6, 30)
+        dim = rng.choice([2, 3, 5])
+        k = rng.randint(2, min(8, n))
+        iters = rng.randint(1, 3)
+        rows = []
+        for i in range(n):
+            if rng.random() < 0.2 and rows:
+                rows.append((i, rows[rng.randrange(len(rows))][1]))
+            else:
+                rows.append(
+                    (
+                        i,
+                        [
+                            round(rng.uniform(-0.85, 0.85), 3)
+                            for _ in range(dim)
+                        ],
+                    )
+                )
+        df = spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+        local = lloyd_centroids(df, k=k, iters=iters)
+        dist = lloyd_centroids(df, k=k, iters=iters, gate_rows=1)
+        assert local == dist, (
+            f"trial {trial} n={n} dim={dim} k={k} iters={iters}:\n"
+            f" local={local}\n dist={dist}"
+        )
+
+
 def test_lloyd_regimes_bit_identical(spark, sf_dir):
     """kmeans' gate-bounded NumPy Lloyd and the distributed loop publish
     identical centroids (same contract as the PQ regimes)."""
