@@ -192,6 +192,47 @@ def test_pq_encode_deterministic(spark, sf_dir):
     assert c1 == c2
 
 
+def test_pq_train_regimes_fuzz_bit_identical(spark):
+    """Randomized bit-equality net over BOTH pq_train regimes (gated
+    NumPy twin vs distributed decimal loop): random m/ksub/dim/iters,
+    duplicates, n down to ksub+1. PQ normalizes its training vectors,
+    so component means sit far inside the dec_mean16 exactness envelope
+    and strict equality is the contract at every draw (unlike raw
+    k-means, whose envelope the Lloyd fuzz respects explicitly)."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(3):
+        m = rng.choice([1, 2, 4])
+        dim = m * rng.choice([1, 2, 3])
+        ksub = rng.choice([2, 4, 8])
+        n = rng.randint(ksub + 1, 30)
+        iters = rng.randint(1, 3)
+        rows = []
+        for i in range(n):
+            if rng.random() < 0.2 and rows:
+                rows.append((i, rows[rng.randrange(len(rows))][1]))
+            else:
+                rows.append(
+                    (
+                        i,
+                        [
+                            round(rng.uniform(-0.85, 0.85), 3)
+                            for _ in range(dim)
+                        ],
+                    )
+                )
+        df = spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+        local = pq_train(df, m=m, ksub=ksub, iters=iters)
+        dist = pq_train(df, m=m, ksub=ksub, iters=iters, gate_rows=1)
+        assert local == dist, (
+            f"trial {trial} m={m} ksub={ksub} n={n} iters={iters}:\n"
+            f" local={local}\n dist={dist}"
+        )
+
+
 def test_pq_train_regimes_bit_identical(spark, sf_dir):
     """The NumPy fast path and the distributed Lloyd loop publish the
     SAME codebook (r3 advice): both snap centroid means onto the
