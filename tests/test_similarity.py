@@ -201,6 +201,8 @@ def test_pq_train_regimes_fuzz_bit_identical(spark):
     k-means, whose envelope the Lloyd fuzz respects explicitly)."""
     import random
 
+    from map_v2_etl_spark.operators.similarity import pq_train
+
     rng = random.Random(17)
     for trial in range(3):
         m = rng.choice([1, 2, 4])
