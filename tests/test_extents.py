@@ -56,6 +56,65 @@ def test_extents_bounds_property(spark):
     assert r["q99"] == pytest.approx(np.percentile(vals, 99), rel=1e-9)
 
 
+def test_extents_four_paths_fuzz_bit_identical(spark):
+    """Randomized bit-equality net over ALL FOUR extents layouts —
+    exact percentile agg (auto/wide/melt), sketch-bracketed selection,
+    and the Arrow two-pass path — on adversarial columns: heavy ties,
+    constants, non-numeric and 'NaN' strings, nulls, row counts on both
+    sides of the bracket path's 4*accuracy exact-direct gate. Same
+    discipline as the r12 regime-switch fuzz sweep."""
+    import random
+
+    from map_v2_etl_spark.operators.extents import (
+        arrow_extents,
+        sketch_extents,
+    )
+
+    rng = random.Random(9)
+
+    def gen_cell(kind):
+        r = rng.random()
+        if r < 0.08:
+            return None
+        if r < 0.12:
+            return "not-a-number"
+        if r < 0.16:
+            return "NaN"
+        if kind == "ties":
+            return str(rng.choice([1.0, 2.0, 2.0, 3.5, 100.0]))
+        if kind == "const":
+            return "7.25"
+        if kind == "int":
+            return str(rng.randint(-50, 50))
+        return repr(round(rng.uniform(-1e6, 1e6), 4))
+
+    for trial in range(3):
+        ncols = rng.randint(2, 5)
+        nrows = rng.choice([8, 150])  # below / above the bracket gate
+        kinds = [
+            rng.choice(["ties", "const", "int", "cont"])
+            for _ in range(ncols)
+        ]
+        cols = [f"m{i}" for i in range(ncols)]
+        rows = [
+            tuple([f"g{j}"] + [gen_cell(kinds[i]) for i in range(ncols)])
+            for j in range(nrows)
+        ]
+        df = spark.createDataFrame(rows, ["GEOID"] + cols)
+        base = [tuple(r) for r in column_extents(df).collect()]
+        for label, alt in (
+            ("sketch", sketch_extents(df, accuracy=25)),
+            ("arrow", arrow_extents(df)),
+            ("wide-layout", column_extents(df, layout="wide")),
+            ("melt-layout", column_extents(df, layout="melt")),
+        ):
+            got = [tuple(r) for r in alt.collect()]
+            assert got == base, (
+                f"trial {trial} path={label} kinds={kinds} "
+                f"rows={nrows}:\n base={base}\n got={got}"
+            )
+
+
 def test_sketch_extents_bit_identical_bracket_path(spark):
     # accuracy=25 forces n=200 columns through the bracket path
     # (4*25=100 < 200) — results must be BIT-identical to the exact agg
