@@ -14,6 +14,7 @@ import re
 from map_v2_etl_spark.plans.registry import all_oracles, all_queries
 
 README = os.path.join(os.path.dirname(__file__), "..", "README.md")
+SURVEY = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
 
 
 def test_readme_query_tally_matches_registry():
@@ -24,3 +25,11 @@ def test_readme_query_tally_matches_registry():
     assert m, "README no longer states the query tally"
     assert int(m.group(1)) == len(all_queries())
     assert int(m.group(2)) == len(all_oracles())
+
+
+def test_survey_prose_tally_matches_registry():
+    """SURVEY §8 prose went stale twice (r11 '214', judged r12); pin it too."""
+    text = open(SURVEY).read()
+    m = re.search(r"all (\d+) queries are value-hash\s*\ncertified", text)
+    assert m, "SURVEY.md no longer states the §8 query tally"
+    assert int(m.group(1)) == len(all_queries())
