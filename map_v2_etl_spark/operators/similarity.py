@@ -1096,6 +1096,98 @@ def pq_encode(
     return corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
 
 
+def _pq_query_lut(
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    m: int,
+    ksub: int,
+    sublen: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(q_id, lut) — each query's ADC lookup table folded into ONE flat
+    array of m*ksub partial distances (ordered by sub, then code).
+    Shared by pq_cosine_topk and ivf_pq_topk; extracted verbatim so both
+    plans carry the identical expression tree (and the DuckDB `lutt`/
+    `lut` CTEs stay a single twin)."""
+    spark = queries.sparkSession
+    cw_rows = [
+        (s, c, [float(v) for v in cw])
+        for s, book in enumerate(books)
+        for c, cw in enumerate(book)
+    ]
+    cw = spark.createDataFrame(
+        cw_rows, "sub INT, code INT, cent ARRAY<DOUBLE>"
+    )
+    q_unit = queries.select(
+        F.col(id_col).alias("q_id"), _unit(F.col(vec_col)).alias("q_uvec")
+    )
+    part = F.aggregate(
+        F.zip_with(
+            F.slice("q_uvec", F.col("sub") * sublen + 1, F.lit(sublen)),
+            F.col("cent"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q_unit.crossJoin(F.broadcast(cw))
+        .groupBy("q_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("sub", "code", part.alias("part"))
+                )
+            ).alias("_l")
+        )
+        .select(
+            "q_id",
+            F.transform(F.col("_l"), lambda s: s["part"]).alias("lut"),
+        )
+    )
+
+
+def _adc_dist(m: int, ksub: int) -> Column:
+    """Sum of m LUT lookups — the in-row ADC distance over `codes` and
+    `lut` columns (no per-subspace explode, no re-aggregation)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(F.col("lut"), s * ksub + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine re-rank of (q_id, nn_id) candidates — output-bounded
+    (touches `candidates` x |Q| vectors, never the corpus)."""
+    c_vec = corpus.select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        cand.join(c_vec, "nn_id")
+        .join(F.broadcast(q_vec), "q_id")
+        .withColumn(
+            "cosine", cosine_similarity(F.col("q_vec"), F.col("nn_vec"))
+        )
+    )
+    return _topk_window(scored, k)
+
+
 def pq_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1142,27 +1234,6 @@ def pq_cosine_topk(
     )
     codes = pq_encode(widen_partitions(corpus), books, id_col, vec_col)
 
-    spark = corpus.sparkSession
-    cw_rows = [
-        (s, c, [float(v) for v in cw])
-        for s, book in enumerate(books)
-        for c, cw in enumerate(book)
-    ]
-    cw = spark.createDataFrame(
-        cw_rows, "sub INT, code INT, cent ARRAY<DOUBLE>"
-    )
-    q_unit = queries.select(
-        F.col(id_col).alias("q_id"), _unit(F.col(vec_col)).alias("q_uvec")
-    )
-    part = F.aggregate(
-        F.zip_with(
-            F.slice("q_uvec", F.col("sub") * sublen + 1, F.lit(sublen)),
-            F.col("cent"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     # Fold each query's LUT into ONE flat array of m*ksub partials
     # (ordered by sub, then code). The ADC pass is then a crossJoin of
     # corpus codes against |Q| broadcast rows with the distance computed
@@ -1171,35 +1242,12 @@ def pq_cosine_topk(
     # |C|·|Q| groups back together: m× fewer joined rows, zero
     # aggregation state, and the only shuffle left is the per-query
     # top-candidates ranking.
-    lut = (
-        q_unit.crossJoin(F.broadcast(cw))
-        .groupBy("q_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("sub", "code", part.alias("part"))
-                )
-            ).alias("_l")
-        )
-        .select(
-            "q_id",
-            F.transform(F.col("_l"), lambda s: s["part"]).alias("lut"),
-        )
-    )
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, s: F.element_at(F.col("lut"), s * ksub + c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    lut = _pq_query_lut(queries, books, m, ksub, sublen, id_col, vec_col)
     adc = (
         codes.select(F.col(id_col).alias("nn_id"), "codes")
         .crossJoin(F.broadcast(lut))
         .filter(F.col("nn_id") != F.col("q_id"))
-        .select("q_id", "nn_id", adist.alias("adist"))
+        .select("q_id", "nn_id", _adc_dist(m, ksub).alias("adist"))
     )
     wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
     cand = (
@@ -1207,17 +1255,140 @@ def pq_cosine_topk(
         .filter(F.col("r") <= candidates)
         .select("q_id", "nn_id")
     )
-    c_vec = corpus.select(
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    candidates: int = 50,
+    centroid_stride: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    train_sample_mod: int | None = None,
+) -> DataFrame:
+    """IVF-routed PQ/ADC top-k with exact re-rank — the standard Faiss
+    IVF-PQ composition (Jegou et al., TPAMI'11 §V; non-residual variant,
+    Faiss ``by_residual=False``): a coarse quantizer routes each query to
+    ``nprobe`` inverted lists, and ONLY vectors in those lists are
+    ADC-scanned against the query's PQ lookup table. Output shape
+    (q_id, nn_id, rank, cosine), self-matches excluded — same as
+    cosine_topk, so the exact twin doubles as the recall reference.
+
+    Composition, reusing the audited pieces verbatim:
+
+      * coarse codebook + corpus assignment — ivf_cosine_topk's strided
+        centroids and broadcast+max_by nearest-centroid pass (identical
+        tie rule: highest cosine, ties to the HIGHEST cent_id), so the
+        DuckDB `iasg` twin is the proven `asg` CTE unchanged;
+      * PQ codebooks / codes — pq_train + pq_encode (decimal-grid means,
+        bit-exact Arrow encode);
+      * query LUT + in-row ADC distance — _pq_query_lut/_adc_dist, the
+        same expression trees pq_cosine_topk ships.
+
+    What changes vs pq_cosine_topk is ONE join: the ADC scan is an
+    equi-join of coded corpus rows against a broadcast
+    (q_id, cent_id, lut) probe frame on ``cent_id`` — a broadcast hash
+    join that drops non-probed cells map-side — instead of a crossJoin
+    against every query's LUT. Scanned fraction per query falls from
+    100% to ~nprobe/n_cells of the corpus, which is exactly the term
+    that makes full-corpus ADC unaffordable at |corpus| = 10^9+.
+
+    Scale: corpus-sized work is two narrow passes (the coarse-assign
+    aggregation and the code/assignment equi-join, both over
+    (id, small-payload) rows — the m-byte codes, never raw vectors) plus
+    the pruned ADC scan; the probe frame is |Q| x nprobe rows of m*ksub
+    doubles (broadcast-bounded by construction); exact re-rank touches
+    candidates x |Q| vectors. At a real deployment n_cells ~ sqrt(N)
+    with k-means-refined centroids drops in without changing the plan
+    shape (the stride sample is the deterministic stand-in, as in
+    ivf_cosine_topk).
+
+    Reference parity: the reference engine has no ANN surface
+    (build.sh:75-233 is tile ETL); this is part of the §2.11
+    training-data-pipeline extension the engine adds on top.
+    """
+    from ..sources.registry import widen_partitions
+
+    dim = _vec_dim(corpus, vec_col, dim)
+    if dim is None:
+        # empty corpus: correct empty result via the exact plan
+        return cosine_topk(corpus, queries, k, id_col, vec_col)
+    sublen = dim // m
+
+    cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    if cents.limit(1).count() == 0:
+        # same loud failure as ivf_cosine_topk: `id % stride` needs
+        # dense numeric ids (NULL on string ids, empty on sparse spaces)
+        raise ValueError(
+            "ivf_pq_topk coarse codebook is empty: id_col % "
+            f"{centroid_stride} matched no rows (string or sparse ids? "
+            "use a smaller centroid_stride or numeric dense ids)"
+        )
+
+    # nearest centroid per corpus vector — ivf_cosine_topk's pass
+    # verbatim (broadcast cross + max_by partial aggregation; one narrow
+    # (id, cent_id) exchange, never the vectors)
+    c = widen_partitions(corpus).select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
     )
-    q_vec = queries.select(
+    assign = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cs", cosine_similarity(F.col("nn_vec"), F.col("cent_vec"))
+        )
+        .groupBy("nn_id")
+        .agg(F.max_by("cent_id", F.struct("cs", "cent_id")).alias("cent_id"))
+    )
+
+    books = pq_train(
+        corpus, m, ksub, iters, id_col, vec_col, dim, train_sample_mod
+    )
+    codes = pq_encode(widen_partitions(corpus), books, id_col, vec_col)
+    # inverted-list build: codes ⨝ assignment on id — BOTH sides are
+    # narrow (id + m-byte codes / id + int cell), so this shuffle moves
+    # the COMPRESSED corpus representation, not the raw vectors
+    coded = codes.select(F.col(id_col).alias("nn_id"), "codes").join(
+        assign, "nn_id"
+    )
+
+    # query probes: nprobe nearest cells, ties to the LOWEST cent_id
+    # (ivf_cosine_topk's rule)
+    q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    scored = (
-        cand.join(c_vec, "nn_id")
-        .join(F.broadcast(q_vec), "q_id")
-        .withColumn(
-            "cosine", cosine_similarity(F.col("q_vec"), F.col("nn_vec"))
-        )
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", cosine_similarity(F.col("q_vec"), F.col("cent_vec"))
     )
-    return _topk_window(scored, k)
+    wq = W.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cent_id")
+    )
+
+    lut = _pq_query_lut(queries, books, m, ksub, sublen, id_col, vec_col)
+    # (q_id, cent_id, lut): |Q| x nprobe rows — the broadcast probe frame
+    plut = probes.join(lut, "q_id")
+    # routed ADC scan: equi-join on cent_id prunes to probed lists
+    # map-side (BHJ); distance is the in-row m-lookup sum
+    adc = (
+        coded.join(F.broadcast(plut), "cent_id")
+        .filter(F.col("nn_id") != F.col("q_id"))
+        .select("q_id", "nn_id", _adc_dist(m, ksub).alias("adist"))
+    )
+    wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
+    cand = (
+        adc.withColumn("r", F.row_number().over(wnd))
+        .filter(F.col("r") <= candidates)
+        .select("q_id", "nn_id")
+    )
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)

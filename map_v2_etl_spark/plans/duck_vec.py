@@ -270,6 +270,8 @@ def pq_topk_ctes(
     sample_mod: int = 5,
     q_mod: int = 50,
     table: str = "embeddings",
+    centroid_stride: int | None = None,
+    nprobe: int | None = None,
 ) -> str:
     """Full PQ/ADC top-k oracle: training-sample selection (xxhash64
     modulus — bit-equal to F.xxhash64), per-subspace Lloyd with
@@ -277,7 +279,16 @@ def pq_topk_ctes(
     fold-order ADC sum, candidate cut, exact cosine re-rank. Mirrors
     operators/similarity.pq_train/_pq_train_local/pq_encode/
     pq_cosine_topk step for step; assumes the training sample passes
-    the >= ksub gate (true at oracle SF, asserted in tests)."""
+    the >= ksub gate (true at oracle SF, asserted in tests).
+
+    With ``centroid_stride``/``nprobe`` set, emits the IVF-ROUTED twin
+    (operators/similarity.ivf_pq_topk): the `iasg` corpus-assignment and
+    `iprobes` CTEs are queries_more._duck_ivf_sql's proven `asg`/`probes`
+    CTEs (same tie rules — corpus ties to the HIGHEST cent_id via
+    max_by's struct order, probe ties to the LOWEST), and the adc CTE
+    joins through them so only probed cells are scanned. Everything
+    upstream (training, encode, LUT) is byte-identical to the unrouted
+    oracle."""
     sublen = dim // m
     slice_ = f"uvec[(s * {sublen} + 1):(s * {sublen} + {sublen})]"
     parts = [
@@ -343,12 +354,43 @@ def pq_topk_ctes(
         + f" AS part FROM qu q CROSS JOIN b{iters} b)",
         "lut AS (SELECT q_id, list(part ORDER BY s, code) AS lut "
         "FROM lutt GROUP BY q_id)",
-        f"adc AS (SELECT l.q_id, c.vec_id AS nn_id, {adc_sum} AS adist "
-        "FROM cods c CROSS JOIN lut l WHERE c.vec_id <> l.q_id)",
+    ]
+    if centroid_stride is not None:
+        C = cosine  # noqa: N806 — local alias, matches _duck_ivf_sql
+        parts += [
+            f"icents AS (SELECT vec_id AS cent_id, embedding AS cent_vec "
+            f"FROM {table} WHERE vec_id % {centroid_stride} = 0)",
+            # corpus assignment: ties to the HIGHEST cent_id (max_by)
+            "iasg AS (SELECT nn_id, cent_id FROM ("
+            "SELECT e.vec_id AS nn_id, c.cent_id, ROW_NUMBER() OVER ("
+            "PARTITION BY e.vec_id ORDER BY "
+            + C("e.embedding", "c.cent_vec")
+            + f" DESC, c.cent_id DESC) AS rn FROM {table} e "
+            "CROSS JOIN icents c) WHERE rn = 1)",
+            # query probes: nprobe nearest cells, ties to the LOWEST id
+            "iprobes AS (SELECT q_id, cent_id FROM ("
+            "SELECT q.vec_id AS q_id, c.cent_id, ROW_NUMBER() OVER ("
+            "PARTITION BY q.vec_id ORDER BY "
+            + C("q.embedding", "c.cent_vec")
+            + f" DESC, c.cent_id ASC) AS rn FROM {table} q "
+            f"CROSS JOIN icents c WHERE q.vec_id % {q_mod} = 0"
+            f") WHERE rn <= {nprobe})",
+            # routed ADC: only coded rows in the query's probed cells
+            f"adc AS (SELECT l.q_id, c.vec_id AS nn_id, {adc_sum} AS adist "
+            "FROM cods c JOIN iasg a ON a.nn_id = c.vec_id "
+            "JOIN iprobes p ON p.cent_id = a.cent_id "
+            "JOIN lut l ON l.q_id = p.q_id WHERE c.vec_id <> l.q_id)",
+        ]
+    else:
+        parts.append(
+            f"adc AS (SELECT l.q_id, c.vec_id AS nn_id, {adc_sum} AS adist "
+            "FROM cods c CROSS JOIN lut l WHERE c.vec_id <> l.q_id)"
+        )
+    parts.append(
         "cand AS (SELECT q_id, nn_id FROM (SELECT q_id, nn_id, "
         "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, "
-        f"nn_id ASC) AS r FROM adc) WHERE r <= {candidates})",
-    ]
+        f"nn_id ASC) AS r FROM adc) WHERE r <= {candidates})"
+    )
     cos = cosine("qv.embedding", "nv.embedding")
     final = (
         "SELECT q_id, nn_id, CAST(rank AS INTEGER) AS rank, cosine FROM ("
