@@ -1045,10 +1045,18 @@ def main() -> None:
                 f"jobs={rec['jobs']} stages={rec['stages']}",
                 file=sys.stderr,
             )
-        # historical semantics: scaling_ratio_Nx = Nx wall / 1x wall
+        # historical semantics: scaling_ratio_Nx = Nx wall / 1x wall.
+        # A run like --scales=2,4 would otherwise silently record the
+        # 4x/2x ratio under the key downstream notes read as 4x-vs-1x
+        # (r12 advice) — encode the base in the key when it is not 1.
         base = entry[f"{scales[0]}x"]["wall_sec"]
         for hi in scales[1:]:
-            entry[f"scaling_ratio_{hi}x"] = (
+            key = (
+                f"scaling_ratio_{hi}x"
+                if scales[0] == 1
+                else f"scaling_ratio_{hi}x_vs_{scales[0]}x"
+            )
+            entry[key] = (
                 round(entry[f"{hi}x"]["wall_sec"] / base, 2)
                 if base
                 else None

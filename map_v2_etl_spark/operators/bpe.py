@@ -161,13 +161,27 @@ def _select_merge_batch(rows, remaining: int, window: int):
     ``rows`` is the top-``window`` slice of the pair table in the
     canonical (count DESC, l, r) order. Rule:
 
-    1. Walk the prefix; accept a pair only while it shares no symbol
-       with any already-accepted pair — where an accepted (l, r) blocks
-       {l, r, l||r}: l||r because the merge MINTS that symbol, so a
-       later pair mentioning it would suddenly match the new tokens
-       too and its recorded count would diverge from the sequential
-       run's. STOP at the first conflict (skipping would let the
-       conflicting pair's post-merge count race the ones we keep).
+    1. Walk the prefix; accept a pair only while it is COUNT-INVARIANT
+       under every already-accepted merge. Applying (l1, r1) can only
+       change the count of a pair (l2, r2) when
+
+         * r2 == l1 — an "x l1 r1" occurrence consumes the l1, so
+           (x, l1) may decrease (l1 is blocked as a future RIGHT);
+         * l2 == r1 — an "l1 r1 y" occurrence consumes the r1, so
+           (r1, y) may decrease (r1 is blocked as a future LEFT);
+         * l2 or r2 == l1||r1 — the merge MINTS that symbol, so such a
+           pair may gain (the minted symbol is blocked in BOTH roles).
+
+       Pairs sharing only the LEFT symbol — (l1, a) and (l1, b) with
+       a != b — are invariant under each other (each l1-token occurrence
+       has exactly one right neighbor, so their occurrence sets are
+       disjoint and a merge of one touches no occurrence of the other);
+       symmetrically for a shared RIGHT symbol. The r12 selector blocked
+       {l, r} in both roles and therefore serialized exactly this case
+       (BENCH_SCALE bpe 2x: half the vocab leads with '1', so the
+       ('1', x) chain ran 1 merge/round — 12 rounds for 12 merges).
+       STOP at the first conflict (skipping would let the conflicting
+       pair's post-merge count race the ones we keep).
     2. A SELF-pair (l == r) ends the batch after being accepted.
        Merging ``s s`` over a run ``s s s`` mints the pair (ss, s)
        whose parent occurrence is the accepted pair ITSELF, so its
@@ -182,6 +196,21 @@ def _select_merge_batch(rows, remaining: int, window: int):
        conflicting row BETWEEN accepted rows would itself have stopped
        the walk) or straddles two accepted pairs (bounded by the
        conflicting bridge pair), so only l == r needs the early cut.
+    2b. A pair whose minted symbol l||r ALREADY APPEARS as a symbol in
+       the collected window likewise ends the batch after acceptance
+       (r12 advice): pre-existing (l||r, x) pairs then hold pre + gain
+       occurrences after the merge — each component is bounded by the
+       stop boundary but their SUM need not be, so nothing later in the
+       batch may rely on outranking them. Residual risk accepted and
+       documented: a colliding symbol that appears in NO collected row
+       has every pre-count < the bottom-of-window count, still making
+       pre + gain potentially exceed c_stop in principle — but reaching
+       it needs the symbol minted earlier from a DIFFERENT split
+       (l'||r' = l||r) while adjacent (l, r) tokens survive, and no
+       reachable instance exists in 100k+ randomized trials (the
+       advisor's 60k plus the permanent fuzzers below); char-level
+       greedy exhaustiveness appears to preclude the needed
+       adjacencies.
     3. Truncate the accepted list to counts STRICTLY above the stop
        boundary (the first conflicting pair's count, or the last
        collected count when the window may have been cut short by
@@ -197,15 +226,23 @@ def _select_merge_batch(rows, remaining: int, window: int):
 
     Equivalence is fuzz-pinned against a pure-Python sequential
     reference over thousands of random multisets
-    (tests/test_wave20.py::test_select_merge_batch_fuzz_equivalence) in
-    addition to the Spark-level twins.
+    (tests/test_wave20.py::test_select_merge_batch_fuzz_equivalence,
+    plus the collision-biased
+    test_select_merge_batch_fuzz_minted_collisions) in addition to the
+    Spark-level twins.
     """
     accepted: list[tuple[str, str, int]] = []
-    blocked: set[str] = set()
+    # role-aware blocking (rule 1): an accepted (l, r) blocks r and the
+    # minted l||r as future LEFT symbols, and l and l||r as future
+    # RIGHT symbols — but NOT l as a left or r as a right, which is
+    # what lets same-left / same-right chains batch.
+    blocked_left: set[str] = set()
+    blocked_right: set[str] = set()
+    seen_syms = {s for row in rows for s in (row.l, row.r)}
     c_stop = None
     accepting = True
     for row in rows:
-        if row.l in blocked or row.r in blocked:
+        if row.l in blocked_left or row.r in blocked_right:
             # first conflicting row: every mintable pair's parent
             # conflicts with an accepted pair and therefore sorts here
             # or later, so this count bounds everything the batch can
@@ -217,11 +254,12 @@ def _select_merge_batch(rows, remaining: int, window: int):
             break
         if accepting:
             accepted.append((row.l, row.r, int(row.c)))
-            blocked.update((row.l, row.r, row.l + row.r))
-            if row.l == row.r:
-                # self-pair ends the batch: merging `s s` over `s s s`
-                # mints (ss, s) whose parent occurrence is the accepted
-                # pair ITSELF, so no conflict boundary bounds it; keep
+            minted = row.l + row.r
+            blocked_left.update((row.r, minted))
+            blocked_right.update((row.l, minted))
+            if row.l == row.r or minted in seen_syms:
+                # rule 2 (self-pair) / rule 2b (minted-symbol collision
+                # with a window-visible symbol): end the batch but keep
                 # scanning (not accepting) for the c_stop row.
                 accepting = False
     else:

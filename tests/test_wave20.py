@@ -268,6 +268,113 @@ def test_select_merge_batch_fuzz_equivalence():
         )
 
 
+def test_select_merge_batch_fuzz_minted_collisions():
+    """Regime-biased companion to the generic fuzzer (r13): 4000 trials
+    split between (a) same-left-chain corpora — many words led by one
+    hot symbol, the BENCH_SCALE 2x shape the role-aware blocking rule
+    exists to batch — and (b) repeated-motif corpora where multi-char
+    symbols recur, stressing the rule-2b minted-symbol-collision cut
+    (r12 advice: a minted l||r colliding with a live vocab symbol makes
+    pre + gain counts that the c_stop boundary alone does not bound).
+    Pure Python, no Spark session."""
+    import random
+    from collections import namedtuple
+
+    from map_v2_etl_spark.operators.bpe import _select_merge_batch
+
+    Row = namedtuple("Row", "l r c")
+
+    def py_merge(toks, l, r):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    def pair_counts(reps, words):
+        counts = {}
+        for w, toks in reps.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        return counts
+
+    def seq_bpe(words, k):
+        reps = {w: list(w) for w in words}
+        merges = []
+        for step in range(1, k + 1):
+            counts = pair_counts(reps, words)
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((step, l, r, c))
+            reps = {w: py_merge(t, l, r) for w, t in reps.items()}
+        return merges, reps
+
+    def batched_bpe(words, k, batch, window):
+        reps = {w: list(w) for w in words}
+        merges = []
+        while len(merges) < k:
+            counts = pair_counts(reps, words)
+            if not counts:
+                break
+            rows = [
+                Row(l, r, c)
+                for (l, r), c in sorted(
+                    counts.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+            ][:window]
+            picked = _select_merge_batch(
+                rows, min(batch, k - len(merges)), window
+            )
+            for l, r, c in picked:
+                merges.append((len(merges) + 1, l, r, c))
+                reps = {w: py_merge(t, l, r) for w, t in reps.items()}
+        return merges, reps
+
+    rng = random.Random(777)
+    for trial in range(4000):
+        if rng.random() < 0.5:
+            lead = rng.choice("xy")
+            words = {}
+            for _ in range(rng.randint(2, 12)):
+                w = lead + "".join(
+                    rng.choice("abcd") for _ in range(rng.randint(1, 5))
+                )
+                words[w] = words.get(w, 0) + rng.randint(1, 6)
+            for _ in range(rng.randint(0, 4)):
+                w = "".join(
+                    rng.choice("abcd" + lead)
+                    for _ in range(rng.randint(1, 6))
+                )
+                words[w] = words.get(w, 0) + rng.randint(1, 4)
+        else:
+            motif = "".join(
+                rng.choice("ab") for _ in range(rng.randint(2, 4))
+            )
+            words = {}
+            for _ in range(rng.randint(2, 10)):
+                pad = "".join(
+                    rng.choice("abc") for _ in range(rng.randint(0, 3))
+                )
+                w = (motif * rng.randint(1, 4)) + pad
+                words[w] = words.get(w, 0) + rng.randint(1, 6)
+        k = rng.randint(1, 16)
+        batch = rng.choice([1, 2, 3, 4, 8, 16])
+        window = rng.choice([2, 4, 8, 16, 64])
+        sm, sr = seq_bpe(dict(words), k)
+        bm, br = batched_bpe(dict(words), k, batch, window)
+        assert sm == bm and sr == br, (
+            f"trial {trial}: words={words} k={k} batch={batch} "
+            f"window={window}\n seq={sm}\n bat={bm}"
+        )
+
+
 def test_learn_bpe_plan_is_lineage_truncated(spark, sf_dir):
     """The merge loop must localCheckpoint each round: with persist-only
     hygiene the logical plan stacks one nested-HOF projection per round
