@@ -238,3 +238,87 @@ def test_winnow_pairs_detects_shared_runs(spark):
     r = pairs[(1, 2)]
     assert r["n_shared"] >= 2 and 0 < r["overlap"] <= 1.0
     assert not any(3 in p for p in pairs)
+
+
+def test_winnow_selected_fuzz_vs_textbook_reference(spark):
+    """Volume fuzz of winnow_selected against an INDEPENDENT pure-Python
+    implementation of textbook winnowing (Schleimer et al. SIGMOD'03:
+    per window, the RIGHTMOST minimal hash), packed into the engine key
+    form only at comparison time — the engine instead encodes the tie
+    rule as an integer ORDER BY over h*2^23 + (2^23-1-pos), so set
+    equality here proves the two derivations agree (r12 hand-off
+    fuzz-net item; 12k-doc volume run passed before this 2.4k-doc
+    permanent cut). Regimes: 1-2 token alphabets (maximal gram-hash
+    ties), boundary lengths around k and k+w-1, whitespace chaos
+    (tabs/newlines/multi-space, leading/trailing), six (k, w)
+    geometries incl. w=1 (select everything) and k=1."""
+    import hashlib
+    import random
+
+    from map_v2_etl_spark.operators.text import (
+        WINNOW_POS_W,
+        winnow_selected,
+    )
+
+    W = WINNOW_POS_W
+
+    def ref_winnow(text, k, w):
+        toks = text.strip().lower().split()
+        grams = (
+            [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            if len(toks) >= k
+            else []
+        )
+        ng = len(grams)
+        if ng == 0:
+            return set(), 0
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:10], 16)
+            for g in grams
+        ]
+        sel = set()
+        for s in range(max(ng - (w - 1), 1)):
+            wnd = hs[s : s + w]
+            mh = min(wnd)
+            pos0 = s + max(i for i, h in enumerate(wnd) if h == mh)
+            sel.add(h_pack(mh, pos0))
+        return sel, ng
+
+    def h_pack(h, p0):
+        return h * W + (W - 1 - p0 - 1)
+
+    def gen_doc(rng):
+        regime = rng.random()
+        if regime < 0.25:
+            alpha, n = ["a", "b"], rng.randint(0, 30)
+        elif regime < 0.4:
+            alpha, n = ["a"], rng.randint(0, 25)
+        elif regime < 0.6:
+            alpha = ["x", "y", "z", "w", "v"]
+            n = rng.choice([0, 1, 2, 3, 4, 5, 7, 8, 9, 12])
+        else:
+            alpha, n = [f"t{i}" for i in range(12)], rng.randint(0, 40)
+        toks = [rng.choice(alpha) for _ in range(n)]
+        seps = [" ", "  ", "\t", "\n", " \t "]
+        return (
+            rng.choice(["", " ", "\n"])
+            + rng.choice(seps).join(toks)
+            + rng.choice(["", " ", "\t\n"])
+        )
+
+    rng = random.Random(4242)
+    for k, w in [(4, 5), (1, 1), (1, 4), (2, 3), (3, 8), (5, 2)]:
+        docs = [(i, gen_doc(rng)) for i in range(400)]
+        df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+        got, ngs = {}, {}
+        for r in winnow_selected(df, k=k, w=w).collect():
+            got.setdefault(r["doc_id"], set()).add(r["mk"])
+            ngs[r["doc_id"]] = r["ng"]
+        for i, doc in docs:
+            exp, ng = ref_winnow(doc, k, w)
+            assert got.get(i, set()) == exp, (
+                f"k={k} w={w} doc={doc!r}: got "
+                f"{sorted(got.get(i, set()))} want {sorted(exp)}"
+            )
+            if ng > 0:
+                assert ngs[i] == ng
