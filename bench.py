@@ -113,6 +113,8 @@ HEADLINE = [
     "cdc_time_travel",
     "skew_split_join",
     "weighted_sample",
+    # round 13: the composed 100 TB ANN shape (IVF routing x PQ codes)
+    "ivf_pq_topk",
 ]
 
 

@@ -347,6 +347,44 @@ def bench_pq_train(spark: SparkSession, frac: float) -> dict:
     return rec
 
 
+def bench_ivf_pq(spark: SparkSession, frac: float) -> dict:
+    """IVF-routed PQ ANN (operators/similarity.ivf_pq_topk, r13): the
+    cell fixes the number of coarse cells (the deployment practice —
+    Faiss nlist is chosen for the index, not per-ingest), so BOTH
+    corpus-sized passes scale linearly: coarse assignment is
+    |corpus| x n_cells broadcast work and the routed ADC scan touches
+    ~nprobe/n_cells of the coded corpus per query."""
+    from map_v2_etl_spark.operators.similarity import ivf_pq_topk
+
+    dim = 16
+    n = int(150_000 * MULT * frac)
+    n_cells = 512
+    stride = max(1, n // n_cells)
+    emb = gen_embeddings(spark, n, dim)
+    qs = emb.filter(F.col("vec_id") % max(1, n // 32) == 0)
+
+    def run():
+        out = ivf_pq_topk(
+            emb, qs, k=5, m=4, ksub=16, candidates=50,
+            centroid_stride=stride, nprobe=8, dim=dim,
+            train_sample_mod=max(1, n // 60_000),
+        )
+        agg = out.agg(
+            F.count("*").alias("rows"), F.sum("rank").alias("ranksum")
+        ).first()
+        return {
+            "n_rows": n,
+            "dim": dim,
+            "n_cells_target": n_cells,
+            "stride": stride,
+            "nprobe": 8,
+            "result_rows": agg["rows"],
+            "rank_sum": int(agg["ranksum"]),
+        }
+
+    return timed(spark, f"ivf_pq_{frac}x", run)
+
+
 def bench_triangles(spark: SparkSession, frac: float) -> dict:
     from map_v2_etl_spark.operators.graph import triangle_counts
 
@@ -982,6 +1020,7 @@ BENCHES = {
     "cc_star": bench_cc_star,
     "lloyd": bench_lloyd,
     "pq_train": bench_pq_train,
+    "ivf_pq": bench_ivf_pq,
     "triangles": bench_triangles,
     "skew_join": bench_skew_join,
     "dpp": bench_dpp,

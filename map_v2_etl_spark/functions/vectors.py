@@ -50,3 +50,44 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.nanvl(
         F.when(den != 0, dot(a, b) / den), F.lit(None).cast("double")
     )
+
+
+def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    # try_element_at (NULL past the end) reproduces zip_with's
+    # null-padding on length-mismatched/NULL inputs: any NULL term
+    # nulls the whole fold, exactly like the HOF path
+    acc = F.lit(0.0)
+    for i in range(dim):
+        x = F.try_element_at(a, F.lit(i + 1)).cast("double")
+        y = F.try_element_at(b, F.lit(i + 1)).cast("double")
+        acc = acc + x * y
+    return acc
+
+
+def _sq_norm_unrolled(a: Column, dim: int) -> Column:
+    acc = F.lit(0.0)
+    for i in range(dim):
+        x = F.try_element_at(a, F.lit(i + 1)).cast("double")
+        acc = acc + x * x
+    return acc
+
+
+def cosine_similarity_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """cosine_similarity with the folds UNROLLED into static expression
+    chains for a KNOWN dimensionality — bit-identical results (the same
+    left fold, (((0 + t1) + t2) + ...), over the same double casts; IEEE
+    ops are deterministic regardless of evaluator), but eligible for
+    whole-stage codegen, which Spark's interpreted higher-order-function
+    path is not. Measured on the IVF coarse-assignment pass
+    (|corpus| x n_cells evaluations — the hottest cosine site in the
+    package): bench_scale ivf_pq 1x cell 51 s -> single digits after
+    this swap. Same NULL/NaN/zero-norm guards as cosine_similarity.
+    Callers gate on dim <= _UNROLL_DIM_MAX (operators/similarity.py) —
+    past that the expression tree itself becomes the cost."""
+    den = F.sqrt(_sq_norm_unrolled(a, dim)) * F.sqrt(
+        _sq_norm_unrolled(b, dim)
+    )
+    return F.nanvl(
+        F.when(den != 0, _dot_unrolled(a, b, dim) / den),
+        F.lit(None).cast("double"),
+    )

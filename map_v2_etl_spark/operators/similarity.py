@@ -25,7 +25,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.vectors import cosine_similarity, l2_norm
+from ..functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_unrolled,
+    l2_norm,
+)
 
 
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
@@ -211,6 +215,18 @@ def lsh_cosine_topk(
     return _topk_window(scored, k)
 
 
+def _cos_fn(dim: int | None):
+    """cosine_similarity, unrolled into a codegen-eligible static chain
+    when the dimensionality is known and small enough — bit-identical
+    (same left fold; see functions/vectors.cosine_similarity_unrolled).
+    The IVF coarse-assignment pass evaluates |corpus| x n_cells cosines,
+    and the interpreted HOF path made it the dominant cost of the
+    bench_scale ivf_pq cell (51 s -> single digits at 150k x 512)."""
+    if dim is not None and 0 < dim <= _UNROLL_DIM_MAX:
+        return lambda a, b: cosine_similarity_unrolled(a, b, dim)
+    return cosine_similarity
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -219,6 +235,7 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     centroid_stride: int = 10,
     nprobe: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
@@ -237,6 +254,8 @@ def ivf_cosine_topk(
     """
     from ..sources.registry import widen_partitions
 
+    dim = _vec_dim(corpus, vec_col, dim)
+    cos = _cos_fn(dim)
     c = widen_partitions(corpus).select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
     )
@@ -257,7 +276,7 @@ def ivf_cosine_topk(
     # nearest centroid per corpus vector: broadcast cross + max_by — a
     # single partial-aggregated pass, deterministic tie-break on cent_id
     c_scored = c.crossJoin(F.broadcast(cents)).withColumn(
-        "cs", cosine_similarity(F.col("nn_vec"), F.col("cent_vec"))
+        "cs", cos(F.col("nn_vec"), F.col("cent_vec"))
     )
     assign = c_scored.groupBy("nn_id").agg(
         F.max_by("cent_id", F.struct("cs", "cent_id")).alias("cent_id")
@@ -268,7 +287,7 @@ def ivf_cosine_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
-        "cs", cosine_similarity(F.col("q_vec"), F.col("cent_vec"))
+        "cs", cos(F.col("q_vec"), F.col("cent_vec"))
     )
     wq = W.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cent_id"))
     probes = (
@@ -280,9 +299,7 @@ def ivf_cosine_topk(
     scored = (
         probes.join(cells, "cent_id")
         .filter(F.col("nn_id") != F.col("q_id"))
-        .withColumn(
-            "cosine", cosine_similarity(F.col("q_vec"), F.col("nn_vec"))
-        )
+        .withColumn("cosine", cos(F.col("q_vec"), F.col("nn_vec")))
     )
     return _topk_window(scored, k)
 
@@ -1340,11 +1357,10 @@ def ivf_pq_topk(
     c = widen_partitions(corpus).select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
     )
+    cos = _cos_fn(dim)
     assign = (
         c.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cs", cosine_similarity(F.col("nn_vec"), F.col("cent_vec"))
-        )
+        .withColumn("cs", cos(F.col("nn_vec"), F.col("cent_vec")))
         .groupBy("nn_id")
         .agg(F.max_by("cent_id", F.struct("cs", "cent_id")).alias("cent_id"))
     )
@@ -1366,7 +1382,7 @@ def ivf_pq_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
-        "cs", cosine_similarity(F.col("q_vec"), F.col("cent_vec"))
+        "cs", cos(F.col("q_vec"), F.col("cent_vec"))
     )
     wq = W.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cent_id"))
     probes = (
