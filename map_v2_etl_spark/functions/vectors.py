@@ -80,10 +80,12 @@ def cosine_similarity_unrolled(a: Column, b: Column, dim: int) -> Column:
     whole-stage codegen, which Spark's interpreted higher-order-function
     path is not. Measured on the IVF coarse-assignment pass
     (|corpus| x n_cells evaluations — the hottest cosine site in the
-    package): bench_scale ivf_pq 1x cell 51 s -> single digits after
-    this swap. Same NULL/NaN/zero-norm guards as cosine_similarity.
-    Callers gate on dim <= _UNROLL_DIM_MAX (operators/similarity.py) —
-    past that the expression tree itself becomes the cost."""
+    package): bench_scale ivf_pq 1x cell 51 s -> 9.3 s at dim 16 after
+    this swap — but at dim 64 the ~3*dim-term tree crosses a janino/JIT
+    code-size cliff and runs 2-3x SLOWER than the HOF fold. Same
+    NULL/NaN/zero-norm guards as cosine_similarity. Callers gate on
+    dim <= _COS_UNROLL_DIM_MAX (operators/similarity.py, where the
+    measurements live)."""
     den = F.sqrt(_sq_norm_unrolled(a, dim)) * F.sqrt(
         _sq_norm_unrolled(b, dim)
     )

@@ -49,14 +49,19 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k: (q_id, nn_id, rank, cosine), self-matches excluded.
 
     The query side is broadcast (queries << corpus by design), so the plan
     is one corpus scan + BroadcastNestedLoopJoin + per-query top-k; no
-    corpus shuffle. Scales linearly in |corpus| x |queries|."""
+    corpus shuffle. Scales linearly in |corpus| x |queries| — and that
+    product is the package's single hottest cosine site, so the fold is
+    unrolled into codegen when the dimensionality is known or sniffable
+    (bit-identical; functions/vectors.cosine_similarity_unrolled)."""
     from ..sources.registry import widen_partitions
 
+    cos = _cos_fn(_vec_dim(corpus, vec_col, dim))
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -68,9 +73,7 @@ def cosine_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("nn_id") != F.col("q_id"))
-        .withColumn(
-            "cosine", cosine_similarity(F.col("q_vec"), F.col("nn_vec"))
-        )
+        .withColumn("cosine", cos(F.col("q_vec"), F.col("nn_vec")))
     )
     return _topk_window(scored, k)
 
@@ -208,11 +211,23 @@ def lsh_cosine_topk(
     scored = (
         cand.dropDuplicates(["q_id", "nn_id"])
         .filter(F.col("nn_id") != F.col("q_id"))
-        .withColumn(
-            "cosine", cosine_similarity(F.col("q_vec"), F.col("nn_vec"))
-        )
+        .withColumn("cosine", _cos_fn(dim)(F.col("q_vec"), F.col("nn_vec")))
     )
     return _topk_window(scored, k)
+
+
+#: unroll gate for COSINE specifically — narrower than the 128 used for
+#: the single-chain squared-distance unrolls, because a cosine is THREE
+#: dim-term chains (dot + two norms) and the generated code grows 3x as
+#: fast. Measured on the real protocols, not microbenches (stage reuse
+#: makes a re-collected plan skip its shuffle stages and read as
+#: instant): dim 16 unrolled is 5.5x FASTER than the interpreted HOF
+#: fold (bench_scale ivf_pq 1x, 51.3 s -> 9.3 s); dim 64 unrolled is
+#: ~2-3x SLOWER (bench_ab ivf_pq_topk 3.2 -> 6.5 s floor,
+#: embedding_cosine_topk 0.7-1.1 -> 2.1 s) — the ~192-term tree crosses
+#: a janino/JIT code-size cliff. The middle is unmeasured; the gate
+#: sits conservatively just above the proven-good point.
+_COS_UNROLL_DIM_MAX = 24
 
 
 def _cos_fn(dim: int | None):
@@ -221,8 +236,10 @@ def _cos_fn(dim: int | None):
     (same left fold; see functions/vectors.cosine_similarity_unrolled).
     The IVF coarse-assignment pass evaluates |corpus| x n_cells cosines,
     and the interpreted HOF path made it the dominant cost of the
-    bench_scale ivf_pq cell (51 s -> single digits at 150k x 512)."""
-    if dim is not None and 0 < dim <= _UNROLL_DIM_MAX:
+    bench_scale ivf_pq cell (51 s -> single digits at 150k x 512 with
+    16-dim vectors). See _COS_UNROLL_DIM_MAX for why the gate is much
+    narrower than the squared-distance unroll's."""
+    if dim is not None and 0 < dim <= _COS_UNROLL_DIM_MAX:
         return lambda a, b: cosine_similarity_unrolled(a, b, dim)
     return cosine_similarity
 
@@ -357,7 +374,7 @@ def embedding_near_dup_pairs(
     )
     return (
         cand.dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cosine", _cos_fn(dim)(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -655,6 +672,7 @@ def semdedup_removals(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: within each cluster, a vector is
     removed when a lower-id vector in the same cluster has cosine >=
@@ -666,6 +684,7 @@ def semdedup_removals(
     cost sum(|c_i|^2) instead of |corpus|^2, and the join partitions by
     cluster id. This is the entire point of SemDeDup: k ~ sqrt(n) makes
     semantic dedup tractable at corpus scale."""
+    cos = _cos_fn(_vec_dim(emb, vec_col, dim))
     a = emb.join(assignments, id_col)
     x = a.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "cluster"
@@ -676,7 +695,7 @@ def semdedup_removals(
     return (
         x.join(y, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity(F.col("v_a"), F.col("v_b")) >= threshold)
+        .filter(cos(F.col("v_a"), F.col("v_b")) >= threshold)
         .groupBy(F.col("id_b").alias(id_col))
         .agg(F.min("id_a").alias("kept_id"), F.count("*").alias("n_dups"))
     )
@@ -1186,6 +1205,7 @@ def _exact_rerank(
     k: int,
     id_col: str,
     vec_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine re-rank of (q_id, nn_id) candidates — output-bounded
     (touches `candidates` x |Q| vectors, never the corpus)."""
@@ -1198,9 +1218,7 @@ def _exact_rerank(
     scored = (
         cand.join(c_vec, "nn_id")
         .join(F.broadcast(q_vec), "q_id")
-        .withColumn(
-            "cosine", cosine_similarity(F.col("q_vec"), F.col("nn_vec"))
-        )
+        .withColumn("cosine", _cos_fn(dim)(F.col("q_vec"), F.col("nn_vec")))
     )
     return _topk_window(scored, k)
 
@@ -1272,7 +1290,7 @@ def pq_cosine_topk(
         .filter(F.col("r") <= candidates)
         .select("q_id", "nn_id")
     )
-    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, dim)
 
 
 def ivf_pq_topk(
@@ -1407,4 +1425,4 @@ def ivf_pq_topk(
         .filter(F.col("r") <= candidates)
         .select("q_id", "nn_id")
     )
-    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, dim)
