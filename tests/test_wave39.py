@@ -5,6 +5,8 @@ scan must be routed through probed inverted lists (an equi-join on
 cent_id), never a full-corpus crossJoin against the query LUTs.
 """
 
+import math
+import random
 import re
 
 import pytest
@@ -95,3 +97,159 @@ def test_ivf_pq_empty_codebook_raises(spark):
     )
     with pytest.raises(ValueError, match="coarse codebook is empty"):
         S.ivf_pq_topk(df, df, k=2, centroid_stride=10)
+
+
+# ---------------------------------------------------------------------------
+# property: ivf_pq_topk == bit-exact pure-Python twin across the param space
+# ---------------------------------------------------------------------------
+
+def _fold_cos(a, b):
+    dot = 0.0; na = 0.0; nb = 0.0
+    for j in range(len(a)):
+        dot = dot + a[j] * b[j]
+    for j in range(len(a)):
+        na = na + a[j] * a[j]
+    for j in range(len(b)):
+        nb = nb + b[j] * b[j]
+    den = math.sqrt(na) * math.sqrt(nb)
+    if den == 0:
+        return None
+    c = dot / den
+    return None if math.isnan(c) else c
+
+def _unit_py(v):
+    n = 0.0
+    for x in v:
+        n = n + x * x
+    n = math.sqrt(n)
+    if n == 0:
+        return [0.0] * len(v)
+    return [x / n for x in v]
+
+def _ref_ivf_pq(ids, vecs, qids, books, k, m, ksub, candidates, stride, nprobe):
+    dim = len(vecs[0]); sublen = dim // m
+    id2v = dict(zip(ids, vecs))
+    cents = [(i, id2v[i]) for i in ids if i % stride == 0]
+    # corpus assignment: max cs, ties -> max cent_id
+    assign = {}
+    for i in ids:
+        best = None
+        for cid, cv in cents:
+            cs = _fold_cos(id2v[i], cv)
+            key = (cs is not None, cs if cs is not None else 0.0, cid)
+            if best is None or key > best[0]:
+                best = (key, cid)
+        assign[i] = best[1]
+    # encode: replicate pq_encode's numpy fold
+    codes = {}
+    for i in ids:
+        u = _unit_py(id2v[i])
+        cs_ = []
+        for s in range(m):
+            X = u[s*sublen:(s+1)*sublen]
+            dists = []
+            for code in range(ksub):
+                C = books[s][code]
+                d = 0.0
+                for j in range(sublen):
+                    diff = X[j] - C[j]
+                    d = d + diff * diff
+                dists.append(d)
+            cs_.append(min(range(ksub), key=lambda c: (dists[c], c)))
+        codes[i] = cs_
+    out = []
+    for q in qids:
+        qv = id2v[q]
+        # probes: desc cs, asc cent_id
+        scored = []
+        for cid, cv in cents:
+            cs = _fold_cos(qv, cv)
+            scored.append((cid, cs))
+        scored.sort(key=lambda t: (t[1] is None, -(t[1] if t[1] is not None else 0.0), t[0]))
+        probe_set = {cid for cid, _ in scored[:nprobe]}
+        # LUT: part[s*ksub+code] = fold (x-y)^2 over q_uvec slice
+        qu = _unit_py(qv)
+        lut = []
+        for s in range(m):
+            for code in range(ksub):
+                C = books[s][code]
+                d = 0.0
+                for j in range(sublen):
+                    diff = qu[s*sublen+j] - C[j]
+                    d = d + diff * diff
+                lut.append(d)
+        # routed ADC
+        adc = []
+        for i in ids:
+            if i == q or assign[i] not in probe_set:
+                continue
+            a = 0.0
+            for s in range(m):
+                a = a + lut[s*ksub + codes[i][s]]
+            adc.append((i, a))
+        adc.sort(key=lambda t: (t[1], t[0]))
+        cand = [i for i, _ in adc[:candidates]]
+        rer = []
+        for i in cand:
+            c = _fold_cos(qv, id2v[i])
+            rer.append((i, c))
+        rer.sort(key=lambda t: (t[1] is None, -(t[1] if t[1] is not None else 0.0), t[0]))
+        for rank, (i, c) in enumerate(rer[:k], 1):
+            out.append((q, i, rank, c))
+    return set(out)
+
+
+
+def test_ivf_pq_fuzz_vs_python_twin(spark):
+    """Randomized bit-equality of the composed operator against an
+    independent pure-Python twin (left-fold cosine, max/lowest-id tie
+    rules, pq_encode's fold-order encode, flat LUT, routed ADC, exact
+    re-rank) across the parameter space — m, ksub, dim, stride, nprobe,
+    candidates, k, |corpus| all randomized. The DuckDB oracle covers
+    the one registered configuration; this net covers the rest (60
+    volume trials passed before this 12-trial permanent cut; r12
+    fuzz-before-ship protocol). Exact tuple-set equality INCLUDING the
+    float cosines."""
+    import numpy as np
+
+    from map_v2_etl_spark.operators.similarity import ivf_pq_topk, pq_train
+
+    rng = random.Random(20260815)
+    for t in range(12):
+        m = rng.choice([2, 4])
+        sublen = rng.choice([2, 4])
+        dim = m * sublen
+        ksub = rng.choice([4, 8])
+        n = rng.randint(max(20, ksub + 2), 90)
+        stride = rng.choice([3, 5, 10])
+        nprobe = rng.choice([1, 2, 4])
+        candidates = rng.choice([5, 20])
+        k = rng.choice([3, 5])
+        qmod = rng.choice([7, 10])
+        ids = list(range(n))
+        vecs = [
+            [float(np.float32(rng.uniform(-1, 1))) for _ in range(dim)]
+            for _ in ids
+        ]
+        qids = [i for i in ids if i % qmod == 0]
+        df = spark.createDataFrame(
+            list(zip(ids, vecs)), "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        qdf = df.filter(f"vec_id % {qmod} = 0")
+        books = pq_train(df, m=m, ksub=ksub, iters=2)
+        got = {
+            (r.q_id, r.nn_id, r.rank, r.cosine)
+            for r in ivf_pq_topk(
+                df, qdf, k=k, m=m, ksub=ksub, candidates=candidates,
+                centroid_stride=stride, nprobe=nprobe,
+            ).collect()
+        }
+        exp = _ref_ivf_pq(
+            ids, vecs, qids, books, k, m, ksub, candidates, stride, nprobe
+        )
+        assert got == exp, (
+            f"trial {t}: n={n} dim={dim} m={m} ksub={ksub} "
+            f"stride={stride} nprobe={nprobe} cand={candidates} k={k}\n"
+            f" only got: {sorted(got - exp)[:6]}\n"
+            f" only exp: {sorted(exp - got)[:6]}"
+        )
