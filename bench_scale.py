@@ -385,6 +385,44 @@ def bench_ivf_pq(spark: SparkSession, frac: float) -> dict:
     return timed(spark, f"ivf_pq_{frac}x", run)
 
 
+def bench_ivf_pq_residual(spark: SparkSession, frac: float) -> dict:
+    """Residual IVF-PQ (operators/similarity.ivf_pq_residual_topk,
+    r13): same fixed-nlist protocol as the ivf_pq cell plus the
+    residual variant's intrinsic extra — one corpus-wide
+    (id, dim-double) shuffle joining vectors with their checkpointed
+    coarse assignment. Linear-per-pass like ivf_pq; the cell watches
+    that the extra pass stays a constant factor, not a new curve."""
+    from map_v2_etl_spark.operators.similarity import ivf_pq_residual_topk
+
+    dim = 16
+    n = int(150_000 * MULT * frac)
+    n_cells = 512
+    stride = max(1, n // n_cells)
+    emb = gen_embeddings(spark, n, dim)
+    qs = emb.filter(F.col("vec_id") % max(1, n // 32) == 0)
+
+    def run():
+        out = ivf_pq_residual_topk(
+            emb, qs, k=5, m=4, ksub=16, candidates=50,
+            centroid_stride=stride, nprobe=8, dim=dim,
+            train_sample_mod=max(1, n // 60_000),
+        )
+        agg = out.agg(
+            F.count("*").alias("rows"), F.sum("rank").alias("ranksum")
+        ).first()
+        return {
+            "n_rows": n,
+            "dim": dim,
+            "n_cells_target": n_cells,
+            "stride": stride,
+            "nprobe": 8,
+            "result_rows": agg["rows"],
+            "rank_sum": int(agg["ranksum"]),
+        }
+
+    return timed(spark, f"ivf_pq_residual_{frac}x", run)
+
+
 def bench_triangles(spark: SparkSession, frac: float) -> dict:
     from map_v2_etl_spark.operators.graph import triangle_counts
 
@@ -1021,6 +1059,7 @@ BENCHES = {
     "lloyd": bench_lloyd,
     "pq_train": bench_pq_train,
     "ivf_pq": bench_ivf_pq,
+    "ivf_pq_residual": bench_ivf_pq_residual,
     "triangles": bench_triangles,
     "skew_join": bench_skew_join,
     "dpp": bench_dpp,

@@ -742,12 +742,22 @@ def pq_train(
     dim: int | None = None,
     train_sample_mod: int | None = None,
     gate_rows: int | None = None,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split dim into m subspaces, k-means each with
     ksub codewords. Deterministic end to end: init is the ksub lowest-id
     vectors' slices (no RNG), assignment ties break to the lowest code,
     centroid means go through decimal (partition-order independent).
     Returns codebooks[sub][code] = centroid (dim/m floats).
+
+    ``normalize=False`` trains on the raw ``vec_col`` values (cast to
+    double) instead of unit-normalized ones — the RESIDUAL regime
+    (ivf_pq_residual_topk), whose inputs are already differences of
+    unit vectors and must NOT be re-normalized (Faiss
+    ``by_residual=True`` trains the PQ on coarse residuals verbatim).
+    Components stay in [-2, 2], so the decimal(27,12) mean pipeline's
+    exactness bounds hold unchanged (|sum|*1e12 << HUGEINT, quotient
+    < 2^53 — see _pq_train_local.dec_mean).
 
     ALL m subspaces train together: the corpus explodes once into
     (id, sub, subvector) rows (persisted across iterations — m small
@@ -809,13 +819,20 @@ def pq_train(
         )
     if n_probe <= gate_rows:
         return _pq_train_local(
-            corpus, id_col, vec_col, m, ksub, iters, sublen
+            corpus, id_col, vec_col, m, ksub, iters, sublen, normalize
         )
     # NULL embeddings are excluded from TRAINING up front: the init
     # collect below slices r["uvec"] (None is not subscriptable), and a
     # null row contributes nothing to the distributed sums anyway
+    uexpr = (
+        _unit(F.col(vec_col))
+        if normalize
+        # residual regime: values are already in training space; the
+        # element cast keeps the double discipline for float inputs
+        else F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
     unit = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), _unit(F.col(vec_col)).alias("uvec")
+        F.col(id_col), uexpr.alias("uvec")
     )
     subs = unit.select(
         id_col,
@@ -962,6 +979,7 @@ def _pq_train_local(
     ksub: int,
     iters: int,
     sublen: int,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Gate-bounded NumPy Lloyd over the (already sampled) training set —
     the Faiss in-memory training step. Row order is pinned by an id sort
@@ -999,12 +1017,18 @@ def _pq_train_local(
     # enough to straddle the 1e-12 mean grid occasionally. dim
     # iterations of vectorized adds reproduce the fold's rounding
     # sequence per row at NumPy speed.
-    sq = np.zeros(len(V), dtype=np.float64)
-    for j in range(V.shape[1]):
-        sq = sq + V[:, j] * V[:, j]
-    norms = np.sqrt(sq)
-    norms[norms == 0] = 1.0  # zero vector stays zeros (matches _unit)
-    U = V / norms[:, None]
+    if normalize:
+        sq = np.zeros(len(V), dtype=np.float64)
+        for j in range(V.shape[1]):
+            sq = sq + V[:, j] * V[:, j]
+        norms = np.sqrt(sq)
+        norms[norms == 0] = 1.0  # zero vector stays zeros (matches _unit)
+        U = V / norms[:, None]
+    else:
+        # residual regime: the Arrow transfer already carries the exact
+        # JVM-computed doubles (residuals of unit vectors) — training
+        # space IS the input space, no per-row rescale to reproduce
+        U = V
     Q = _quantize_e12(U)
 
     def dec_mean(ssum: int, n: int) -> float:
@@ -1059,9 +1083,11 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """(id, codes array<int>[m]) — nearest codeword per subspace, ties to
-    the lowest code.
+    the lowest code. ``normalize=False`` encodes the raw values (the
+    residual regime — see pq_train).
 
     ONE narrow mapInPandas over the corpus: the codebook (m·ksub·dim/m
     floats — small by construction) ships in the task closure, and each
@@ -1110,12 +1136,15 @@ def pq_encode(
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            sq = np.zeros(len(V), dtype=np.float64)
-            for j in range(V.shape[1]):
-                sq = sq + V[:, j] * V[:, j]
-            nrm = np.sqrt(sq)
-            nrm[nrm == 0] = 1.0  # zero vector stays zeros (_unit)
-            U = V / nrm[:, None]
+            if normalize:
+                sq = np.zeros(len(V), dtype=np.float64)
+                for j in range(V.shape[1]):
+                    sq = sq + V[:, j] * V[:, j]
+                nrm = np.sqrt(sq)
+                nrm[nrm == 0] = 1.0  # zero vector stays zeros (_unit)
+                U = V / nrm[:, None]
+            else:
+                U = V  # residual regime: encode the exact input doubles
             codes = np.empty((len(V), m), dtype=np.int32)
             for s in range(m):
                 X = U[:, s * sublen : (s + 1) * sublen]
@@ -1414,6 +1443,207 @@ def ivf_pq_topk(
     plut = probes.join(lut, "q_id")
     # routed ADC scan: equi-join on cent_id prunes to probed lists
     # map-side (BHJ); distance is the in-row m-lookup sum
+    adc = (
+        coded.join(F.broadcast(plut), "cent_id")
+        .filter(F.col("nn_id") != F.col("q_id"))
+        .select("q_id", "nn_id", _adc_dist(m, ksub).alias("adist"))
+    )
+    wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
+    cand = (
+        adc.withColumn("r", F.row_number().over(wnd))
+        .filter(F.col("r") <= candidates)
+        .select("q_id", "nn_id")
+    )
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, dim)
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    candidates: int = 50,
+    centroid_stride: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    train_sample_mod: int | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ top-k with exact re-rank — Faiss's DEFAULT IVF-PQ
+    (``by_residual=True``, Jegou et al. TPAMI'11 §V.B): the PQ quantizes
+    each vector's RESIDUAL from its coarse centroid, u(x) - u(c), rather
+    than the vector itself. Residuals concentrate near the origin, so
+    the same m x ksub code budget spends its resolution on the
+    within-cell detail the coarse quantizer left behind — better ADC
+    fidelity at identical code size than the non-residual ivf_pq_topk.
+    Output shape (q_id, nn_id, rank, cosine), self-matches excluded —
+    same as cosine_topk, so the exact twin is the recall reference.
+
+    What changes vs ivf_pq_topk (everything else reused verbatim —
+    coarse assignment tie rules, pq_train/pq_encode in their
+    ``normalize=False`` regime, _adc_dist, _exact_rerank):
+
+      * a residual pass joins each corpus vector's unit form with its
+        assigned centroid's unit form (broadcast) and emits
+        rvec = u(x) - u(c) — ONE corpus-wide shuffle of (id, dim-double)
+        rows, the residual variant's intrinsic cost (Faiss pays it at
+        add() time); a production deployment fuses assignment + residual
+        + encode into pq_encode's mapInPandas pass with driver-held
+        coarse centroids, which this stride-sampled stand-in keeps as
+        separate audited stages instead;
+      * the query LUT is PER (query, probed cell) — the ADC target is
+        u(c) + codeword, so the partial distance needs the cell:
+        part[s][c] = || (u(q) - u(cent))_s - codeword ||^2. The probe
+        frame is |Q| x nprobe rows of m*ksub doubles, still
+        broadcast-bounded; the routed ADC scan is the same equi-join on
+        cent_id (BroadcastHashJoin, non-probed cells drop map-side).
+
+    L2-on-unit-vectors still ranks by cosine: the ADC approximates
+    ||u(q) - (u(c) + r_hat)||^2 where u(c) + r_hat ~ u(x).
+
+    Scale: corpus-sized work is the coarse-assign aggregation, the
+    residual join, the narrow codes-side equi-joins, and the pruned ADC
+    scan; training happens on the hash-modulus sample (the sample
+    filter pushes through the residual join to the scans — group-key
+    predicate). Exact re-rank touches candidates x |Q| raw vectors.
+
+    Reference parity: the reference engine has no ANN surface
+    (build.sh:75-233 is tile ETL); §2.11 training-pipeline extension.
+    """
+    from ..sources.registry import widen_partitions
+
+    dim = _vec_dim(corpus, vec_col, dim)
+    if dim is None:
+        # empty corpus: correct empty result via the exact plan
+        return cosine_topk(corpus, queries, k, id_col, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} must be a multiple of m={m}")
+    sublen = dim // m
+    spark = corpus.sparkSession
+
+    cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    if cents.limit(1).count() == 0:
+        raise ValueError(
+            "ivf_pq_residual_topk coarse codebook is empty: id_col % "
+            f"{centroid_stride} matched no rows (string or sparse ids? "
+            "use a smaller centroid_stride or numeric dense ids)"
+        )
+    cents_u = cents.select(
+        "cent_id", _unit(F.col("cent_vec")).alias("cent_uvec")
+    )
+
+    # nearest centroid per corpus vector — ivf_pq_topk's pass verbatim
+    # (broadcast cross + max_by; ties to the HIGHEST cent_id)
+    c = widen_partitions(corpus).select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
+    )
+    cos = _cos_fn(dim)
+    assign = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("cs", cos(F.col("nn_vec"), F.col("cent_vec")))
+        .groupBy("nn_id")
+        .agg(F.max_by("cent_id", F.struct("cs", "cent_id")).alias("cent_id"))
+    )
+    # ONE coarse-assignment pass: assign feeds the residual frame
+    # (training gate probe + training transfer + encode) AND the
+    # inverted-list join — without truncation each consumer re-runs the
+    # |corpus| x n_cells cosine crossJoin (measured 17.6s -> 7.5s at
+    # sf0.01 from this line alone). The checkpoint is NARROW — (id,
+    # int32) rows, ~12 B/row at any corpus size; raw vectors are never
+    # checkpointed.
+    assign = assign.localCheckpoint(eager=True)
+
+    # residual frame: rvec = u(x) - u(assigned centroid). The zip_with
+    # subtraction runs on the two _unit folds' exact doubles — the
+    # DuckDB twin reproduces both folds and the subtraction bit-for-bit
+    cu = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("nn_id"), _unit(F.col(vec_col)).alias("uvec")
+    )
+    resid = (
+        cu.join(assign, "nn_id")
+        .join(F.broadcast(cents_u), "cent_id")
+        .select(
+            F.col("nn_id").alias(id_col),
+            "cent_id",
+            F.zip_with(
+                "uvec", "cent_uvec", lambda x, y: x - y
+            ).alias("rvec"),
+        )
+    )
+
+    books = pq_train(
+        resid, m, ksub, iters, id_col, "rvec", dim,
+        train_sample_mod, normalize=False,
+    )
+    codes = pq_encode(resid, books, id_col, "rvec", normalize=False)
+    # inverted-list build: narrow (id, codes) x (id, cell) equi-join —
+    # the compressed corpus representation, never raw vectors
+    coded = codes.select(F.col(id_col).alias("nn_id"), "codes").join(
+        assign, "nn_id"
+    )
+
+    # query probes: nprobe nearest cells, ties to the LOWEST cent_id
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", cos(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cent_id")
+    )
+
+    # per-(query, probed cell) LUT: part = || (u(q) - u(cent))_s - cw ||^2
+    # over |Q| x nprobe x m x ksub rows, folded to one flat m*ksub array
+    # per (q_id, cent_id) — _pq_query_lut's shape with the cell folded in
+    cw_rows = [
+        (s, cc, [float(v) for v in cwv])
+        for s, book in enumerate(books)
+        for cc, cwv in enumerate(book)
+    ]
+    cw = spark.createDataFrame(
+        cw_rows, "sub INT, code INT, cent ARRAY<DOUBLE>"
+    )
+    q_unit = queries.select(
+        F.col(id_col).alias("q_id"), _unit(F.col(vec_col)).alias("q_uvec")
+    )
+    pframe = probes.join(q_unit, "q_id").join(F.broadcast(cents_u), "cent_id")
+    dslice = F.zip_with(
+        F.slice("q_uvec", F.col("sub") * sublen + 1, F.lit(sublen)),
+        F.slice("cent_uvec", F.col("sub") * sublen + 1, F.lit(sublen)),
+        lambda x, y: x - y,
+    )
+    part = F.aggregate(
+        F.zip_with(dslice, F.col("cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    plut = (
+        pframe.crossJoin(F.broadcast(cw))
+        .groupBy("q_id", "cent_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code", part.alias("part")))
+            ).alias("_l")
+        )
+        .select(
+            "q_id",
+            "cent_id",
+            F.transform(F.col("_l"), lambda s: s["part"]).alias("lut"),
+        )
+    )
+
+    # routed ADC: equi-join on cent_id — a lut row exists only for
+    # probed (q, cell) pairs, so the join IS the routing (BHJ drops
+    # non-probed cells map-side); distance is the in-row m-lookup sum
     adc = (
         coded.join(F.broadcast(plut), "cent_id")
         .filter(F.col("nn_id") != F.col("q_id"))

@@ -272,6 +272,7 @@ def pq_topk_ctes(
     table: str = "embeddings",
     centroid_stride: int | None = None,
     nprobe: int | None = None,
+    residual: bool = False,
 ) -> str:
     """Full PQ/ADC top-k oracle: training-sample selection (xxhash64
     modulus — bit-equal to F.xxhash64), per-subspace Lloyd with
@@ -288,26 +289,97 @@ def pq_topk_ctes(
     max_by's struct order, probe ties to the LOWEST), and the adc CTE
     joins through them so only probed cells are scanned. Everything
     upstream (training, encode, LUT) is byte-identical to the unrouted
-    oracle."""
+    oracle.
+
+    With ``residual=True`` (requires stride/nprobe), emits the RESIDUAL
+    twin (operators/similarity.ivf_pq_residual_topk, Faiss
+    ``by_residual=True``): the routing CTEs move up front, a `res` CTE
+    computes rvec = u(x) - u(assigned centroid) per corpus vector, the
+    training/encode chain runs on residuals WITHOUT re-normalization
+    (pq_train's normalize=False regime — `tr`/`cu` alias rvec straight
+    to uvec so the shared slicing text applies), and the LUT is per
+    (query, probed cell): part = ||(u(q) - u(cent))_s - codeword||^2,
+    grouped to one flat array per (q_id, cent_id). The adc CTE joins
+    codes -> iasg -> lut on cent_id — a lut row exists only for probed
+    pairs, so the join IS the routing, exactly the Spark plan's
+    broadcast equi-join."""
     sublen = dim // m
     slice_ = f"uvec[(s * {sublen} + 1):(s * {sublen} + {sublen})]"
-    parts = [
-        # hash chain carries vec_id ONLY — the 13 materialized steps
-        # must not each hold a copy of the embedding payload; the one
-        # join below re-attaches it to the sampled ids
-        xxhash64_ctes("hx", table, keep="vec_id"),
-        f"trsel AS (SELECT t.vec_id, t.embedding FROM {table} t "
-        f"JOIN hx ON hx.vec_id = t.vec_id "
-        f"WHERE ((hx.h % {sample_mod}) + {sample_mod}) % {sample_mod} "
-        f"= 0)",
-        _unit_cte("tr", "trsel"),
-        f"sub_tr AS (SELECT vec_id, s, {slice_} AS sv "
-        f"FROM tr, LATERAL unnest(range({m})) AS us(s))",
-        f"b0 AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s "
-        f"ORDER BY vec_id) - 1 AS INT) AS code, sv AS cent FROM sub_tr "
-        f"WHERE vec_id IN (SELECT vec_id FROM tr ORDER BY vec_id "
-        f"LIMIT {ksub}))",
-    ]
+    if residual and (centroid_stride is None or nprobe is None):
+        raise ValueError("residual=True requires centroid_stride/nprobe")
+    routing: list[str] = []
+    if centroid_stride is not None:
+        C = cosine  # noqa: N806 — local alias, matches _duck_ivf_sql
+        routing = [
+            f"icents AS (SELECT vec_id AS cent_id, embedding AS cent_vec "
+            f"FROM {table} WHERE vec_id % {centroid_stride} = 0)",
+            # corpus assignment: ties to the HIGHEST cent_id (max_by)
+            "iasg AS (SELECT nn_id, cent_id FROM ("
+            "SELECT e.vec_id AS nn_id, c.cent_id, ROW_NUMBER() OVER ("
+            "PARTITION BY e.vec_id ORDER BY "
+            + C("e.embedding", "c.cent_vec")
+            + f" DESC, c.cent_id DESC) AS rn FROM {table} e "
+            "CROSS JOIN icents c) WHERE rn = 1)",
+            # query probes: nprobe nearest cells, ties to the LOWEST id
+            "iprobes AS (SELECT q_id, cent_id FROM ("
+            "SELECT q.vec_id AS q_id, c.cent_id, ROW_NUMBER() OVER ("
+            "PARTITION BY q.vec_id ORDER BY "
+            + C("q.embedding", "c.cent_vec")
+            + f" DESC, c.cent_id ASC) AS rn FROM {table} q "
+            f"CROSS JOIN icents c WHERE q.vec_id % {q_mod} = 0"
+            f") WHERE rn <= {nprobe})",
+        ]
+    if residual:
+        parts = list(routing) + [
+            # unit centroids — _unit's two-step norm-once semantics
+            "icu_n AS (SELECT cent_id, cent_vec, "
+            + l2_norm("cent_vec")
+            + " AS nrm FROM icents)",
+            "icu AS (SELECT cent_id, list_transform(cent_vec, "
+            "x -> CASE WHEN nrm = 0.0 THEN 0.0 ELSE CAST(x AS DOUBLE) "
+            "/ nrm END) AS ucent FROM icu_n)",
+            _unit_cte("eu", table),
+            # residual frame: rvec = u(x) - u(assigned centroid); NULL
+            # embeddings drop (the Spark cu filters isNotNull)
+            "res AS (SELECT a.nn_id AS vec_id, a.cent_id, "
+            "list_transform(list_zip(e.uvec, c.ucent), "
+            "p -> p[1] - p[2]) AS rvec "
+            "FROM iasg a JOIN eu e ON e.vec_id = a.nn_id "
+            "JOIN icu c ON c.cent_id = a.cent_id "
+            "WHERE e.uvec IS NOT NULL)",
+            xxhash64_ctes("hx", table, keep="vec_id"),
+            # training inputs are the SAMPLED residuals, un-normalized
+            # (pq_train normalize=False): rvec IS the training space,
+            # aliased to uvec so the shared slicing text applies
+            f"tr AS (SELECT r.vec_id, r.rvec AS uvec FROM res r "
+            f"JOIN hx ON hx.vec_id = r.vec_id "
+            f"WHERE ((hx.h % {sample_mod}) + {sample_mod}) % {sample_mod} "
+            f"= 0)",
+            f"sub_tr AS (SELECT vec_id, s, {slice_} AS sv "
+            f"FROM tr, LATERAL unnest(range({m})) AS us(s))",
+            f"b0 AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s "
+            f"ORDER BY vec_id) - 1 AS INT) AS code, sv AS cent FROM sub_tr "
+            f"WHERE vec_id IN (SELECT vec_id FROM tr ORDER BY vec_id "
+            f"LIMIT {ksub}))",
+        ]
+    else:
+        parts = [
+            # hash chain carries vec_id ONLY — the 13 materialized steps
+            # must not each hold a copy of the embedding payload; the one
+            # join below re-attaches it to the sampled ids
+            xxhash64_ctes("hx", table, keep="vec_id"),
+            f"trsel AS (SELECT t.vec_id, t.embedding FROM {table} t "
+            f"JOIN hx ON hx.vec_id = t.vec_id "
+            f"WHERE ((hx.h % {sample_mod}) + {sample_mod}) % {sample_mod} "
+            f"= 0)",
+            _unit_cte("tr", "trsel"),
+            f"sub_tr AS (SELECT vec_id, s, {slice_} AS sv "
+            f"FROM tr, LATERAL unnest(range({m})) AS us(s))",
+            f"b0 AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s "
+            f"ORDER BY vec_id) - 1 AS INT) AS code, sv AS cent FROM sub_tr "
+            f"WHERE vec_id IN (SELECT vec_id FROM tr ORDER BY vec_id "
+            f"LIMIT {ksub}))",
+        ]
     asg = (
         "{name} AS (SELECT vec_id, s, sv, code FROM ("
         "SELECT t.vec_id, t.s, t.sv, b.code, ROW_NUMBER() OVER ("
@@ -339,53 +411,68 @@ def pq_topk_ctes(
             f"({adc_sum} + l.lut[{s * ksub} + c.codes[{s + 1}] + 1])"
         )
     parts += [
-        _unit_cte("cu", table),
+        (
+            # residual encode: every residual row, already in training
+            # space — alias straight to uvec for the shared slicing
+            "cu AS (SELECT vec_id, rvec AS uvec FROM res)"
+            if residual
+            else _unit_cte("cu", table)
+        ),
         f"sub_c AS (SELECT vec_id, s, {slice_} AS sv "
         f"FROM cu, LATERAL unnest(range({m})) AS us(s))",
         asg.format(name="enc", d=d_expr, src="sub_c", books=f"b{iters}"),
         "cods AS (SELECT vec_id, list(code ORDER BY s) AS codes "
         "FROM enc GROUP BY vec_id)",
         _unit_cte("qu", table, f"vec_id % {q_mod} = 0", id_as="q_id"),
-        f"lutt AS (SELECT q.q_id, b.s, b.code, "
-        + sq_dist(
-            f"q.uvec[(b.s * {sublen} + 1):(b.s * {sublen} + {sublen})]",
-            "b.cent",
-        )
-        + f" AS part FROM qu q CROSS JOIN b{iters} b)",
-        "lut AS (SELECT q_id, list(part ORDER BY s, code) AS lut "
-        "FROM lutt GROUP BY q_id)",
     ]
-    if centroid_stride is not None:
-        C = cosine  # noqa: N806 — local alias, matches _duck_ivf_sql
+    if residual:
+        qsl = f"q.uvec[(b.s * {sublen} + 1):(b.s * {sublen} + {sublen})]"
+        csl = f"c.ucent[(b.s * {sublen} + 1):(b.s * {sublen} + {sublen})]"
+        dsl = (
+            f"list_transform(list_zip({qsl}, {csl}), "
+            "p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        )
         parts += [
-            f"icents AS (SELECT vec_id AS cent_id, embedding AS cent_vec "
-            f"FROM {table} WHERE vec_id % {centroid_stride} = 0)",
-            # corpus assignment: ties to the HIGHEST cent_id (max_by)
-            "iasg AS (SELECT nn_id, cent_id FROM ("
-            "SELECT e.vec_id AS nn_id, c.cent_id, ROW_NUMBER() OVER ("
-            "PARTITION BY e.vec_id ORDER BY "
-            + C("e.embedding", "c.cent_vec")
-            + f" DESC, c.cent_id DESC) AS rn FROM {table} e "
-            "CROSS JOIN icents c) WHERE rn = 1)",
-            # query probes: nprobe nearest cells, ties to the LOWEST id
-            "iprobes AS (SELECT q_id, cent_id FROM ("
-            "SELECT q.vec_id AS q_id, c.cent_id, ROW_NUMBER() OVER ("
-            "PARTITION BY q.vec_id ORDER BY "
-            + C("q.embedding", "c.cent_vec")
-            + f" DESC, c.cent_id ASC) AS rn FROM {table} q "
-            f"CROSS JOIN icents c WHERE q.vec_id % {q_mod} = 0"
-            f") WHERE rn <= {nprobe})",
-            # routed ADC: only coded rows in the query's probed cells
+            # per-(query, probed cell) LUT: the ADC target is
+            # u(cent) + codeword, so the partial needs the cell
+            "lutt AS (SELECT p.q_id, p.cent_id, b.s, b.code, "
+            + sq_dist(dsl, "b.cent")
+            + " AS part FROM iprobes p JOIN qu q ON q.q_id = p.q_id "
+            f"JOIN icu c ON c.cent_id = p.cent_id CROSS JOIN b{iters} b)",
+            "lut AS (SELECT q_id, cent_id, list(part ORDER BY s, code) "
+            "AS lut FROM lutt GROUP BY q_id, cent_id)",
+            # routed ADC: a lut row exists only for probed (q, cell)
+            # pairs, so the cent_id join IS the routing
             f"adc AS (SELECT l.q_id, c.vec_id AS nn_id, {adc_sum} AS adist "
             "FROM cods c JOIN iasg a ON a.nn_id = c.vec_id "
-            "JOIN iprobes p ON p.cent_id = a.cent_id "
-            "JOIN lut l ON l.q_id = p.q_id WHERE c.vec_id <> l.q_id)",
+            "JOIN lut l ON l.cent_id = a.cent_id WHERE c.vec_id <> l.q_id)",
         ]
     else:
-        parts.append(
-            f"adc AS (SELECT l.q_id, c.vec_id AS nn_id, {adc_sum} AS adist "
-            "FROM cods c CROSS JOIN lut l WHERE c.vec_id <> l.q_id)"
-        )
+        parts += [
+            f"lutt AS (SELECT q.q_id, b.s, b.code, "
+            + sq_dist(
+                f"q.uvec[(b.s * {sublen} + 1):(b.s * {sublen} + {sublen})]",
+                "b.cent",
+            )
+            + f" AS part FROM qu q CROSS JOIN b{iters} b)",
+            "lut AS (SELECT q_id, list(part ORDER BY s, code) AS lut "
+            "FROM lutt GROUP BY q_id)",
+        ]
+        if centroid_stride is not None:
+            parts += routing + [
+                # routed ADC: only coded rows in the query's probed cells
+                f"adc AS (SELECT l.q_id, c.vec_id AS nn_id, {adc_sum} "
+                "AS adist "
+                "FROM cods c JOIN iasg a ON a.nn_id = c.vec_id "
+                "JOIN iprobes p ON p.cent_id = a.cent_id "
+                "JOIN lut l ON l.q_id = p.q_id WHERE c.vec_id <> l.q_id)",
+            ]
+        else:
+            parts.append(
+                f"adc AS (SELECT l.q_id, c.vec_id AS nn_id, {adc_sum} "
+                "AS adist "
+                "FROM cods c CROSS JOIN lut l WHERE c.vec_id <> l.q_id)"
+            )
     parts.append(
         "cand AS (SELECT q_id, nn_id FROM (SELECT q_id, nn_id, "
         "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, "
