@@ -1169,12 +1169,22 @@ def _pq_query_lut(
     sublen: int,
     id_col: str,
     vec_col: str,
+    probes: DataFrame | None = None,
+    cents_u: DataFrame | None = None,
 ) -> DataFrame:
     """(q_id, lut) — each query's ADC lookup table folded into ONE flat
     array of m*ksub partial distances (ordered by sub, then code).
     Shared by pq_cosine_topk and ivf_pq_topk; extracted verbatim so both
     plans carry the identical expression tree (and the DuckDB `lutt`/
-    `lut` CTEs stay a single twin)."""
+    `lut` CTEs stay a single twin).
+
+    With ``probes`` (q_id, cent_id) and ``cents_u`` (cent_id, cent_uvec)
+    set — the RESIDUAL regime (ivf_pq_residual_topk) — the LUT is per
+    (query, probed cell): the ADC target is u(cent) + codeword, so
+    part[s][c] = ||(u(q) - u(cent))_s - cw||^2 and the output carries
+    cent_id. Both regimes live HERE so a fold-order or cast change
+    cannot touch one twin and miss the other (the DuckDB residual
+    `lutt` CTE mirrors the dslice branch exactly)."""
     spark = queries.sparkSession
     cw_rows = [
         (s, c, [float(v) for v in cw])
@@ -1187,18 +1197,39 @@ def _pq_query_lut(
     q_unit = queries.select(
         F.col(id_col).alias("q_id"), _unit(F.col(vec_col)).alias("q_uvec")
     )
-    part = F.aggregate(
-        F.zip_with(
+    if probes is not None:
+        # per-(query, probed cell) frame; broadcast-bounded by
+        # |Q| x nprobe construction
+        src = probes.join(q_unit, "q_id").join(F.broadcast(cents_u),
+                                               "cent_id")
+        dslice = F.zip_with(
             F.slice("q_uvec", F.col("sub") * sublen + 1, F.lit(sublen)),
-            F.col("cent"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+            F.slice("cent_uvec", F.col("sub") * sublen + 1, F.lit(sublen)),
+            lambda x, y: x - y,
+        )
+        part = F.aggregate(
+            F.zip_with(
+                dslice, F.col("cent"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        keys = ["q_id", "cent_id"]
+    else:
+        src = q_unit
+        part = F.aggregate(
+            F.zip_with(
+                F.slice("q_uvec", F.col("sub") * sublen + 1, F.lit(sublen)),
+                F.col("cent"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        keys = ["q_id"]
     return (
-        q_unit.crossJoin(F.broadcast(cw))
-        .groupBy("q_id")
+        src.crossJoin(F.broadcast(cw))
+        .groupBy(*keys)
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -1207,7 +1238,7 @@ def _pq_query_lut(
             ).alias("_l")
         )
         .select(
-            "q_id",
+            *keys,
             F.transform(F.col("_l"), lambda s: s["part"]).alias("lut"),
         )
     )
@@ -1522,7 +1553,6 @@ def ivf_pq_residual_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} must be a multiple of m={m}")
     sublen = dim // m
-    spark = corpus.sparkSession
 
     cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
@@ -1560,7 +1590,14 @@ def ivf_pq_residual_topk(
 
     # residual frame: rvec = u(x) - u(assigned centroid). The zip_with
     # subtraction runs on the two _unit folds' exact doubles — the
-    # DuckDB twin reproduces both folds and the subtraction bit-for-bit
+    # DuckDB twin reproduces both folds and the subtraction bit-for-bit.
+    # DELIBERATELY not persisted: its two full evaluations (training
+    # transfer on the SAMPLED side — the hash filter pushes through the
+    # join — and encode on the full side) each cost one narrow scan +
+    # one join off the checkpointed assignment, while caching it would
+    # pin a corpus-sized dim-double frame; at 100 TB recompute-from-
+    # narrow beats memory. The fused assign+residual+encode mapInPandas
+    # pass (docstring) is the production end-state if even that matters.
     cu = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("nn_id"), _unit(F.col(vec_col)).alias("uvec")
     )
@@ -1603,42 +1640,10 @@ def ivf_pq_residual_topk(
 
     # per-(query, probed cell) LUT: part = || (u(q) - u(cent))_s - cw ||^2
     # over |Q| x nprobe x m x ksub rows, folded to one flat m*ksub array
-    # per (q_id, cent_id) — _pq_query_lut's shape with the cell folded in
-    cw_rows = [
-        (s, cc, [float(v) for v in cwv])
-        for s, book in enumerate(books)
-        for cc, cwv in enumerate(book)
-    ]
-    cw = spark.createDataFrame(
-        cw_rows, "sub INT, code INT, cent ARRAY<DOUBLE>"
-    )
-    q_unit = queries.select(
-        F.col(id_col).alias("q_id"), _unit(F.col(vec_col)).alias("q_uvec")
-    )
-    pframe = probes.join(q_unit, "q_id").join(F.broadcast(cents_u), "cent_id")
-    dslice = F.zip_with(
-        F.slice("q_uvec", F.col("sub") * sublen + 1, F.lit(sublen)),
-        F.slice("cent_uvec", F.col("sub") * sublen + 1, F.lit(sublen)),
-        lambda x, y: x - y,
-    )
-    part = F.aggregate(
-        F.zip_with(dslice, F.col("cent"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    plut = (
-        pframe.crossJoin(F.broadcast(cw))
-        .groupBy("q_id", "cent_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("sub", "code", part.alias("part")))
-            ).alias("_l")
-        )
-        .select(
-            "q_id",
-            "cent_id",
-            F.transform(F.col("_l"), lambda s: s["part"]).alias("lut"),
-        )
+    # per (q_id, cent_id) — _pq_query_lut's residual regime
+    plut = _pq_query_lut(
+        queries, books, m, ksub, sublen, id_col, vec_col,
+        probes=probes, cents_u=cents_u,
     )
 
     # routed ADC: equi-join on cent_id — a lut row exists only for

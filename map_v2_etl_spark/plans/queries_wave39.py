@@ -65,14 +65,16 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_recall_oracle() -> str:
+def _recall_report_sql(approx_sql: str) -> str:
+    """recall@5 oracle shape shared by the IVF-PQ recall reports
+    (wave 39 + wave 41): any `approx` result oracle vs the brute-force
+    exact top-5 window over the q_mod=50 query set. ONE copy of the
+    exact/hits/report SQL — a null-handling or shape fix lands on every
+    report at once (r13 review finding)."""
     from .duck_vec import cosine as C
 
-    ivf_pq = _ivf_pq_oracle()
-    # reuse the full routed-IVF-PQ oracle as the approx side; the exact
-    # side is the brute-force window (ann_recall_report's `exact` CTE)
     return (
-        "WITH approx AS (" + ivf_pq + "), "
+        "WITH approx AS (" + approx_sql + "), "
         "q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0), "
         "exact AS (SELECT q_id, nn_id FROM ("
         "SELECT q.vec_id AS q_id, e.vec_id AS nn_id, ROW_NUMBER() OVER ("
@@ -91,28 +93,20 @@ def _ivf_pq_recall_oracle() -> str:
     )
 
 
-@query(
-    "ivf_pq_recall_report",
-    _ivf_pq_recall_oracle(),
-    tags=["embedding", "ann", "ivf", "pq", "observability"],
-)
-def q_ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of IVF-PQ vs the exact cosine top-k, per query:
-    (q_id, k, n_hit) — the tuning signal for nprobe/candidates. Joins
-    two |Q|·k result sets (output-bounded); deterministic, so the
-    integer report value-hashes (the ann_recall_report pattern,
-    queries_wave10.py)."""
-    from ..operators.similarity import cosine_topk, ivf_pq_topk
+def _recall_report_df(
+    spark: SparkSession, sf_dir: str, approx: DataFrame
+) -> DataFrame:
+    """Spark side of the shared recall-report shape: (q_id, k, n_hit)
+    for any approx DataFrame with (q_id, nn_id) columns, vs the exact
+    cosine top-5 of the q_mod=50 query set."""
+    from ..operators.similarity import cosine_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     exact = cosine_topk(emb, qs, k=5).select(
         F.col("q_id"), F.col("nn_id").alias("e_nn")
     )
-    approx = ivf_pq_topk(
-        emb, qs, k=5, m=4, ksub=16, candidates=50,
-        centroid_stride=10, nprobe=4, train_sample_mod=5,
-    ).select(F.col("q_id"), F.col("nn_id").alias("a_nn"))
+    approx = approx.select(F.col("q_id"), F.col("nn_id").alias("a_nn"))
     hits = exact.join(
         approx,
         (exact["q_id"] == approx["q_id"])
@@ -130,3 +124,31 @@ def q_ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
         )
     )
+
+
+def _ivf_pq_recall_oracle() -> str:
+    # reuse the full routed-IVF-PQ oracle as the approx side; the exact
+    # side is the brute-force window (ann_recall_report's `exact` CTE)
+    return _recall_report_sql(_ivf_pq_oracle())
+
+
+@query(
+    "ivf_pq_recall_report",
+    _ivf_pq_recall_oracle(),
+    tags=["embedding", "ann", "ivf", "pq", "observability"],
+)
+def q_ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of IVF-PQ vs the exact cosine top-k, per query:
+    (q_id, k, n_hit) — the tuning signal for nprobe/candidates. Joins
+    two |Q|·k result sets (output-bounded); deterministic, so the
+    integer report value-hashes (the ann_recall_report pattern,
+    queries_wave10.py)."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = ivf_pq_topk(
+        emb, qs, k=5, m=4, ksub=16, candidates=50,
+        centroid_stride=10, nprobe=4, train_sample_mod=5,
+    )
+    return _recall_report_df(spark, sf_dir, approx)

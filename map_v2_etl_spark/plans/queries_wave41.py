@@ -72,27 +72,9 @@ def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_pq_residual_recall_oracle() -> str:
-    from .duck_vec import cosine as C
+    from .queries_wave39 import _recall_report_sql
 
-    approx = _ivf_pq_residual_oracle(candidates=12)
-    return (
-        "WITH approx AS (" + approx + "), "
-        "q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0), "
-        "exact AS (SELECT q_id, nn_id FROM ("
-        "SELECT q.vec_id AS q_id, e.vec_id AS nn_id, ROW_NUMBER() OVER ("
-        f"PARTITION BY q.vec_id ORDER BY {C('qq.embedding', 'e.embedding')} "
-        "DESC, e.vec_id ASC) AS rk "
-        "FROM q JOIN embeddings qq ON qq.vec_id = q.vec_id "
-        "CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id"
-        ") WHERE rk <= 5), "
-        "hits AS (SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit "
-        "FROM exact e JOIN approx a ON a.q_id = e.q_id "
-        "AND a.nn_id = e.nn_id GROUP BY e.q_id) "
-        "SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS k, "
-        "coalesce(ANY_VALUE(h.n_hit), 0) AS n_hit "
-        "FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id "
-        "GROUP BY e.q_id"
-    )
+    return _recall_report_sql(_ivf_pq_residual_oracle(candidates=12))
 
 
 @query(
@@ -110,31 +92,13 @@ def q_ivf_pq_residual_recall_report(
     non-residual 0.64 at sf0.01). Output-bounded join of two |Q|·k
     result sets; integer report value-hashes (ann_recall_report's
     shape, queries_wave10.py)."""
-    from ..operators.similarity import cosine_topk, ivf_pq_residual_topk
+    from ..operators.similarity import ivf_pq_residual_topk
+    from .queries_wave39 import _recall_report_df
 
     emb = load_table(spark, "embeddings", sf_dir)
     qs = emb.filter(F.col("vec_id") % 50 == 0)
-    exact = cosine_topk(emb, qs, k=5).select(
-        F.col("q_id"), F.col("nn_id").alias("e_nn")
-    )
     approx = ivf_pq_residual_topk(
         emb, qs, k=5, m=4, ksub=16, candidates=12,
         centroid_stride=10, nprobe=4, train_sample_mod=5,
-    ).select(F.col("q_id"), F.col("nn_id").alias("a_nn"))
-    hits = exact.join(
-        approx,
-        (exact["q_id"] == approx["q_id"])
-        & (exact["e_nn"] == approx["a_nn"]),
-    ).groupBy(exact["q_id"].alias("q_id")).agg(
-        F.count("*").cast("long").alias("n_hit")
     )
-    return (
-        exact.groupBy("q_id")
-        .agg(F.count("*").cast("long").alias("k"))
-        .join(hits, "q_id", "left")
-        .select(
-            "q_id",
-            "k",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-        )
-    )
+    return _recall_report_df(spark, sf_dir, approx)

@@ -256,8 +256,11 @@ def test_ivf_pq_residual_fuzz_vs_python_twin(spark):
     come from pq_train(normalize=False) over a residual frame whose
     rvec values the twin recomputes with the same left folds (so the
     codebooks are shared and the comparison isolates the operator's
-    assignment/LUT/ADC/re-rank plumbing; pq_train's own two-regime
-    bit-equality has a separate fuzz net). 60 volume trials passed
+    assignment/LUT/ADC/re-rank plumbing; pq_train's two-regime
+    bit-equality has separate nets — normalize=True in
+    test_similarity.py, normalize=False in
+    test_pq_train_residual_regimes_bit_identical below). 60 volume
+    trials passed
     before this 10-trial permanent cut (r12 fuzz-before-ship protocol).
     Exact tuple-set equality INCLUDING the float cosines."""
     import numpy as np
@@ -317,4 +320,56 @@ def test_ivf_pq_residual_fuzz_vs_python_twin(spark):
             f"stride={stride} nprobe={nprobe} cand={candidates} k={k}\n"
             f" only got: {sorted(got - exp)[:6]}\n"
             f" only exp: {sorted(exp - got)[:6]}"
+        )
+
+
+def test_pq_train_residual_regimes_bit_identical(spark):
+    """normalize=False two-regime contract (review finding, r13): the
+    NumPy fast path and the distributed loop must publish the SAME
+    codebook for RESIDUAL-space inputs too — components in [-2, 2],
+    no unit rescale, decimal(27,12) means. Randomized across
+    m/ksub/n/iters with duplicate rows and near-tie values; gate_rows=1
+    forces the distributed regime (the documented test override)."""
+    import random
+
+    from map_v2_etl_spark.operators.similarity import pq_train
+
+    rng = random.Random(20260817)
+    for trial in range(6):
+        m = rng.choice([2, 4])
+        sublen = rng.choice([2, 4])
+        dim = m * sublen
+        ksub = rng.choice([4, 8])
+        n = rng.randint(ksub + 2, 60)
+        iters = rng.choice([1, 2])
+        rows = []
+        for i in range(n):
+            if rng.random() < 0.2 and rows:
+                rows.append((i, rows[rng.randrange(len(rows))][1]))
+            else:
+                # residual-like values: differences of unit components,
+                # magnitude up to ~2, including exact-grid near-ties
+                rows.append(
+                    (
+                        i,
+                        [
+                            round(rng.uniform(-1.9, 1.9), 3)
+                            for _ in range(dim)
+                        ],
+                    )
+                )
+        df = spark.createDataFrame(
+            rows, "vec_id LONG, rvec ARRAY<DOUBLE>"
+        )
+        local = pq_train(
+            df, m=m, ksub=ksub, iters=iters, vec_col="rvec",
+            normalize=False,
+        )
+        dist = pq_train(
+            df, m=m, ksub=ksub, iters=iters, vec_col="rvec",
+            normalize=False, gate_rows=1,
+        )
+        assert local == dist, (
+            f"trial {trial} m={m} ksub={ksub} n={n} iters={iters}:\n"
+            f" local={local}\n dist={dist}"
         )
