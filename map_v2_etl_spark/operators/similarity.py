@@ -1488,6 +1488,136 @@ def ivf_pq_topk(
     return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, dim)
 
 
+def _fused_residual_pass(
+    src: DataFrame,
+    cent_rows: list,
+    ucent_by_id: dict,
+    books: list[list[list[float]]] | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ONE Arrow-batched pass over ``src`` computing coarse assignment,
+    residual, and (with ``books``) PQ codes — zero joins, zero shuffles:
+    the production encode architecture (Faiss add(): coarse centroids
+    and codebooks live in memory; the corpus streams through once).
+
+    Bit-exactness contract with the unfused plan (fuzz-pinned in
+    tests/test_wave41.py): every reduction replicates the JVM left fold
+    via per-dimension vectorized adds (the _pq_train_local discipline) —
+    Σx² and Σx·c in j order, den = sqrt(Σa²)*sqrt(Σb²), cosine NULL iff
+    den == 0 or NaN (functions/vectors.cosine_similarity); assignment
+    key is (valid, cs, cent_id) max — max_by's struct order, ties to
+    the HIGHEST cent_id (processing centroids in ascending id with >=
+    reproduces it); residual = U - ucent on the JVM-collected unit
+    centroids; encode is pq_encode's fold-order argmin, ties to the
+    lowest code.
+
+    ``cent_rows``: (cent_id, raw cent_vec) ascending by cent_id.
+    ``ucent_by_id``: cent_id -> unit centroid (collected from the JVM
+    _unit expression, so the doubles are the plan's own).
+    Emits (id, rvec) when books is None, else (id, cent_id, codes).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_ids = [int(cid) for cid, _ in cent_rows]
+    cvecs = [
+        [float(x) for x in cv] for _, cv in cent_rows
+    ]
+    # left-fold Σc² per centroid, then one sqrt — l2_norm's sequence
+    sqrt_b = []
+    for cv in cvecs:
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        sqrt_b.append(math.sqrt(acc))
+    ucents = np.array(
+        [ucent_by_id[cid] for cid in cent_ids], dtype=np.float64
+    )
+    if books is not None:
+        m = len(books)
+        sublen = len(books[0][0])
+        nb_books = [np.asarray(b, dtype=np.float64) for b in books]
+    id_type = src.schema[id_col].dataType
+    if books is None:
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("rvec", T.ArrayType(T.DoubleType())),
+            ]
+        )
+    else:
+        out_schema = T.StructType(
+            [
+                T.StructField("nn_id", id_type),
+                T.StructField("cent_id", id_type),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = len(V)
+            # Σa² in j order (shared by the cosine den and the unit norm)
+            sqa = np.zeros(n, dtype=np.float64)
+            for j in range(V.shape[1]):
+                sqa = sqa + V[:, j] * V[:, j]
+            sqrt_a = np.sqrt(sqa)
+            best_valid = np.zeros(n, dtype=bool)
+            best_cs = np.zeros(n, dtype=np.float64)
+            best_ix = np.zeros(n, dtype=np.int64)
+            for ix, cv in enumerate(cvecs):
+                dot = np.zeros(n, dtype=np.float64)
+                for j in range(V.shape[1]):
+                    dot = dot + V[:, j] * cv[j]
+                den = sqrt_a * sqrt_b[ix]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cs = dot / den
+                valid = (den != 0.0) & ~np.isnan(cs)
+                # ascending cent_id + >= : ties go to the HIGHEST id,
+                # and among all-invalid rows the last id wins — the
+                # (valid, cs, cent_id) max key of the unfused max_by
+                upgrade = valid & (~best_valid | (cs >= best_cs))
+                take = upgrade | (~valid & ~best_valid)
+                best_ix[take] = ix
+                best_cs = np.where(upgrade, cs, best_cs)
+                best_valid = best_valid | valid
+            nrm = sqrt_a.copy()
+            nrm[nrm == 0] = 1.0  # zero vector stays zeros (_unit)
+            U = V / nrm[:, None]
+            R = U - ucents[best_ix]
+            if books is None:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "rvec": list(R.tolist())}
+                )
+                continue
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                X = R[:, s * sublen : (s + 1) * sublen]
+                C = nb_books[s]
+                d = np.zeros((n, len(C)), dtype=np.float64)
+                for j in range(sublen):
+                    diff = X[:, j, None] - C[None, :, j]
+                    d = d + diff * diff
+                codes[:, s] = d.argmin(axis=1)
+            assigned_ids = np.asarray(cent_ids, dtype=np.int64)[best_ix]
+            yield pd.DataFrame(
+                {
+                    "nn_id": pdf[id_col],
+                    "cent_id": assigned_ids,
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    return src.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
 def ivf_pq_residual_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1502,6 +1632,7 @@ def ivf_pq_residual_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     train_sample_mod: int | None = None,
+    fused: bool = False,
 ) -> DataFrame:
     """Residual IVF-PQ top-k with exact re-rank — Faiss's DEFAULT IVF-PQ
     (``by_residual=True``, Jegou et al. TPAMI'11 §V.B): the PQ quantizes
@@ -1535,6 +1666,14 @@ def ivf_pq_residual_topk(
     L2-on-unit-vectors still ranks by cosine: the ADC approximates
     ||u(q) - (u(c) + r_hat)||^2 where u(c) + r_hat ~ u(x).
 
+    ``fused=True`` switches the corpus side to the PRODUCTION encode
+    architecture: coarse + unit centroids collect driver-side (bounded
+    by n_cells) and assignment + residual + encode run as ONE
+    Arrow-batched mapInPandas pass — zero joins, zero shuffles, no
+    checkpoint (Faiss's add() shape). Bit-identical output
+    (fuzz-pinned); the unfused plan stays the default because each of
+    its stages has a same-shaped DuckDB CTE twin.
+
     Scale: corpus-sized work is the coarse-assign aggregation, the
     residual join, the narrow codes-side equi-joins, and the pruned ADC
     scan; training happens on the hash-modulus sample (the sample
@@ -1567,62 +1706,112 @@ def ivf_pq_residual_topk(
         "cent_id", _unit(F.col("cent_vec")).alias("cent_uvec")
     )
 
-    # nearest centroid per corpus vector — ivf_pq_topk's pass verbatim
-    # (broadcast cross + max_by; ties to the HIGHEST cent_id)
-    c = widen_partitions(corpus).select(
-        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
-    )
     cos = _cos_fn(dim)
-    assign = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("cs", cos(F.col("nn_vec"), F.col("cent_vec")))
-        .groupBy("nn_id")
-        .agg(F.max_by("cent_id", F.struct("cs", "cent_id")).alias("cent_id"))
-    )
-    # ONE coarse-assignment pass: assign feeds the residual frame
-    # (training gate probe + training transfer + encode) AND the
-    # inverted-list join — without truncation each consumer re-runs the
-    # |corpus| x n_cells cosine crossJoin (measured 17.6s -> 7.5s at
-    # sf0.01 from this line alone). The checkpoint is NARROW — (id,
-    # int32) rows, ~12 B/row at any corpus size; raw vectors are never
-    # checkpointed.
-    assign = assign.localCheckpoint(eager=True)
-
-    # residual frame: rvec = u(x) - u(assigned centroid). The zip_with
-    # subtraction runs on the two _unit folds' exact doubles — the
-    # DuckDB twin reproduces both folds and the subtraction bit-for-bit.
-    # DELIBERATELY not persisted: its two full evaluations (training
-    # transfer on the SAMPLED side — the hash filter pushes through the
-    # join — and encode on the full side) each cost one narrow scan +
-    # one join off the checkpointed assignment, while caching it would
-    # pin a corpus-sized dim-double frame; at 100 TB recompute-from-
-    # narrow beats memory. The fused assign+residual+encode mapInPandas
-    # pass (docstring) is the production end-state if even that matters.
-    cu = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("nn_id"), _unit(F.col(vec_col)).alias("uvec")
-    )
-    resid = (
-        cu.join(assign, "nn_id")
-        .join(F.broadcast(cents_u), "cent_id")
-        .select(
-            F.col("nn_id").alias(id_col),
-            "cent_id",
-            F.zip_with(
-                "uvec", "cent_uvec", lambda x, y: x - y
-            ).alias("rvec"),
+    if fused:
+        # PRODUCTION encode architecture (Faiss add-time): coarse
+        # centroids + unit centroids collect driver-side (bounded by
+        # n_cells — the same boundedness every broadcast(cents) below
+        # already assumes), and assignment + residual + encode run as
+        # ONE Arrow-batched pass over the corpus — zero joins, zero
+        # shuffles, no checkpoint. Bit-identical to the unfused plan
+        # (fuzz-pinned); the unfused plan remains the default because
+        # its every stage has a DuckDB CTE twin of the same shape.
+        cent_rows = [
+            (r["cent_id"], r["cent_vec"])
+            for r in cents.orderBy("cent_id").collect()
+        ]
+        ucent_by_id = {
+            r["cent_id"]: r["cent_uvec"]
+            for r in cents_u.collect()
+        }
+        # training source replicates pq_train's sample semantics: the
+        # xxhash64-modulus filter runs BEFORE the fused pass (so only
+        # sampled rows pay the residual math — at corpus scale this is
+        # the whole point), with the same >= ksub degenerate-sample
+        # fallback to the full corpus
+        tr_src = corpus
+        if train_sample_mod and train_sample_mod > 1:
+            sample = corpus.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod))
+                == 0
+            )
+            if sample.limit(ksub).count() >= ksub:
+                tr_src = sample
+        resid_tr = _fused_residual_pass(
+            widen_partitions(tr_src), cent_rows, ucent_by_id, None,
+            id_col, vec_col,
         )
-    )
+        books = pq_train(
+            resid_tr, m, ksub, iters, id_col, "rvec", dim,
+            None, normalize=False,
+        )
+        coded = _fused_residual_pass(
+            widen_partitions(corpus), cent_rows, ucent_by_id, books,
+            id_col, vec_col,
+        )
+    else:
+        # nearest centroid per corpus vector — ivf_pq_topk's pass
+        # verbatim (broadcast cross + max_by; ties to the HIGHEST
+        # cent_id)
+        c = widen_partitions(corpus).select(
+            F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
+        )
+        assign = (
+            c.crossJoin(F.broadcast(cents))
+            .withColumn("cs", cos(F.col("nn_vec"), F.col("cent_vec")))
+            .groupBy("nn_id")
+            .agg(
+                F.max_by(
+                    "cent_id", F.struct("cs", "cent_id")
+                ).alias("cent_id")
+            )
+        )
+        # ONE coarse-assignment pass: assign feeds the residual frame
+        # (training gate probe + training transfer + encode) AND the
+        # inverted-list join — without truncation each consumer re-runs
+        # the |corpus| x n_cells cosine crossJoin (measured 17.6s ->
+        # 7.5s at sf0.01 from this line alone). The checkpoint is
+        # NARROW — (id, int32) rows, ~12 B/row at any corpus size; raw
+        # vectors are never checkpointed.
+        assign = assign.localCheckpoint(eager=True)
 
-    books = pq_train(
-        resid, m, ksub, iters, id_col, "rvec", dim,
-        train_sample_mod, normalize=False,
-    )
-    codes = pq_encode(resid, books, id_col, "rvec", normalize=False)
-    # inverted-list build: narrow (id, codes) x (id, cell) equi-join —
-    # the compressed corpus representation, never raw vectors
-    coded = codes.select(F.col(id_col).alias("nn_id"), "codes").join(
-        assign, "nn_id"
-    )
+        # residual frame: rvec = u(x) - u(assigned centroid). The
+        # zip_with subtraction runs on the two _unit folds' exact
+        # doubles — the DuckDB twin reproduces both folds and the
+        # subtraction bit-for-bit. DELIBERATELY not persisted: its two
+        # full evaluations (training transfer on the SAMPLED side — the
+        # hash filter pushes through the join — and encode on the full
+        # side) each cost one narrow scan + one join off the
+        # checkpointed assignment, while caching it would pin a
+        # corpus-sized dim-double frame; at 100 TB recompute-from-
+        # narrow beats memory. The fused=True regime is the production
+        # end-state that removes even those passes.
+        cu = corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("nn_id"), _unit(F.col(vec_col)).alias("uvec")
+        )
+        resid = (
+            cu.join(assign, "nn_id")
+            .join(F.broadcast(cents_u), "cent_id")
+            .select(
+                F.col("nn_id").alias(id_col),
+                "cent_id",
+                F.zip_with(
+                    "uvec", "cent_uvec", lambda x, y: x - y
+                ).alias("rvec"),
+            )
+        )
+
+        books = pq_train(
+            resid, m, ksub, iters, id_col, "rvec", dim,
+            train_sample_mod, normalize=False,
+        )
+        codes = pq_encode(resid, books, id_col, "rvec", normalize=False)
+        # inverted-list build: narrow (id, codes) x (id, cell)
+        # equi-join — the compressed corpus representation, never raw
+        # vectors
+        coded = codes.select(F.col(id_col).alias("nn_id"), "codes").join(
+            assign, "nn_id"
+        )
 
     # query probes: nprobe nearest cells, ties to the LOWEST cent_id
     q = queries.select(

@@ -19,6 +19,13 @@
   non-residual 0.64 at the same budget, the Faiss by_residual claim
   reproduced; this report is the regression pin for that fidelity gap.
 
+* ivf_pq_residual_fused — the same search through the FUSED corpus
+  regime (assignment + residual + encode as one Arrow-batched
+  mapInPandas pass, centroids driver-held; Faiss's add()
+  architecture). Bit-identical to the unfused plan (fuzz-pinned), so
+  it shares the oracle — the driver witness certifies the
+  zero-corpus-shuffle execution path end to end.
+
 Scale notes: identical shape to ivf_pq_topk (two narrow corpus passes +
 pruned BHJ ADC scan + output-bounded re-rank) plus the residual
 variant's intrinsic extra — ONE corpus-wide (id, dim-double) shuffle to
@@ -68,6 +75,30 @@ def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_residual_topk(
         emb, qs, k=5, m=4, ksub=16, candidates=50,
         centroid_stride=10, nprobe=4, train_sample_mod=5,
+    )
+
+
+@query(
+    "ivf_pq_residual_fused",
+    _ivf_pq_residual_oracle(),
+    tags=["similarity", "ann", "ivf", "pq", "residual", "fused"],
+)
+def q_ivf_pq_residual_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME residual IVF-PQ search through the fused corpus regime
+    (operators/similarity.ivf_pq_residual_topk(fused=True)): coarse +
+    unit centroids held driver-side, assignment + residual + encode as
+    ONE Arrow-batched mapInPandas pass — zero corpus-side joins or
+    shuffles (Faiss's add() architecture; plan-contract-pinned in
+    tests/test_wave41.py). Bit-identical to ivf_pq_residual_topk
+    (fuzz-pinned), so it certifies against the SAME DuckDB oracle —
+    the driver witness covers the fused execution path end to end."""
+    from ..operators.similarity import ivf_pq_residual_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_pq_residual_topk(
+        emb, qs, k=5, m=4, ksub=16, candidates=50,
+        centroid_stride=10, nprobe=4, train_sample_mod=5, fused=True,
     )
 
 

@@ -373,3 +373,90 @@ def test_pq_train_residual_regimes_bit_identical(spark):
             f"trial {trial} m={m} ksub={ksub} n={n} iters={iters}:\n"
             f" local={local}\n dist={dist}"
         )
+
+
+def test_ivf_pq_residual_fused_plan_zero_corpus_shuffles(spark, sf_dir):
+    """fused=True plan contract: the corpus side is scan -> ONE
+    MapInPandas -> BroadcastHashJoin on cent_id. No checkpoint scan, no
+    corpus-side equi-join, no cartesian; the only BNLJ left is the
+    queries x centroids probe scoring (the per-cell LUT frame joins
+    cents_u equi-style). The unfused plan's 2-BNLJ / checkpoint shape
+    must NOT reappear."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    df = S.ivf_pq_residual_topk(
+        emb, qs, k=5, centroid_stride=10, nprobe=4, fused=True
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin \[cent_id", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan, plan
+    # no localCheckpoint RDD scan in the fused plan: the unfused
+    # assignment checkpoint scans as ExistingRDD[nn_id..., cent_id...];
+    # the only ExistingRDD allowed here is the constant-size codeword
+    # table (sub, code, cent)
+    assert not re.search(r"ExistingRDD\[nn_id", plan), plan
+
+
+def test_ivf_pq_residual_fused_fuzz_vs_unfused(spark):
+    """Randomized bit-equality of the fused single-pass regime against
+    the unfused join plan — zero vectors, exact duplicates, and
+    colinear (cosine-tie) rows planted to exercise every tie rule, the
+    degenerate-cosine NULL path, and the training-sample fallback.
+    50 volume trials passed before this 8-trial permanent cut (r12
+    fuzz-before-ship protocol). Exact tuple-set equality INCLUDING the
+    float cosines."""
+    import numpy as np
+
+    rng = random.Random(424214)
+    for t in range(8):
+        m = rng.choice([2, 4])
+        sublen = rng.choice([2, 4])
+        dim = m * sublen
+        ksub = rng.choice([4, 8])
+        n = rng.randint(max(24, ksub + 4), 80)
+        stride = rng.choice([3, 5, 10])
+        nprobe = rng.choice([1, 2, 4])
+        candidates = rng.choice([5, 20])
+        k = rng.choice([3, 5])
+        qmod = rng.choice([7, 10])
+        tsm = rng.choice([None, 2, 3])
+        ids = list(range(n))
+        vecs = []
+        for _i in ids:
+            r = rng.random()
+            if r < 0.06:
+                vecs.append([0.0] * dim)
+            elif r < 0.18 and vecs:
+                vecs.append(list(vecs[rng.randrange(len(vecs))]))
+            elif r < 0.26 and vecs:
+                vecs.append([2.0 * x for x in vecs[-1]])
+            else:
+                vecs.append(
+                    [float(np.float32(rng.uniform(-1, 1)))
+                     for _ in range(dim)]
+                )
+        df = spark.createDataFrame(
+            list(zip(ids, vecs)), "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        qdf = df.filter(f"vec_id % {qmod} = 0")
+        kw = dict(
+            k=k, m=m, ksub=ksub, candidates=candidates,
+            centroid_stride=stride, nprobe=nprobe, train_sample_mod=tsm,
+        )
+        a = {
+            (r.q_id, r.nn_id, r.rank, r.cosine)
+            for r in S.ivf_pq_residual_topk(df, qdf, **kw).collect()
+        }
+        b = {
+            (r.q_id, r.nn_id, r.rank, r.cosine)
+            for r in S.ivf_pq_residual_topk(
+                df, qdf, fused=True, **kw
+            ).collect()
+        }
+        assert a == b, (
+            f"trial {t}: n={n} dim={dim} m={m} ksub={ksub} "
+            f"stride={stride} nprobe={nprobe} cand={candidates} k={k} "
+            f"tsm={tsm}\n unfused-only: {sorted(a - b)[:6]}\n"
+            f" fused-only: {sorted(b - a)[:6]}"
+        )
