@@ -423,6 +423,43 @@ def bench_ivf_pq_residual(spark: SparkSession, frac: float) -> dict:
     return timed(spark, f"ivf_pq_residual_{frac}x", run)
 
 
+def bench_ivf_pq_residual_fused(spark: SparkSession, frac: float) -> dict:
+    """Residual IVF-PQ through the FUSED corpus regime (fused=True):
+    assignment + residual + encode as one Arrow-batched mapInPandas
+    pass, centroids driver-held — zero corpus-side joins/shuffles.
+    Same sizes as the unfused cell, so the pair measures exactly what
+    the fusion buys at scale (bit-identical results, fuzz-pinned)."""
+    from map_v2_etl_spark.operators.similarity import ivf_pq_residual_topk
+
+    dim = 16
+    n = int(150_000 * MULT * frac)
+    n_cells = 512
+    stride = max(1, n // n_cells)
+    emb = gen_embeddings(spark, n, dim)
+    qs = emb.filter(F.col("vec_id") % max(1, n // 32) == 0)
+
+    def run():
+        out = ivf_pq_residual_topk(
+            emb, qs, k=5, m=4, ksub=16, candidates=50,
+            centroid_stride=stride, nprobe=8, dim=dim,
+            train_sample_mod=max(1, n // 60_000), fused=True,
+        )
+        agg = out.agg(
+            F.count("*").alias("rows"), F.sum("rank").alias("ranksum")
+        ).first()
+        return {
+            "n_rows": n,
+            "dim": dim,
+            "n_cells_target": n_cells,
+            "stride": stride,
+            "nprobe": 8,
+            "result_rows": agg["rows"],
+            "rank_sum": int(agg["ranksum"]),
+        }
+
+    return timed(spark, f"ivf_pq_residual_fused_{frac}x", run)
+
+
 def bench_triangles(spark: SparkSession, frac: float) -> dict:
     from map_v2_etl_spark.operators.graph import triangle_counts
 
@@ -1060,6 +1097,7 @@ BENCHES = {
     "pq_train": bench_pq_train,
     "ivf_pq": bench_ivf_pq,
     "ivf_pq_residual": bench_ivf_pq_residual,
+    "ivf_pq_residual_fused": bench_ivf_pq_residual_fused,
     "triangles": bench_triangles,
     "skew_join": bench_skew_join,
     "dpp": bench_dpp,
