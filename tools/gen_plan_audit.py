@@ -71,6 +71,9 @@ AUDIT_EXTRA = [
     "compact_small_files", "snapshot_vacuum",
     # wave-27
     "scd2_intervals",
+    # wave-41: residual IVF-PQ, both regimes — the routed-BHJ ADC scan
+    # and the fused zero-corpus-shuffle MapInPandas encode
+    "ivf_pq_residual_topk", "ivf_pq_residual_fused",
 ]
 
 
