@@ -1633,6 +1633,8 @@ def ivf_pq_residual_topk(
     dim: int | None = None,
     train_sample_mod: int | None = None,
     fused: bool = False,
+    kmeans_cells: int | None = None,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """Residual IVF-PQ top-k with exact re-rank — Faiss's DEFAULT IVF-PQ
     (``by_residual=True``, Jegou et al. TPAMI'11 §V.B): the PQ quantizes
@@ -1674,6 +1676,13 @@ def ivf_pq_residual_topk(
     (fuzz-pinned); the unfused plan stays the default because each of
     its stages has a same-shaped DuckDB CTE twin.
 
+    ``kmeans_cells=k`` replaces the strided coarse codebook with
+    ``kmeans_iters`` rounds of Lloyd refinement (lloyd_centroids — the
+    certified k-means machinery, decimal-grid means, regime-gated) —
+    the FULL Faiss default, whose coarse quantizer IS k-means. Cell ids
+    become 0..k-1; every downstream tie rule is unchanged. The oracle
+    twin composes plans/duck_vec.lloyd_ctes into the routing CTEs.
+
     Scale: corpus-sized work is the coarse-assign aggregation, the
     residual join, the narrow codes-side equi-joins, and the pruned ADC
     scan; training happens on the hash-modulus sample (the sample
@@ -1693,15 +1702,30 @@ def ivf_pq_residual_topk(
         raise ValueError(f"dim {dim} must be a multiple of m={m}")
     sublen = dim // m
 
-    cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-    )
-    if cents.limit(1).count() == 0:
-        raise ValueError(
-            "ivf_pq_residual_topk coarse codebook is empty: id_col % "
-            f"{centroid_stride} matched no rows (string or sparse ids? "
-            "use a smaller centroid_stride or numeric dense ids)"
+    if kmeans_cells is not None:
+        # Lloyd-refined coarse codebook (the Faiss default): k x dim
+        # driver floats from the certified k-means loop; cell ids are
+        # the cluster indices 0..k-1
+        cent_list = lloyd_centroids(
+            corpus, k=kmeans_cells, iters=kmeans_iters,
+            id_col=id_col, vec_col=vec_col,
         )
+        cents = corpus.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cent_list)],
+            "cent_id BIGINT, cent_vec ARRAY<DOUBLE>",
+        )
+    else:
+        cents = corpus.filter(
+            (F.col(id_col) % centroid_stride) == 0
+        ).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+        if cents.limit(1).count() == 0:
+            raise ValueError(
+                "ivf_pq_residual_topk coarse codebook is empty: id_col % "
+                f"{centroid_stride} matched no rows (string or sparse "
+                "ids? use a smaller centroid_stride or numeric dense ids)"
+            )
     cents_u = cents.select(
         "cent_id", _unit(F.col("cent_vec")).alias("cent_uvec")
     )

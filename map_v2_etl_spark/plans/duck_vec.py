@@ -273,6 +273,8 @@ def pq_topk_ctes(
     centroid_stride: int | None = None,
     nprobe: int | None = None,
     residual: bool = False,
+    kmeans_cells: int | None = None,
+    kmeans_iters: int = 2,
 ) -> str:
     """Full PQ/ADC top-k oracle: training-sample selection (xxhash64
     modulus — bit-equal to F.xxhash64), per-subspace Lloyd with
@@ -305,14 +307,33 @@ def pq_topk_ctes(
     broadcast equi-join."""
     sublen = dim // m
     slice_ = f"uvec[(s * {sublen} + 1):(s * {sublen} + {sublen})]"
-    if residual and (centroid_stride is None or nprobe is None):
-        raise ValueError("residual=True requires centroid_stride/nprobe")
+    routed = centroid_stride is not None or kmeans_cells is not None
+    if residual and (not routed or nprobe is None):
+        raise ValueError(
+            "residual=True requires nprobe and centroid_stride/kmeans_cells"
+        )
     routing: list[str] = []
-    if centroid_stride is not None:
+    if routed:
         C = cosine  # noqa: N806 — local alias, matches _duck_ivf_sql
+        if kmeans_cells is not None:
+            # Lloyd-refined coarse codebook: the certified k-means CTE
+            # chain (lloyd_ctes — decimal-grid means, ties to the
+            # lowest cid, empty clusters keep their centroid) feeds the
+            # routing; cell ids are the cluster indices, exactly the
+            # Spark twin's enumerate() frame
+            icents = (
+                lloyd_ctes(kmeans_cells, kmeans_iters, dim, table)
+                + ", icents AS (SELECT CAST(cid AS BIGINT) AS cent_id, "
+                f"cent AS cent_vec FROM cents{kmeans_iters})"
+            )
+        else:
+            icents = (
+                f"icents AS (SELECT vec_id AS cent_id, embedding AS "
+                f"cent_vec FROM {table} WHERE vec_id % {centroid_stride} "
+                f"= 0)"
+            )
         routing = [
-            f"icents AS (SELECT vec_id AS cent_id, embedding AS cent_vec "
-            f"FROM {table} WHERE vec_id % {centroid_stride} = 0)",
+            icents,
             # corpus assignment: ties to the HIGHEST cent_id (max_by)
             "iasg AS (SELECT nn_id, cent_id FROM ("
             "SELECT e.vec_id AS nn_id, c.cent_id, ROW_NUMBER() OVER ("
@@ -458,7 +479,7 @@ def pq_topk_ctes(
             "lut AS (SELECT q_id, list(part ORDER BY s, code) AS lut "
             "FROM lutt GROUP BY q_id)",
         ]
-        if centroid_stride is not None:
+        if routed:
             parts += routing + [
                 # routed ADC: only coded rows in the query's probed cells
                 f"adc AS (SELECT l.q_id, c.vec_id AS nn_id, {adc_sum} "

@@ -78,6 +78,40 @@ def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_pq_kmeans_oracle() -> str:
+    from .duck_vec import pq_topk_ctes
+
+    return pq_topk_ctes(
+        m=4, ksub=16, iters=2, dim=64, candidates=50, k=5,
+        sample_mod=5, q_mod=50, nprobe=4, residual=True,
+        kmeans_cells=10, kmeans_iters=2,
+    )
+
+
+@query(
+    "ivf_pq_kmeans_topk",
+    _ivf_pq_kmeans_oracle(),
+    tags=["similarity", "ann", "ivf", "pq", "residual", "kmeans"],
+)
+def q_ivf_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Faiss IVF-PQ default: k-means-refined coarse
+    codebook (10 cells, 2 Lloyd rounds — lloyd_centroids, the certified
+    k-means machinery) + residual PQ + per-cell LUTs + exact re-rank
+    (operators/similarity.ivf_pq_residual_topk(kmeans_cells=10)). The
+    oracle composes plans/duck_vec.lloyd_ctes into the routing CTEs —
+    every stage of the chain is a previously-certified twin. Closes the
+    last ANN refinement from the r13 hand-off (the stride sample was
+    the deterministic stand-in for exactly this)."""
+    from ..operators.similarity import ivf_pq_residual_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_pq_residual_topk(
+        emb, qs, k=5, m=4, ksub=16, candidates=50, nprobe=4,
+        train_sample_mod=5, kmeans_cells=10, kmeans_iters=2,
+    )
+
+
 @query(
     "ivf_pq_residual_fused",
     _ivf_pq_residual_oracle(),

@@ -166,15 +166,18 @@ def _assign_py(ids, id2v, cents):
 
 
 def _ref_ivf_pq_residual(
-    ids, vecs, qids, books, k, m, ksub, candidates, stride, nprobe
+    ids, vecs, qids, books, k, m, ksub, candidates, stride, nprobe,
+    cents=None,
 ):
     """Independent residual IVF-PQ: residuals u(x) - u(c) via the same
     left folds, fold-order encode on the residuals (no normalization),
     per-(query, probed-cell) LUT part = ||(u(q) - u(cent))_s - cw||^2,
-    routed ADC, exact re-rank."""
+    routed ADC, exact re-rank. ``cents`` overrides the strided coarse
+    codebook (the kmeans_cells regime passes lloyd_centroids output)."""
     dim = len(vecs[0]); sublen = dim // m
     id2v = dict(zip(ids, vecs))
-    cents = [(i, id2v[i]) for i in ids if i % stride == 0]
+    if cents is None:
+        cents = [(i, id2v[i]) for i in ids if i % stride == 0]
     ucent = {cid: _unit_py(cv) for cid, cv in cents}
     assign = _assign_py(ids, id2v, cents)
     resid = {
@@ -460,3 +463,81 @@ def test_ivf_pq_residual_fused_fuzz_vs_unfused(spark):
             f"tsm={tsm}\n unfused-only: {sorted(a - b)[:6]}\n"
             f" fused-only: {sorted(b - a)[:6]}"
         )
+
+
+def test_ivf_pq_kmeans_fuzz_vs_python_twin(spark):
+    """kmeans_cells regime: randomized bit-equality of the full Faiss
+    default (Lloyd-refined coarse codebook + residual PQ) against the
+    pure-Python twin, with the coarse centroids taken from
+    lloyd_centroids (its own two-regime bit-equality has a separate
+    net) and handed to the twin verbatim — isolating the composition
+    plumbing. The FUSED regime is asserted equal in the same trial.
+    40 volume trials passed before this 6-trial permanent cut."""
+    import numpy as np
+
+    from map_v2_etl_spark.operators.similarity import lloyd_centroids
+
+    rng = random.Random(20260818)
+    for t in range(6):
+        m = rng.choice([2, 4])
+        sublen = rng.choice([2, 4])
+        dim = m * sublen
+        ksub = rng.choice([4, 8])
+        n = rng.randint(max(24, ksub + 4), 80)
+        cells = rng.choice([3, 5, 8])
+        kiters = rng.choice([1, 2])
+        nprobe = rng.choice([1, 2])
+        candidates = rng.choice([5, 20])
+        k = rng.choice([3, 5])
+        qmod = rng.choice([7, 10])
+        ids = list(range(n))
+        vecs = [
+            [float(np.float32(rng.uniform(-1, 1))) for _ in range(dim)]
+            for _ in ids
+        ]
+        qids = [i for i in ids if i % qmod == 0]
+        df = spark.createDataFrame(
+            list(zip(ids, vecs)), "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        qdf = df.filter(f"vec_id % {qmod} = 0")
+        cent_list = lloyd_centroids(df, k=cells, iters=kiters)
+        cents = list(enumerate(cent_list))
+        id2v = dict(zip(ids, vecs))
+        ucent = {cid: _unit_py(cv) for cid, cv in cents}
+        assign = _assign_py(ids, id2v, cents)
+        rvecs = [
+            (i, [a - b for a, b in
+                 zip(_unit_py(id2v[i]), ucent[assign[i]])])
+            for i in ids
+        ]
+        rdf = spark.createDataFrame(
+            rvecs, "vec_id BIGINT, rvec ARRAY<DOUBLE>"
+        )
+        books = S.pq_train(
+            rdf, m=m, ksub=ksub, iters=2, vec_col="rvec", normalize=False
+        )
+        kw = dict(
+            k=k, m=m, ksub=ksub, candidates=candidates, nprobe=nprobe,
+            kmeans_cells=cells, kmeans_iters=kiters,
+        )
+        got = {
+            (r.q_id, r.nn_id, r.rank, r.cosine)
+            for r in S.ivf_pq_residual_topk(df, qdf, **kw).collect()
+        }
+        exp = _ref_ivf_pq_residual(
+            ids, vecs, qids, books, k, m, ksub, candidates,
+            None, nprobe, cents=cents,
+        )
+        assert got == exp, (
+            f"trial {t}: n={n} dim={dim} m={m} ksub={ksub} cells={cells} "
+            f"kiters={kiters} nprobe={nprobe} cand={candidates} k={k}\n"
+            f" only got: {sorted(got - exp)[:6]}\n"
+            f" only exp: {sorted(exp - got)[:6]}"
+        )
+        fus = {
+            (r.q_id, r.nn_id, r.rank, r.cosine)
+            for r in S.ivf_pq_residual_topk(
+                df, qdf, fused=True, **kw
+            ).collect()
+        }
+        assert fus == got, f"trial {t}: fused != unfused under kmeans"
