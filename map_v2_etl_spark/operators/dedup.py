@@ -913,3 +913,111 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cross_doc_span_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document EXACT substring deduplication — the span-surgery
+    operator of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (ACL'22): every k-token span occurring more than
+    once ANYWHERE in the corpus keeps exactly ONE canonical occurrence
+    (the lowest (doc_id, position)) and every other occurrence's k
+    token positions are cut from their documents. Overlapping or
+    chained duplicated spans merge naturally through position-level
+    marking (a run of j >= k duplicated tokens is covered by its
+    j - k + 1 constituent k-grams). Returns
+    (id, clean_text, n_tokens, n_removed) for EVERY input document —
+    untouched docs pass through with n_removed = 0, fully-duplicated
+    copies come back with clean_text = ''.
+
+    This is the cross-corpus complement of block_dedup (within-doc
+    repetition, queries_wave12) and the exact-match complement of the
+    approximate winnowing/containment family: where MinHash asks "are
+    these documents similar?", this asks "which exact byte-spans are
+    literal copies?" — the operator the paper shows removes the
+    memorization-prone near-verbatim tail that document-level dedup
+    misses.
+
+    Distributed shape (the paper uses a single-node suffix array; the
+    k-gram anchor reformulation is the standard distributed
+    equivalent): ONE corpus tokenize, ONE |tokens|-row k-gram explode
+    shuffled by gram (the anchor table — same row count as the
+    suffix-array construction would touch), per-gram occurrence lists
+    ranked by a window (groups are occurrence counts, small for all but
+    boilerplate grams — at web scale cap pathological grams upstream
+    with a count filter if needed), a position-explode bounded by the
+    DUPLICATED volume only, and one doc_id shuffle to reassemble. No
+    driver-side state, no collects.
+
+    Tokenization is the package-wide canonical token array
+    (lm.toks_col ↔ the oracle's _DUCK_TOKS_F twin), so positions are
+    bit-comparable with every other text operator.
+    """
+    from pyspark.sql import Window as W
+
+    from .lm import toks_col
+
+    t = docs.select(F.col(id_col), toks_col(text_col).alias("toks"))
+    # k-gram anchors: (id, start-pos, gram). Docs shorter than k emit
+    # nothing — Spark's sequence() DESCENDS when stop < start, so the
+    # guard filter is load-bearing, not cosmetic.
+    g = (
+        t.filter(F.size("toks") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1))
+            ).alias("p"),
+            "toks",
+        )
+        .select(
+            id_col,
+            "p",
+            F.concat_ws(" ", F.slice("toks", F.col("p"), k)).alias("gram"),
+        )
+    )
+    # canonical occurrence = rank 1 by (doc_id, pos); every later
+    # occurrence marks its k positions for removal. rn > 1 implies the
+    # gram occurs more than once, so no separate count is needed.
+    wg = W.partitionBy("gram").orderBy(id_col, "p")
+    marked = (
+        g.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") > 1)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tp = t.select(
+        F.col(id_col), F.posexplode("toks").alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = (
+        tp.join(marked, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("_l")
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.transform(F.col("_l"), lambda s: s["tok"])
+            ).alias("clean_text"),
+            F.size("_l").alias("n_kept"),
+        )
+    )
+    base = t.select(F.col(id_col), F.size("toks").alias("n_tokens"))
+    return base.join(kept, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
