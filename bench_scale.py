@@ -460,6 +460,37 @@ def bench_ivf_pq_residual_fused(spark: SparkSession, frac: float) -> dict:
     return timed(spark, f"ivf_pq_residual_fused_{frac}x", run)
 
 
+def bench_span_dedup(spark: SparkSession, frac: float) -> dict:
+    """Cross-doc exact substring dedup (operators/dedup.
+    cross_doc_span_dedup, wave 42): gen_docs plants a shared base
+    sequence in every (2i, 2i+1) twin pair, so ~half the corpus's
+    k-gram volume is genuinely duplicated — the worst realistic case
+    for the anchor table (duplicated volume scales WITH the corpus,
+    not just the gram explode). Watches the one big shuffle (k-gram
+    anchors) and the position-marking explode stay linear."""
+    from map_v2_etl_spark.operators.dedup import cross_doc_span_dedup
+
+    n = int(60_000 * MULT * frac)
+    docs = gen_docs(spark, n, length=30)
+
+    def run():
+        out = cross_doc_span_dedup(docs, k=8)
+        agg = out.agg(
+            F.count("*").alias("rows"),
+            F.sum("n_removed").alias("removed"),
+            F.sum("n_tokens").alias("toks"),
+        ).first()
+        return {
+            "n_docs": n,
+            "k": 8,
+            "result_rows": agg["rows"],
+            "tokens_total": int(agg["toks"]),
+            "tokens_removed": int(agg["removed"]),
+        }
+
+    return timed(spark, f"span_dedup_{frac}x", run)
+
+
 def bench_triangles(spark: SparkSession, frac: float) -> dict:
     from map_v2_etl_spark.operators.graph import triangle_counts
 
@@ -1098,6 +1129,7 @@ BENCHES = {
     "ivf_pq": bench_ivf_pq,
     "ivf_pq_residual": bench_ivf_pq_residual,
     "ivf_pq_residual_fused": bench_ivf_pq_residual_fused,
+    "span_dedup": bench_span_dedup,
     "triangles": bench_triangles,
     "skew_join": bench_skew_join,
     "dpp": bench_dpp,

@@ -74,6 +74,8 @@ AUDIT_EXTRA = [
     # wave-41: residual IVF-PQ, both regimes — the routed-BHJ ADC scan
     # and the fused zero-corpus-shuffle MapInPandas encode
     "ivf_pq_residual_topk", "ivf_pq_residual_fused",
+    # wave-42: cross-doc exact substring dedup (k-gram anchor table)
+    "cross_doc_span_dedup",
 ]
 
 
