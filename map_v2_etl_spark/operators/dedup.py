@@ -924,15 +924,20 @@ def cross_doc_span_dedup(
     """Cross-document EXACT substring deduplication — the span-surgery
     operator of Lee et al., "Deduplicating Training Data Makes Language
     Models Better" (ACL'22): every k-token span occurring more than
-    once ANYWHERE in the corpus keeps exactly ONE canonical occurrence
-    (the lowest (doc_id, position)) and every other occurrence's k
+    once ANYWHERE in the corpus designates its lowest (doc_id,
+    position) occurrence canonical and every OTHER occurrence's k
     token positions are cut from their documents. Overlapping or
     chained duplicated spans merge naturally through position-level
     marking (a run of j >= k duplicated tokens is covered by its
-    j - k + 1 constituent k-grams). Returns
+    j - k + 1 constituent k-grams). NOTE the paper's semantics, kept
+    here deliberately: spans are removed independently, so a gram's
+    canonical copy can itself be destroyed when it overlaps a
+    DIFFERENT duplicated gram's non-canonical occurrence — at-least-
+    one-copy retention is typical, not guaranteed. Returns
     (id, clean_text, n_tokens, n_removed) for EVERY input document —
     untouched docs pass through with n_removed = 0, fully-duplicated
-    copies come back with clean_text = ''.
+    copies come back with clean_text = '', NULL/empty text as
+    ('', 0, 0).
 
     This is the cross-corpus complement of block_dedup (within-doc
     repetition, queries_wave12) and the exact-match complement of the
@@ -961,7 +966,15 @@ def cross_doc_span_dedup(
 
     from .lm import toks_col
 
-    t = docs.select(F.col(id_col), toks_col(text_col).alias("toks"))
+    # NULL text -> empty token array, NOT a NULL one: size(NULL) is -1
+    # under Spark's legacy sizeOfNull, which would emit (-1, -1) counts
+    # and diverge from the oracle twin's coalesced len()
+    t = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            toks_col(text_col), F.array().cast("array<string>")
+        ).alias("toks"),
+    )
     # k-gram anchors: (id, start-pos, gram). Docs shorter than k emit
     # nothing — Spark's sequence() DESCENDS when stop < start, so the
     # guard filter is load-bearing, not cosmetic.

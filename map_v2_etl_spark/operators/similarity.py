@@ -1491,10 +1491,10 @@ def ivf_pq_topk(
 def _fused_residual_pass(
     src: DataFrame,
     cent_rows: list,
-    ucent_by_id: dict,
     books: list[list[list[float]]] | None,
     id_col: str,
     vec_col: str,
+    cent_id_type=None,
 ) -> DataFrame:
     """ONE Arrow-batched pass over ``src`` computing coarse assignment,
     residual, and (with ``books``) PQ codes — zero joins, zero shuffles:
@@ -1512,35 +1512,61 @@ def _fused_residual_pass(
     centroids; encode is pq_encode's fold-order argmin, ties to the
     lowest code.
 
-    ``cent_rows``: (cent_id, raw cent_vec) ascending by cent_id.
-    ``ucent_by_id``: cent_id -> unit centroid (collected from the JVM
-    _unit expression, so the doubles are the plan's own).
-    Emits (id, rvec) when books is None, else (id, cent_id, codes).
+    ``cent_rows``: (cent_id, raw cent_vec | None, unit cent_vec | None)
+    ascending by cent_id — unit vectors collected from the JVM _unit
+    expression, so the doubles are the plan's own. A NULL-embedding
+    centroid (the documented missing-vector sentinel) scores NULL
+    cosine against every row in the unfused plan, so here it is never
+    `valid`; it can still WIN a row whose every cosine is invalid
+    (max cent_id among all-NULL — the max_by struct rule), and such
+    rows then carry a NULL residual and DROP, exactly as the unfused
+    resid frame's NULL rvec rows vanish inside pq_train/pq_encode.
+
+    ``cent_id_type``: Spark type for the emitted cent_id column —
+    defaults to the id column's type; the kmeans regime passes
+    LongType (cluster indices are 0..k-1 regardless of the corpus id
+    type). Emits (id, rvec) when books is None, else
+    (id, cent_id, codes).
     """
     import math
 
     import pandas as pd
     from pyspark.sql import types as T
 
-    cent_ids = [int(cid) for cid, _ in cent_rows]
+    cent_ids = [cid for cid, _, _ in cent_rows]
     cvecs = [
-        [float(x) for x in cv] for _, cv in cent_rows
+        [float(x) for x in cv] if cv is not None else None
+        for _, cv, _ in cent_rows
     ]
     # left-fold Σc² per centroid, then one sqrt — l2_norm's sequence
     sqrt_b = []
     for cv in cvecs:
+        if cv is None:
+            sqrt_b.append(None)
+            continue
         acc = 0.0
         for x in cv:
             acc = acc + x * x
         sqrt_b.append(math.sqrt(acc))
+    has_ucent = np.array(
+        [u is not None for _, _, u in cent_rows], dtype=bool
+    )
+    dim0 = next(
+        (len(u) for _, _, u in cent_rows if u is not None), 0
+    )
     ucents = np.array(
-        [ucent_by_id[cid] for cid in cent_ids], dtype=np.float64
+        [
+            (u if u is not None else [0.0] * dim0)
+            for _, _, u in cent_rows
+        ],
+        dtype=np.float64,
     )
     if books is not None:
         m = len(books)
         sublen = len(books[0][0])
         nb_books = [np.asarray(b, dtype=np.float64) for b in books]
     id_type = src.schema[id_col].dataType
+    cid_type = cent_id_type or id_type
     if books is None:
         out_schema = T.StructType(
             [
@@ -1552,7 +1578,7 @@ def _fused_residual_pass(
         out_schema = T.StructType(
             [
                 T.StructField("nn_id", id_type),
-                T.StructField("cent_id", id_type),
+                T.StructField("cent_id", cid_type),
                 T.StructField("codes", T.ArrayType(T.IntegerType())),
             ]
         )
@@ -1573,6 +1599,12 @@ def _fused_residual_pass(
             best_cs = np.zeros(n, dtype=np.float64)
             best_ix = np.zeros(n, dtype=np.int64)
             for ix, cv in enumerate(cvecs):
+                if cv is None:
+                    # NULL-embedding centroid: never valid, but still
+                    # wins all-invalid rows (later id beats earlier)
+                    take = ~best_valid
+                    best_ix[take] = ix
+                    continue
                 dot = np.zeros(n, dtype=np.float64)
                 for j in range(V.shape[1]):
                     dot = dot + V[:, j] * cv[j]
@@ -1588,6 +1620,18 @@ def _fused_residual_pass(
                 best_ix[take] = ix
                 best_cs = np.where(upgrade, cs, best_cs)
                 best_valid = best_valid | valid
+            # rows assigned to a NULL-embedding centroid have no unit
+            # centroid to subtract — the unfused plan's NULL rvec, which
+            # vanishes in pq_train/pq_encode; drop them here
+            keep = has_ucent[best_ix]
+            if not keep.all():
+                V = V[keep]
+                sqrt_a = sqrt_a[keep]
+                best_ix = best_ix[keep]
+                pdf = pdf[keep]
+                n = len(V)
+            if not n:
+                continue
             nrm = sqrt_a.copy()
             nrm[nrm == 0] = 1.0  # zero vector stays zeros (_unit)
             U = V / nrm[:, None]
@@ -1606,7 +1650,7 @@ def _fused_residual_pass(
                     diff = X[:, j, None] - C[None, :, j]
                     d = d + diff * diff
                 codes[:, s] = d.argmin(axis=1)
-            assigned_ids = np.asarray(cent_ids, dtype=np.int64)[best_ix]
+            assigned_ids = [cent_ids[i] for i in best_ix]
             yield pd.DataFrame(
                 {
                     "nn_id": pdf[id_col],
@@ -1740,29 +1784,44 @@ def ivf_pq_residual_topk(
         # shuffles, no checkpoint. Bit-identical to the unfused plan
         # (fuzz-pinned); the unfused plan remains the default because
         # its every stage has a DuckDB CTE twin of the same shape.
+        # ONE driver collect carries both the raw and the unit form of
+        # every centroid (two separate collects would each re-run the
+        # strided corpus scan); the unit doubles come from the plan's
+        # own _unit expression, preserving the bit-exactness contract
         cent_rows = [
-            (r["cent_id"], r["cent_vec"])
-            for r in cents.orderBy("cent_id").collect()
+            (r["cent_id"], r["cent_vec"], r["cent_uvec"])
+            for r in cents.select(
+                "cent_id",
+                "cent_vec",
+                _unit(F.col("cent_vec")).alias("cent_uvec"),
+            )
+            .orderBy("cent_id")
+            .collect()
         ]
-        ucent_by_id = {
-            r["cent_id"]: r["cent_uvec"]
-            for r in cents_u.collect()
-        }
+        from pyspark.sql import types as T
+
+        cid_type = (
+            T.LongType()
+            if kmeans_cells is not None
+            else corpus.schema[id_col].dataType
+        )
         # training source replicates pq_train's sample semantics: the
         # xxhash64-modulus filter runs BEFORE the fused pass (so only
         # sampled rows pay the residual math — at corpus scale this is
         # the whole point), with the same >= ksub degenerate-sample
-        # fallback to the full corpus
+        # fallback to the full corpus. The gate counts NON-NULL-
+        # embedding rows only — the unfused pq_train gates on the resid
+        # frame, which the cu.isNotNull filter has already purged.
         tr_src = corpus
         if train_sample_mod and train_sample_mod > 1:
             sample = corpus.filter(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod))
                 == 0
-            )
+            ).filter(F.col(vec_col).isNotNull())
             if sample.limit(ksub).count() >= ksub:
                 tr_src = sample
         resid_tr = _fused_residual_pass(
-            widen_partitions(tr_src), cent_rows, ucent_by_id, None,
+            widen_partitions(tr_src), cent_rows, None,
             id_col, vec_col,
         )
         books = pq_train(
@@ -1770,8 +1829,8 @@ def ivf_pq_residual_topk(
             None, normalize=False,
         )
         coded = _fused_residual_pass(
-            widen_partitions(corpus), cent_rows, ucent_by_id, books,
-            id_col, vec_col,
+            widen_partitions(corpus), cent_rows, books,
+            id_col, vec_col, cent_id_type=cid_type,
         )
     else:
         # nearest centroid per corpus vector — ivf_pq_topk's pass

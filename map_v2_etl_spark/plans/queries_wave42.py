@@ -29,7 +29,8 @@ from .registry import query
 _K = 8
 
 _DUCK_SPAN_DEDUP = f"""
-WITH d AS (SELECT doc_id, {_DUCK_TOKS_F} AS toks FROM documents),
+WITH d AS (SELECT doc_id,
+                  coalesce({_DUCK_TOKS_F}, []) AS toks FROM documents),
 g AS (
   SELECT doc_id, p,
          array_to_string(list_slice(toks, p, p + {_K - 1}), chr(32))

@@ -541,3 +541,97 @@ def test_ivf_pq_kmeans_fuzz_vs_python_twin(spark):
             ).collect()
         }
         assert fus == got, f"trial {t}: fused != unfused under kmeans"
+
+
+def test_fused_null_centroid_and_zero_vector_parity(spark):
+    """Review fixes (r13): a NULL-embedding strided centroid must not
+    crash the fused regime; rows whose every cosine is invalid (zero
+    vectors) assign to the HIGHEST cent_id — here the NULL one — and
+    DROP in both regimes (the unfused NULL-rvec path); outputs stay
+    bit-equal."""
+    import numpy as np
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        if i == 30:
+            rows.append((i, None))  # NULL centroid at the highest id
+        elif i in (5, 17):
+            rows.append((i, [0.0] * 8))  # all-invalid -> NULL cent
+        else:
+            rows.append(
+                (i, [float(np.float32(rng.uniform(-1, 1)))
+                     for _ in range(8)])
+            )
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    qs = emb.filter("vec_id % 10 = 3")
+    kw = dict(k=3, m=2, ksub=4, candidates=10,
+              centroid_stride=10, nprobe=2)
+    a = {
+        (r.q_id, r.nn_id, r.rank, r.cosine)
+        for r in S.ivf_pq_residual_topk(emb, qs, **kw).collect()
+    }
+    b = {
+        (r.q_id, r.nn_id, r.rank, r.cosine)
+        for r in S.ivf_pq_residual_topk(emb, qs, fused=True, **kw).collect()
+    }
+    assert a == b and len(a) > 0
+    nns = {nn for _, nn, _, _ in a}
+    assert 5 not in nns and 17 not in nns  # dropped, not mis-coded
+
+
+def test_fused_kmeans_string_ids(spark):
+    """Review fix (r13): kmeans_cells emits LONG cluster cent_ids even
+    when the corpus id column is a STRING — the fused regime's output
+    schema must follow the cell-id type, not the id type."""
+    rows = [
+        (f"doc{i:03d}",
+         [float((i * 3 + j) % 7 - 3) for j in range(8)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id STRING, embedding ARRAY<FLOAT>")
+    qs = emb.filter("vec_id in ('doc003','doc011')")
+    kw = dict(k=3, m=2, ksub=4, candidates=10, nprobe=2,
+              kmeans_cells=4, kmeans_iters=1)
+    a = {
+        (r.q_id, r.nn_id, r.rank, r.cosine)
+        for r in S.ivf_pq_residual_topk(emb, qs, **kw).collect()
+    }
+    b = {
+        (r.q_id, r.nn_id, r.rank, r.cosine)
+        for r in S.ivf_pq_residual_topk(emb, qs, fused=True, **kw).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_fused_training_gate_ignores_null_embeddings(spark):
+    """Review fix (r13): with train_sample_mod set, the fused sample
+    gate must count NON-NULL-embedding rows only (the unfused pq_train
+    gates on the resid frame, already null-purged) — a hash sample
+    whose non-null count dips below ksub falls back to full-corpus
+    training in BOTH regimes instead of crashing one of them."""
+    import numpy as np
+
+    rng = random.Random(11)
+    # most hash-sampled rows carry NULL embeddings: the raw sample
+    # passes >= ksub while the non-null sample does not
+    rows = []
+    for i in range(60):
+        null = rng.random() < 0.8
+        rows.append(
+            (i, None if null else
+             [float(np.float32(rng.uniform(-1, 1))) for _ in range(4)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    qs = emb.filter("vec_id % 9 = 1")
+    kw = dict(k=3, m=2, ksub=8, candidates=10,
+              centroid_stride=7, nprobe=2, train_sample_mod=3)
+    a = {
+        (r.q_id, r.nn_id, r.rank, r.cosine)
+        for r in S.ivf_pq_residual_topk(emb, qs, **kw).collect()
+    }
+    b = {
+        (r.q_id, r.nn_id, r.rank, r.cosine)
+        for r in S.ivf_pq_residual_topk(emb, qs, fused=True, **kw).collect()
+    }
+    assert a == b

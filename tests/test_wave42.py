@@ -131,3 +131,21 @@ def test_span_dedup_plan_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_null_and_empty_text(spark):
+    """Review fix (r13): NULL text must come back as ('', 0, 0) —
+    size(NULL) is -1 under Spark's legacy sizeOfNull and would diverge
+    from the oracle twin's coalesced len()."""
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, None), (2, ""), (3, "   ")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in cross_doc_span_dedup(df, k=2).collect()
+    }
+    assert got[1] == ("", 0, 0)
+    assert got[2] == ("", 0, 0)
+    assert got[3] == ("", 0, 0)
+    assert got[0] == ("a b c d", 4, 0)
