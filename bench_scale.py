@@ -460,6 +460,61 @@ def bench_ivf_pq_residual_fused(spark: SparkSession, frac: float) -> dict:
     return timed(spark, f"ivf_pq_residual_fused_{frac}x", run)
 
 
+def bench_ann_index_query(spark: SparkSession, frac: float) -> dict:
+    """QUERY-ONLY cost against a PERSISTED residual IVF-PQ index
+    (operators/similarity.ann_index_build/write/read/topk, r14): the
+    build (fused train+encode, the two corpus passes) runs ONCE
+    outside the timer and persists to parquet; the timed region is
+    what every subsequent query batch pays — probe selection, LUT,
+    the pruned coded-list scan, candidate re-rank. Same sizes/params
+    as the ivf_pq_residual cells, so the trio measures exactly what
+    the amortization buys (the r13 verdict's '100 TB ANN cost')."""
+    import tempfile
+
+    from map_v2_etl_spark.operators.similarity import (
+        ann_index_build,
+        ann_index_read,
+        ann_index_topk,
+        ann_index_write,
+    )
+
+    dim = 16
+    n = int(150_000 * MULT * frac)
+    n_cells = 512
+    stride = max(1, n // n_cells)
+    emb = gen_embeddings(spark, n, dim)
+    qs = emb.filter(F.col("vec_id") % max(1, n // 32) == 0)
+    t_build0 = time.perf_counter()
+    index = ann_index_build(
+        emb, m=4, ksub=16, centroid_stride=stride, dim=dim,
+        train_sample_mod=max(1, n // 60_000),
+    )
+    path = tempfile.mkdtemp(prefix="ann_idx_bench_")
+    ann_index_write(index, path)
+    index = ann_index_read(spark, path)
+    build_sec = round(time.perf_counter() - t_build0, 3)
+
+    def run():
+        out = ann_index_topk(
+            index, qs, emb, k=5, candidates=50, nprobe=8
+        )
+        agg = out.agg(
+            F.count("*").alias("rows"), F.sum("rank").alias("ranksum")
+        ).first()
+        return {
+            "n_rows": n,
+            "dim": dim,
+            "n_cells_target": n_cells,
+            "stride": stride,
+            "nprobe": 8,
+            "build_write_read_sec_untimed": build_sec,
+            "result_rows": agg["rows"],
+            "rank_sum": int(agg["ranksum"]),
+        }
+
+    return timed(spark, f"ann_index_query_{frac}x", run)
+
+
 def bench_span_dedup(spark: SparkSession, frac: float) -> dict:
     """Cross-doc exact substring dedup (operators/dedup.
     cross_doc_span_dedup, wave 42): gen_docs plants a shared base
@@ -489,6 +544,45 @@ def bench_span_dedup(spark: SparkSession, frac: float) -> dict:
         }
 
     return timed(spark, f"span_dedup_{frac}x", run)
+
+
+def bench_span_dedup_skew(spark: SparkSession, frac: float) -> dict:
+    """r14 skew cell — the SCALE.md boilerplate watch item as a
+    measured cell: EVERY doc carries the same 8-token prefix (one gram
+    with n occurrences plus its hot bridge grams — the pathological
+    header/footer shape), run through max_occurrences=1000. The count
+    pass collapses the hot grams map-side and the broadcast anti-join
+    drops them BEFORE the ranking window, so wall should track the
+    un-skewed span_dedup cell instead of one window partition sorting
+    n rows."""
+    from map_v2_etl_spark.operators.dedup import cross_doc_span_dedup
+
+    n = int(60_000 * MULT * frac)
+    docs = gen_docs(spark, n, length=30).select(
+        "doc_id",
+        F.concat(
+            F.lit("b0 b1 b2 b3 b4 b5 b6 b7 "), F.col("text")
+        ).alias("text"),
+    )
+
+    def run():
+        out = cross_doc_span_dedup(docs, k=8, max_occurrences=1000)
+        agg = out.agg(
+            F.count("*").alias("rows"),
+            F.sum("n_removed").alias("removed"),
+            F.sum("n_tokens").alias("toks"),
+        ).first()
+        return {
+            "n_docs": n,
+            "k": 8,
+            "max_occurrences": 1000,
+            "planted_hot_gram_occurrences": n,
+            "result_rows": agg["rows"],
+            "tokens_total": int(agg["toks"]),
+            "tokens_removed": int(agg["removed"]),
+        }
+
+    return timed(spark, f"span_dedup_skew_{frac}x", run)
 
 
 def bench_triangles(spark: SparkSession, frac: float) -> dict:
@@ -1129,7 +1223,9 @@ BENCHES = {
     "ivf_pq": bench_ivf_pq,
     "ivf_pq_residual": bench_ivf_pq_residual,
     "ivf_pq_residual_fused": bench_ivf_pq_residual_fused,
+    "ann_index_query": bench_ann_index_query,
     "span_dedup": bench_span_dedup,
+    "span_dedup_skew": bench_span_dedup_skew,
     "triangles": bench_triangles,
     "skew_join": bench_skew_join,
     "dpp": bench_dpp,

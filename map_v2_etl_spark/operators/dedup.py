@@ -920,6 +920,7 @@ def cross_doc_span_dedup(
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_occurrences: int | None = None,
 ) -> DataFrame:
     """Cross-document EXACT substring deduplication — the span-surgery
     operator of Lee et al., "Deduplicating Training Data Makes Language
@@ -953,10 +954,28 @@ def cross_doc_span_dedup(
     shuffled by gram (the anchor table — same row count as the
     suffix-array construction would touch), per-gram occurrence lists
     ranked by a window (groups are occurrence counts, small for all but
-    boilerplate grams — at web scale cap pathological grams upstream
-    with a count filter if needed), a position-explode bounded by the
-    DUPLICATED volume only, and one doc_id shuffle to reassemble. No
-    driver-side state, no collects.
+    boilerplate grams — capped by ``max_occurrences`` below), a
+    position-explode bounded by the DUPLICATED volume only, and one
+    doc_id shuffle to reassemble. No driver-side state, no collects.
+
+    ``max_occurrences`` (r14 — the SCALE.md skew watch item as code):
+    a gram occurring on ~every document (page headers, license blocks,
+    templated footers) concentrates its whole occurrence list in ONE
+    ranking-window partition — the one skew that can hurt this plan at
+    web scale. With the cap set, grams occurring MORE than
+    ``max_occurrences`` times are EXEMPTED from surgery (all their
+    copies kept): the per-gram count is a partial-aggregated groupBy
+    (map-side combine collapses a boilerplate gram's per-partition
+    copies before the shuffle), the surviving pathological-gram set is
+    small by construction (at most |grams| / max_occurrences distinct
+    values) and broadcasts, and the anti-join drops their occurrences
+    MAP-SIDE — the ranking window never sees a group larger than
+    max_occurrences. The default ``None`` keeps the paper-faithful
+    semantics (every duplicated gram is deduped). Exemption — not
+    "dedup without ranking" — is the deliberate semantics: a span on
+    half the corpus is boilerplate, and cutting it from every document
+    but one is rarely what a curation pipeline wants (Lee et al. §5
+    make the same practical observation about common sequences).
 
     Tokenization is the package-wide canonical token array
     (lm.toks_col ↔ the oracle's _DUCK_TOKS_F twin), so positions are
@@ -993,6 +1012,17 @@ def cross_doc_span_dedup(
             F.concat_ws(" ", F.slice("toks", F.col("p"), k)).alias("gram"),
         )
     )
+    if max_occurrences is not None:
+        # boilerplate-gram cap (see docstring): count with map-side
+        # partial aggregation, broadcast the tiny pathological set,
+        # drop its occurrences map-side before the ranking window
+        patho = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_gc"))
+            .filter(F.col("_gc") > max_occurrences)
+            .select("gram")
+        )
+        g = g.join(F.broadcast(patho), "gram", "left_anti")
     # canonical occurrence = rank 1 by (doc_id, pos); every later
     # occurrence marks its k positions for removal. rn > 1 implies the
     # gram occurs more than once, so no separate count is needed.

@@ -759,6 +759,13 @@ def pq_train(
     exactness bounds hold unchanged (|sum|*1e12 << HUGEINT, quotient
     < 2^53 — see _pq_train_local.dec_mean).
 
+    NULL ``vec_col`` rows are filtered out up front (r14): the sample
+    gate, the regime-gate probe, and the loud ``< ksub`` raise all
+    count NON-NULL vectors only, so a null-heavy corpus cannot slip a
+    sub-ksub training set past the probe into a silently short
+    codebook, and the fused/unfused residual regimes gate on the same
+    frame.
+
     ALL m subspaces train together: the corpus explodes once into
     (id, sub, subvector) rows (persisted across iterations — m small
     arrays per vector), and each Lloyd iteration is ONE broadcast-join +
@@ -773,6 +780,17 @@ def pq_train(
         raise ValueError(f"dim {dim} must be a multiple of m={m}")
     sublen = dim // m
     spark = corpus.sparkSession
+    # NULL embeddings can never train (both regimes drop them before any
+    # arithmetic), so neither the regime gate nor the >= ksub probes may
+    # count them: a corpus whose RAW count passed the probe but whose
+    # non-null count was below ksub previously reached _pq_train_local
+    # with fewer than ksub rows and sliced SHORT codebooks silently (the
+    # r13 hand-off subtlety, docs/ROUND13.md §9). Filtering up front
+    # also aligns the fused and unfused residual regimes' gates on the
+    # same frame — the fused sample gate already counts post-filter
+    # (ivf_pq_residual_topk), while the unfused resid frame could still
+    # carry NULL rvec rows from a NULL-embedding coarse centroid.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     if train_sample_mod and train_sample_mod > 1:
         # codebooks are always trained on a sample at corpus scale (the
         # Faiss practice); a deterministic HASH-modulus sample keeps the
@@ -813,9 +831,13 @@ def pq_train(
     if n_probe < ksub:
         # fail LOUDLY on a training set that cannot fill the codebooks —
         # silently returning < ksub codewords would mistrain (and the
-        # distributed loop would crash with an opaque IndexError)
+        # distributed loop would crash with an opaque IndexError). The
+        # count is post-null-filter, so the raise fires identically in
+        # BOTH regimes (local and distributed) and for both the fused
+        # and unfused residual paths.
         raise ValueError(
-            f"PQ training set has {n_probe} vectors < ksub={ksub}"
+            f"PQ training set has {n_probe} non-null vectors"
+            f" < ksub={ksub} after null filter"
         )
     if n_probe <= gate_rows:
         return _pq_train_local(
@@ -1662,6 +1684,179 @@ def _fused_residual_pass(
     return src.select(id_col, vec_col).mapInPandas(run, out_schema)
 
 
+def _coarse_cents(
+    corpus: DataFrame,
+    centroid_stride: int,
+    kmeans_cells: int | None,
+    kmeans_iters: int,
+    id_col: str,
+    vec_col: str,
+    caller: str,
+):
+    """Coarse codebook shared by the residual IVF-PQ entry points:
+    either every ``centroid_stride``-th vector (the deterministic
+    stand-in) or ``kmeans_cells`` Lloyd-refined centroids (the Faiss
+    default). Returns (cents DataFrame(cent_id, cent_vec), cent_id
+    Spark type) — cluster indices are LongType regardless of the
+    corpus id type."""
+    from pyspark.sql import types as T
+
+    if kmeans_cells is not None:
+        cent_list = lloyd_centroids(
+            corpus, k=kmeans_cells, iters=kmeans_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cents = corpus.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cent_list)],
+            "cent_id BIGINT, cent_vec ARRAY<DOUBLE>",
+        )
+        return cents, T.LongType()
+    cents = corpus.filter(
+        (F.col(id_col) % centroid_stride) == 0
+    ).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    if cents.limit(1).count() == 0:
+        raise ValueError(
+            f"{caller} coarse codebook is empty: id_col % "
+            f"{centroid_stride} matched no rows (string or sparse "
+            "ids? use a smaller centroid_stride or numeric dense ids)"
+        )
+    return cents, corpus.schema[id_col].dataType
+
+
+def _fused_residual_index(
+    corpus: DataFrame,
+    cents: DataFrame,
+    m: int,
+    ksub: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    train_sample_mod: int | None,
+    cent_id_type,
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """The PRODUCTION encode architecture (Faiss add-time), shared by
+    ivf_pq_residual_topk(fused=True) and ann_index_build: coarse
+    centroids + unit centroids collect driver-side (bounded by
+    n_cells — the same boundedness every broadcast(cents) already
+    assumes), and assignment + residual + encode run as ONE
+    Arrow-batched pass over the corpus — zero joins, zero shuffles, no
+    checkpoint. Returns (codebooks, coded DataFrame(nn_id, cent_id,
+    codes)). Bit-identical to the unfused plan (fuzz-pinned in
+    tests/test_wave41.py).
+
+    ONE driver collect carries both the raw and the unit form of every
+    centroid (two separate collects would each re-run the strided
+    corpus scan); the unit doubles come from the plan's own _unit
+    expression, preserving the bit-exactness contract."""
+    from ..sources.registry import widen_partitions
+
+    cent_rows = [
+        (r["cent_id"], r["cent_vec"], r["cent_uvec"])
+        for r in cents.select(
+            "cent_id",
+            "cent_vec",
+            _unit(F.col("cent_vec")).alias("cent_uvec"),
+        )
+        .orderBy("cent_id")
+        .collect()
+    ]
+    # training source replicates pq_train's sample semantics: the
+    # xxhash64-modulus filter runs BEFORE the fused pass (so only
+    # sampled rows pay the residual math — at corpus scale this is
+    # the whole point), with the same >= ksub degenerate-sample
+    # fallback to the full corpus. The gate counts NON-NULL-embedding
+    # rows only — aligned with pq_train's own post-null-filter gate.
+    tr_src = corpus
+    if train_sample_mod and train_sample_mod > 1:
+        sample = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod))
+            == 0
+        ).filter(F.col(vec_col).isNotNull())
+        if sample.limit(ksub).count() >= ksub:
+            tr_src = sample
+    resid_tr = _fused_residual_pass(
+        widen_partitions(tr_src), cent_rows, None,
+        id_col, vec_col,
+    )
+    books = pq_train(
+        resid_tr, m, ksub, iters, id_col, "rvec", dim,
+        None, normalize=False,
+    )
+    coded = _fused_residual_pass(
+        widen_partitions(corpus), cent_rows, books,
+        id_col, vec_col, cent_id_type=cent_id_type,
+    )
+    return books, coded
+
+
+def _routed_residual_query(
+    cents: DataFrame,
+    cents_u: DataFrame,
+    books: list[list[list[float]]],
+    coded: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    m: int,
+    ksub: int,
+    sublen: int,
+    candidates: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+) -> DataFrame:
+    """QUERY side of residual IVF-PQ, shared by ivf_pq_residual_topk
+    and ann_index_topk: probe selection, per-(query, probed cell) LUT,
+    routed ADC (BroadcastHashJoin on cent_id — a lut row exists only
+    for probed pairs, so the join IS the routing), candidate cut,
+    exact re-rank. Contains ZERO training or encode stages — the
+    persisted-index query path reads (cents, books, coded) as built
+    artifacts; ``corpus`` is touched only by the candidate-bounded
+    exact re-rank."""
+    cos = _cos_fn(dim)
+    # query probes: nprobe nearest cells, ties to the LOWEST cent_id
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", cos(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cent_id")
+    )
+
+    # per-(query, probed cell) LUT: part = || (u(q) - u(cent))_s - cw ||^2
+    # over |Q| x nprobe x m x ksub rows, folded to one flat m*ksub array
+    # per (q_id, cent_id) — _pq_query_lut's residual regime
+    plut = _pq_query_lut(
+        queries, books, m, ksub, sublen, id_col, vec_col,
+        probes=probes, cents_u=cents_u,
+    )
+
+    # routed ADC: equi-join on cent_id — a lut row exists only for
+    # probed (q, cell) pairs, so the join IS the routing (BHJ drops
+    # non-probed cells map-side); distance is the in-row m-lookup sum
+    adc = (
+        coded.join(F.broadcast(plut), "cent_id")
+        .filter(F.col("nn_id") != F.col("q_id"))
+        .select("q_id", "nn_id", _adc_dist(m, ksub).alias("adist"))
+    )
+    wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
+    cand = (
+        adc.withColumn("r", F.row_number().over(wnd))
+        .filter(F.col("r") <= candidates)
+        .select("q_id", "nn_id")
+    )
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, dim)
+
+
 def ivf_pq_residual_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1746,93 +1941,26 @@ def ivf_pq_residual_topk(
         raise ValueError(f"dim {dim} must be a multiple of m={m}")
     sublen = dim // m
 
-    if kmeans_cells is not None:
-        # Lloyd-refined coarse codebook (the Faiss default): k x dim
-        # driver floats from the certified k-means loop; cell ids are
-        # the cluster indices 0..k-1
-        cent_list = lloyd_centroids(
-            corpus, k=kmeans_cells, iters=kmeans_iters,
-            id_col=id_col, vec_col=vec_col,
-        )
-        cents = corpus.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(cent_list)],
-            "cent_id BIGINT, cent_vec ARRAY<DOUBLE>",
-        )
-    else:
-        cents = corpus.filter(
-            (F.col(id_col) % centroid_stride) == 0
-        ).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-        )
-        if cents.limit(1).count() == 0:
-            raise ValueError(
-                "ivf_pq_residual_topk coarse codebook is empty: id_col % "
-                f"{centroid_stride} matched no rows (string or sparse "
-                "ids? use a smaller centroid_stride or numeric dense ids)"
-            )
+    cents, cid_type = _coarse_cents(
+        corpus, centroid_stride, kmeans_cells, kmeans_iters,
+        id_col, vec_col, "ivf_pq_residual_topk",
+    )
     cents_u = cents.select(
         "cent_id", _unit(F.col("cent_vec")).alias("cent_uvec")
     )
 
-    cos = _cos_fn(dim)
     if fused:
-        # PRODUCTION encode architecture (Faiss add-time): coarse
-        # centroids + unit centroids collect driver-side (bounded by
-        # n_cells — the same boundedness every broadcast(cents) below
-        # already assumes), and assignment + residual + encode run as
-        # ONE Arrow-batched pass over the corpus — zero joins, zero
-        # shuffles, no checkpoint. Bit-identical to the unfused plan
-        # (fuzz-pinned); the unfused plan remains the default because
-        # its every stage has a DuckDB CTE twin of the same shape.
-        # ONE driver collect carries both the raw and the unit form of
-        # every centroid (two separate collects would each re-run the
-        # strided corpus scan); the unit doubles come from the plan's
-        # own _unit expression, preserving the bit-exactness contract
-        cent_rows = [
-            (r["cent_id"], r["cent_vec"], r["cent_uvec"])
-            for r in cents.select(
-                "cent_id",
-                "cent_vec",
-                _unit(F.col("cent_vec")).alias("cent_uvec"),
-            )
-            .orderBy("cent_id")
-            .collect()
-        ]
-        from pyspark.sql import types as T
-
-        cid_type = (
-            T.LongType()
-            if kmeans_cells is not None
-            else corpus.schema[id_col].dataType
-        )
-        # training source replicates pq_train's sample semantics: the
-        # xxhash64-modulus filter runs BEFORE the fused pass (so only
-        # sampled rows pay the residual math — at corpus scale this is
-        # the whole point), with the same >= ksub degenerate-sample
-        # fallback to the full corpus. The gate counts NON-NULL-
-        # embedding rows only — the unfused pq_train gates on the resid
-        # frame, which the cu.isNotNull filter has already purged.
-        tr_src = corpus
-        if train_sample_mod and train_sample_mod > 1:
-            sample = corpus.filter(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod))
-                == 0
-            ).filter(F.col(vec_col).isNotNull())
-            if sample.limit(ksub).count() >= ksub:
-                tr_src = sample
-        resid_tr = _fused_residual_pass(
-            widen_partitions(tr_src), cent_rows, None,
-            id_col, vec_col,
-        )
-        books = pq_train(
-            resid_tr, m, ksub, iters, id_col, "rvec", dim,
-            None, normalize=False,
-        )
-        coded = _fused_residual_pass(
-            widen_partitions(corpus), cent_rows, books,
-            id_col, vec_col, cent_id_type=cid_type,
+        # PRODUCTION encode architecture (Faiss add-time) — the shared
+        # _fused_residual_index engine (also ann_index_build's):
+        # bit-identical to the unfused plan (fuzz-pinned); the unfused
+        # plan remains the default because its every stage has a DuckDB
+        # CTE twin of the same shape.
+        books, coded = _fused_residual_index(
+            corpus, cents, m, ksub, iters, id_col, vec_col, dim,
+            train_sample_mod, cid_type,
         )
     else:
+        cos = _cos_fn(dim)
         # nearest centroid per corpus vector — ivf_pq_topk's pass
         # verbatim (broadcast cross + max_by; ties to the HIGHEST
         # cent_id)
@@ -1896,40 +2024,203 @@ def ivf_pq_residual_topk(
             assign, "nn_id"
         )
 
-    # query probes: nprobe nearest cells, ties to the LOWEST cent_id
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
-    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
-        "cs", cos(F.col("q_vec"), F.col("cent_vec"))
-    )
-    wq = W.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cent_id"))
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "cent_id")
+    return _routed_residual_query(
+        cents, cents_u, books, coded, queries, corpus,
+        k, m, ksub, sublen, candidates, nprobe, id_col, vec_col, dim,
     )
 
-    # per-(query, probed cell) LUT: part = || (u(q) - u(cent))_s - cw ||^2
-    # over |Q| x nprobe x m x ksub rows, folded to one flat m*ksub array
-    # per (q_id, cent_id) — _pq_query_lut's residual regime
-    plut = _pq_query_lut(
-        queries, books, m, ksub, sublen, id_col, vec_col,
-        probes=probes, cents_u=cents_u,
-    )
 
-    # routed ADC: equi-join on cent_id — a lut row exists only for
-    # probed (q, cell) pairs, so the join IS the routing (BHJ drops
-    # non-probed cells map-side); distance is the in-row m-lookup sum
-    adc = (
-        coded.join(F.broadcast(plut), "cent_id")
-        .filter(F.col("nn_id") != F.col("q_id"))
-        .select("q_id", "nn_id", _adc_dist(m, ksub).alias("adist"))
+def ann_index_build(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    centroid_stride: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    train_sample_mod: int | None = None,
+    kmeans_cells: int | None = None,
+    kmeans_iters: int = 2,
+) -> dict:
+    """Build a PERSISTED residual IVF-PQ index: train/encode ONCE, query
+    many — the amortization every real ANN deployment relies on (Faiss
+    writes the trained quantizers + inverted lists to an index file; at
+    10^9+ vectors the two corpus passes per query batch are the
+    dominant cost of the in-query operators, and this split removes
+    them from the query path entirely).
+
+    The engine is _fused_residual_index — the zero-shuffle Arrow
+    encode pass that ivf_pq_residual_topk(fused=True) certifies
+    (bit-identical to the unfused audited plan, which is bit-identical
+    to the DuckDB oracle). Returns the index as a handle dict:
+
+      * ``cents``  — DataFrame(cent_id, cent_vec): the coarse codebook
+        (every ``centroid_stride``-th vector, or ``kmeans_cells``
+        Lloyd-refined centroids — the Faiss default);
+      * ``books``  — m x ksub x (dim/m) PQ codebooks (driver floats,
+        trained on coarse residuals, pq_train normalize=False);
+      * ``coded``  — DataFrame(nn_id, cent_id, codes): the coded
+        inverted lists, the corpus's compressed representation
+        (m small ints per vector — the only corpus-sized artifact);
+      * ``params`` — {m, ksub, dim}.
+
+    Persist with ann_index_write / reload with ann_index_read; query
+    with ann_index_topk. ann_index_topk(ann_index_read(write(build())))
+    is bit-identical to ivf_pq_residual_topk on the same inputs
+    (parquet round-trips doubles and ints exactly; pinned in
+    tests/test_wave43.py).
+
+    Reference parity: the reference engine has no ANN surface
+    (build.sh:75-233 is tile ETL); §2.11 training-pipeline extension.
+    """
+    dim = _vec_dim(corpus, vec_col, dim)
+    if dim is None:
+        raise ValueError(
+            "ann_index_build: corpus has no non-null vectors "
+            "(cannot infer dim)"
+        )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} must be a multiple of m={m}")
+    cents, cid_type = _coarse_cents(
+        corpus, centroid_stride, kmeans_cells, kmeans_iters,
+        id_col, vec_col, "ann_index_build",
     )
-    wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
-    cand = (
-        adc.withColumn("r", F.row_number().over(wnd))
-        .filter(F.col("r") <= candidates)
-        .select("q_id", "nn_id")
+    books, coded = _fused_residual_index(
+        corpus, cents, m, ksub, iters, id_col, vec_col, dim,
+        train_sample_mod, cid_type,
     )
-    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, dim)
+    return {
+        "cents": cents,
+        "books": books,
+        "coded": coded,
+        "params": {"m": m, "ksub": ksub, "dim": dim},
+    }
+
+
+def ann_index_write(
+    index: dict, path: str, partition_by_cell: bool = False
+) -> str:
+    """Persist a built ANN index as four parquet tables under ``path``:
+    ``centroids`` (cent_id, cent_vec), ``codebooks`` (sub, code, cent),
+    ``coded`` (nn_id, cent_id, codes — the inverted lists), and a
+    one-row ``params`` table. All-parquet so the index is a plain set
+    of tables any engine (or the DuckDB oracle) can read; doubles and
+    ints round-trip bit-exactly, so a reloaded index reproduces the
+    in-memory index's results bit-for-bit.
+
+    ``partition_by_cell=True`` hive-partitions the inverted lists BY
+    ``cent_id`` — the literal Faiss inverted-list file layout. The
+    routed ADC equi-join against the broadcast probe frame then
+    triggers Spark's dynamic partition pruning: only PROBED cells'
+    files are ever read (plan shows ``dynamicpruning`` in the coded
+    scan's PartitionFilters; pinned in tests/test_wave43.py) — the
+    map-side row drop becomes a FILE-level skip, which at 10^9+
+    vectors is the difference between scanning nprobe/nlist of the
+    bytes and all of them. Partition-column type inference is sidestepped
+    by recording cent_id's exact Spark type in ``params`` and casting
+    back on read (values like '42' would otherwise reload as int).
+
+    Scale: ``coded`` is the only corpus-sized write — (id, int cell,
+    m small ints) rows, written with the corpus's own partitioning
+    (or one directory per cell with ``partition_by_cell``);
+    centroids/codebooks/params are bounded driver-side artifacts."""
+    spark = index["cents"].sparkSession
+    p = index["params"]
+    index["cents"].write.mode("overwrite").parquet(path + "/centroids")
+    cw = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in index["books"][s][c]])
+            for s in range(p["m"])
+            for c in range(p["ksub"])
+        ],
+        "sub INT, code INT, cent ARRAY<DOUBLE>",
+    )
+    cw.write.mode("overwrite").parquet(path + "/codebooks")
+    coded_writer = index["coded"].write.mode("overwrite")
+    if partition_by_cell:
+        coded_writer = coded_writer.partitionBy("cent_id")
+    coded_writer.parquet(path + "/coded")
+    cid_type = index["coded"].schema["cent_id"].dataType.simpleString()
+    spark.createDataFrame(
+        [(p["m"], p["ksub"], p["dim"], cid_type)],
+        "m INT, ksub INT, dim INT, cent_id_type STRING",
+    ).write.mode("overwrite").parquet(path + "/params")
+    return path
+
+
+def ann_index_read(spark: SparkSession, path: str) -> dict:
+    """Reload a persisted ANN index written by ann_index_write. The
+    codebooks table collects driver-side (m x ksub rows — bounded,
+    exactly the state pq_train holds); centroids and coded stay
+    DataFrames (coded is corpus-sized and never leaves the cluster)."""
+    prow = spark.read.parquet(path + "/params").collect()[0]
+    m, ksub, dim = int(prow["m"]), int(prow["ksub"]), int(prow["dim"])
+    books: list[list[list[float]] | None] = [
+        [None] * ksub for _ in range(m)
+    ]
+    for r in spark.read.parquet(path + "/codebooks").collect():
+        books[r["sub"]][r["code"]] = [float(x) for x in r["cent"]]
+    if any(cw is None for b in books for cw in b):
+        raise ValueError(
+            f"ann_index_read: codebooks table at {path} is incomplete "
+            f"for m={m}, ksub={ksub}"
+        )
+    coded = spark.read.parquet(path + "/coded")
+    # a partition_by_cell write turns cent_id into a hive partition
+    # column whose type is re-INFERRED from directory names (long ids
+    # come back int) — cast back to the recorded exact type so the
+    # routed join and any downstream union stay bit-compatible with
+    # the unpartitioned layout
+    cid_type = prow["cent_id_type"]
+    if coded.schema["cent_id"].dataType.simpleString() != cid_type:
+        coded = coded.withColumn(
+            "cent_id", F.col("cent_id").cast(cid_type)
+        )
+    return {
+        "cents": spark.read.parquet(path + "/centroids"),
+        "books": books,
+        "coded": coded,
+        "params": {"m": m, "ksub": ksub, "dim": dim},
+    }
+
+
+def ann_index_topk(
+    index: dict,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    candidates: int = 50,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """QUERY-ONLY residual IVF-PQ top-k against a persisted index —
+    the plan contains ZERO training or encode stages (no Lloyd loop,
+    no mapInPandas corpus pass, no pq_train; contract-pinned in
+    tests/test_wave43.py): probe selection against the stored coarse
+    codebook, per-(query, probed cell) LUT from the stored PQ
+    codebooks, routed ADC over the stored inverted lists
+    (BroadcastHashJoin on cent_id), candidate cut, exact re-rank.
+
+    ``corpus`` supplies raw vectors for the candidate-bounded exact
+    re-rank only (candidates x |Q| rows via an id equi-join — the
+    standard deployment shape: codes answer the scan, a vector lookup
+    store answers the re-rank). Results are bit-identical to
+    ivf_pq_residual_topk with the same build parameters (same DuckDB
+    oracle certifies both).
+
+    Scale: per query batch the corpus-sized work is ONE pruned scan of
+    the coded inverted lists — the index build's two raw-vector passes
+    are paid once at build time, which is the whole point of the
+    split."""
+    p = index["params"]
+    m, ksub, dim = p["m"], p["ksub"], p["dim"]
+    cents = index["cents"]
+    cents_u = cents.select(
+        "cent_id", _unit(F.col("cent_vec")).alias("cent_uvec")
+    )
+    return _routed_residual_query(
+        cents, cents_u, index["books"], index["coded"], queries, corpus,
+        k, m, ksub, dim // m, candidates, nprobe, id_col, vec_col, dim,
+    )

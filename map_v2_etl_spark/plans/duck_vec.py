@@ -275,6 +275,7 @@ def pq_topk_ctes(
     residual: bool = False,
     kmeans_cells: int | None = None,
     kmeans_iters: int = 2,
+    emit: str = "topk",
 ) -> str:
     """Full PQ/ADC top-k oracle: training-sample selection (xxhash64
     modulus — bit-equal to F.xxhash64), per-subspace Lloyd with
@@ -312,6 +313,13 @@ def pq_topk_ctes(
         raise ValueError(
             "residual=True requires nprobe and centroid_stride/kmeans_cells"
         )
+    if emit not in ("topk", "index"):
+        raise ValueError(f"emit must be 'topk' or 'index', got {emit!r}")
+    if emit == "index" and not residual:
+        # the persisted-index twin (ann_index_build) is the residual
+        # chain cut at the coded-inverted-list seam; non-residual has
+        # no registered index surface
+        raise ValueError("emit='index' requires residual=True")
     routing: list[str] = []
     if routed:
         C = cosine  # noqa: N806 — local alias, matches _duck_ivf_sql
@@ -361,13 +369,20 @@ def pq_topk_ctes(
             "/ nrm END) AS ucent FROM icu_n)",
             _unit_cte("eu", table),
             # residual frame: rvec = u(x) - u(assigned centroid); NULL
-            # embeddings drop (the Spark cu filters isNotNull)
+            # embeddings drop (the Spark cu filters isNotNull), and so
+            # do rows assigned to a NULL-embedding centroid (NULL
+            # ucent -> NULL rvec, which vanishes inside the Spark
+            # plans: pq_encode's notna filter / the fused keep mask —
+            # without this clause such rows kept a NULL rvec here,
+            # ranked all-NULL distances to code 0 and competed in adc;
+            # r13 ADVICE #1, latent on corpora with NULL embeddings at
+            # strided centroid ids)
             "res AS (SELECT a.nn_id AS vec_id, a.cent_id, "
             "list_transform(list_zip(e.uvec, c.ucent), "
             "p -> p[1] - p[2]) AS rvec "
             "FROM iasg a JOIN eu e ON e.vec_id = a.nn_id "
             "JOIN icu c ON c.cent_id = a.cent_id "
-            "WHERE e.uvec IS NOT NULL)",
+            "WHERE e.uvec IS NOT NULL AND c.ucent IS NOT NULL)",
             xxhash64_ctes("hx", table, keep="vec_id"),
             # training inputs are the SAMPLED residuals, un-normalized
             # (pq_train normalize=False): rvec IS the training space,
@@ -442,6 +457,18 @@ def pq_topk_ctes(
         f"sub_c AS (SELECT vec_id, s, {slice_} AS sv "
         f"FROM cu, LATERAL unnest(range({m})) AS us(s))",
         asg.format(name="enc", d=d_expr, src="sub_c", books=f"b{iters}"),
+    ]
+    if emit == "index":
+        # persisted-index twin (ann_index_build): the chain cut at the
+        # coded-inverted-list seam — one row per (vector, subspace)
+        # with its assigned cell and PQ code; no query-side CTEs at all
+        final = (
+            "SELECT e.vec_id AS nn_id, a.cent_id, "
+            "CAST(e.s AS INTEGER) AS sub, e.code "
+            "FROM enc e JOIN iasg a ON a.nn_id = e.vec_id"
+        )
+        return _finish_ctes(parts, final)
+    parts += [
         "cods AS (SELECT vec_id, list(code ORDER BY s) AS codes "
         "FROM enc GROUP BY vec_id)",
         _unit_cte("qu", table, f"vec_id % {q_mod} = 0", id_as="q_id"),
@@ -508,6 +535,14 @@ def pq_topk_ctes(
         f"JOIN {table} qv ON qv.vec_id = cand.q_id "
         f"JOIN {table} nv ON nv.vec_id = cand.nn_id) WHERE rank <= {k}"
     )
+    return _finish_ctes(parts, final)
+
+
+def _finish_ctes(parts: list[str], final: str) -> str:
+    """Join CTE parts + final SELECT into the emitted oracle string —
+    extracted verbatim from pq_topk_ctes' tail (r14, for the
+    emit='index' cut) so both emissions share one MATERIALIZED
+    rewrite; topk emissions verified byte-identical pre/post."""
     body = ",\n".join(parts)
     # DuckDB inlines plain CTEs, re-executing the whole training chain
     # at every reference (measured: 157 s at sf0.01); MATERIALIZED

@@ -28,7 +28,25 @@ from .registry import query
 
 _K = 8
 
-_DUCK_SPAN_DEDUP = f"""
+
+def _duck_span_dedup(max_occ: int | None = None) -> str:
+    """Span-dedup oracle builder. ``max_occ`` adds the r14
+    boilerplate-gram cap as a count CTE + anti-join before the ranking
+    window (operators/dedup.cross_doc_span_dedup's max_occurrences);
+    the default emission is byte-identical to the r13 literal
+    (cert-fingerprint discipline)."""
+    cap = ""
+    src = "g"
+    if max_occ is not None:
+        cap = f"""gc AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > {max_occ}
+),
+g2 AS (
+  SELECT g.* FROM g ANTI JOIN gc USING (gram)
+),
+"""
+        src = "g2"
+    return f"""
 WITH d AS (SELECT doc_id,
                   coalesce({_DUCK_TOKS_F}, []) AS toks FROM documents),
 g AS (
@@ -39,10 +57,10 @@ g AS (
                unnest(generate_series(1, len(toks) - {_K - 1})) AS p
         FROM d)
 ),
-r AS (
+{cap}r AS (
   SELECT doc_id, p,
          ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
-  FROM g
+  FROM {src}
 ),
 mk AS (
   SELECT DISTINCT doc_id, p + off AS pos
@@ -70,6 +88,9 @@ FROM d LEFT JOIN k2 ON k2.doc_id = d.doc_id
 """
 
 
+_DUCK_SPAN_DEDUP = _duck_span_dedup()
+
+
 @query(
     "cross_doc_span_dedup",
     _DUCK_SPAN_DEDUP,
@@ -87,3 +108,26 @@ def q_cross_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = widen_partitions(load_table(spark, "documents", sf_dir))
     return cross_doc_span_dedup(docs, k=_K)
+
+
+@query(
+    "span_dedup_capped",
+    _duck_span_dedup(max_occ=2),
+    tags=["text", "dedup", "substring", "spans", "skew"],
+)
+def q_span_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span dedup with the r14 BOILERPLATE-GRAM CAP
+    (operators/dedup.cross_doc_span_dedup(max_occurrences=2)): grams
+    occurring more than twice are exempted from surgery — the web-scale
+    skew guard (a header/footer gram on ~every document would
+    concentrate its whole occurrence list in one ranking-window
+    partition; the cap counts with map-side partial aggregation and
+    drops pathological grams via a broadcast anti-join BEFORE the
+    window). At sf0.01, 71 grams occur three times, so the cap BINDS
+    and this witness certifies a genuinely different surgery than
+    cross_doc_span_dedup. Reference parity: no text surface in the
+    reference (build.sh:75-233); §2.11 extension, Lee et al. ACL'22."""
+    from ..operators.dedup import cross_doc_span_dedup
+
+    docs = widen_partitions(load_table(spark, "documents", sf_dir))
+    return cross_doc_span_dedup(docs, k=_K, max_occurrences=2)

@@ -76,6 +76,10 @@ AUDIT_EXTRA = [
     "ivf_pq_residual_topk", "ivf_pq_residual_fused",
     # wave-42: cross-doc exact substring dedup (k-gram anchor table)
     "cross_doc_span_dedup",
+    # wave-42/43 (r14): the boilerplate-gram skew cap and the persisted
+    # ANN index's two surfaces (build = fused encode; topk = the
+    # query-only plan with zero train/encode stages)
+    "span_dedup_capped", "ann_index_build", "ann_index_topk",
 ]
 
 
