@@ -115,6 +115,10 @@ HEADLINE = [
     "weighted_sample",
     # round 13: the composed 100 TB ANN shape (IVF routing x PQ codes)
     "ivf_pq_topk",
+    # round 14: the persisted-index query path (train/encode once,
+    # query many — includes the build+write+read in its wall, so the
+    # number is an upper bound on what a deployment's query batch pays)
+    "ann_index_topk",
 ]
 
 

@@ -967,10 +967,12 @@ def cross_doc_span_dedup(
     copies kept): the per-gram count is a partial-aggregated groupBy
     (map-side combine collapses a boilerplate gram's per-partition
     copies before the shuffle), the surviving pathological-gram set is
-    small by construction (at most |grams| / max_occurrences distinct
-    values) and broadcasts, and the anti-join drops their occurrences
-    MAP-SIDE — the ranking window never sees a group larger than
-    max_occurrences. The default ``None`` keeps the paper-faithful
+    small for any sane cap (at most |grams| / max_occurrences distinct
+    values) so AQE resolves the anti-join to a broadcast that drops
+    their occurrences MAP-SIDE — the ranking window never sees a group
+    larger than max_occurrences. (No forced broadcast hint: an
+    aggressive cap could make the set arbitrarily large, and AQE's
+    shuffled anti-join is the right fallback there.) The default ``None`` keeps the paper-faithful
     semantics (every duplicated gram is deduped). Exemption — not
     "dedup without ranking" — is the deliberate semantics: a span on
     half the corpus is boilerplate, and cutting it from every document
@@ -1014,15 +1016,22 @@ def cross_doc_span_dedup(
     )
     if max_occurrences is not None:
         # boilerplate-gram cap (see docstring): count with map-side
-        # partial aggregation, broadcast the tiny pathological set,
-        # drop its occurrences map-side before the ranking window
+        # partial aggregation, then anti-join the pathological set
+        # away before the ranking window. NO explicit broadcast hint:
+        # with a sane cap (hundreds+) the set is tiny and AQE picks
+        # the broadcast anti-join on its own (map-side drop, pinned at
+        # test scale), while an aggressive cap on a huge corpus can
+        # make the set arbitrarily large (bounded only by
+        # |grams|/max_occurrences) — a forced broadcast there is a
+        # driver OOM, and AQE's shuffled anti-join with skew-split is
+        # the correct fallback.
         patho = (
             g.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("_gc"))
             .filter(F.col("_gc") > max_occurrences)
             .select("gram")
         )
-        g = g.join(F.broadcast(patho), "gram", "left_anti")
+        g = g.join(patho, "gram", "left_anti")
     # canonical occurrence = rank 1 by (doc_id, pos); every later
     # occurrence marks its k positions for removal. rn > 1 implies the
     # gram occurs more than once, so no separate count is needed.

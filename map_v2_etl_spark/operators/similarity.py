@@ -225,8 +225,13 @@ def lsh_cosine_topk(
 #: fold (bench_scale ivf_pq 1x, 51.3 s -> 9.3 s); dim 64 unrolled is
 #: ~2-3x SLOWER (bench_ab ivf_pq_topk 3.2 -> 6.5 s floor,
 #: embedding_cosine_topk 0.7-1.1 -> 2.1 s) — the ~192-term tree crosses
-#: a janino/JIT code-size cliff. The middle is unmeasured; the gate
-#: sits conservatively just above the proven-good point.
+#: a janino/JIT code-size cliff. The middle band was measured r14
+#: (ivf_pq_topk, n=150k, nlist~512, dim 32, 4 interleaved reps with
+#: rep 1 discarded, identical results across arms): HOF floor 73.98 s
+#: (74.0/76.5/87.5 steady) vs unrolled floor 111.67 s
+#: (111.7-116.3) — the ~96-term tree is already ~1.5x PAST the cliff
+#: at dim 32, so the gate at 24 is placed correctly, not just
+#: conservatively. Do not raise it without re-running that A/B.
 _COS_UNROLL_DIM_MAX = 24
 
 
@@ -1753,16 +1758,7 @@ def _fused_residual_index(
     expression, preserving the bit-exactness contract."""
     from ..sources.registry import widen_partitions
 
-    cent_rows = [
-        (r["cent_id"], r["cent_vec"], r["cent_uvec"])
-        for r in cents.select(
-            "cent_id",
-            "cent_vec",
-            _unit(F.col("cent_vec")).alias("cent_uvec"),
-        )
-        .orderBy("cent_id")
-        .collect()
-    ]
+    cent_rows = _collect_cent_rows(cents)
     # training source replicates pq_train's sample semantics: the
     # xxhash64-modulus filter runs BEFORE the fused pass (so only
     # sampled rows pay the residual math — at corpus scale this is
@@ -1790,6 +1786,25 @@ def _fused_residual_index(
         id_col, vec_col, cent_id_type=cent_id_type,
     )
     return books, coded
+
+
+def _collect_cent_rows(cents: DataFrame) -> list:
+    """ONE driver collect carrying both the raw and the unit form of
+    every centroid, ascending by cent_id (two separate collects would
+    each re-run the centroid scan); the unit doubles come from the
+    plan's own _unit expression, preserving the bit-exactness
+    contract. Bounded by n_cells — the same boundedness every
+    broadcast(cents) already assumes."""
+    return [
+        (r["cent_id"], r["cent_vec"], r["cent_uvec"])
+        for r in cents.select(
+            "cent_id",
+            "cent_vec",
+            _unit(F.col("cent_vec")).alias("cent_uvec"),
+        )
+        .orderBy("cent_id")
+        .collect()
+    ]
 
 
 def _routed_residual_query(
@@ -1914,6 +1929,19 @@ def ivf_pq_residual_topk(
     checkpoint (Faiss's add() shape). Bit-identical output
     (fuzz-pinned); the unfused plan stays the default because each of
     its stages has a same-shaped DuckDB CTE twin.
+
+    Regime-gate alignment (r14): pq_train counts NON-NULL training
+    rows in both its sample gate and its ``< ksub`` raise, so the two
+    regimes agree on trainability everywhere except one documented
+    corner: when the hash SAMPLE holds >= ksub non-null embeddings but
+    fewer than ksub of them survive the residual pass (zero vectors
+    assigned to a NULL-embedding centroid), the fused path — which
+    commits to the sample before residuals exist — raises the loud
+    ``< ksub`` error, while the unfused path (sampling the residual
+    frame itself) falls back to full-corpus training. Re-counting the
+    fused sample post-residual would cost an extra Arrow pass per
+    query; the corner needs a corpus that is mostly zero vectors
+    inside the sample, so the loud raise is the better trade.
 
     ``kmeans_cells=k`` replaces the strided coarse codebook with
     ``kmeans_iters`` rounds of Lloyd refinement (lloyd_centroids — the
@@ -2098,6 +2126,54 @@ def ann_index_build(
     }
 
 
+def ann_index_add(
+    index: dict,
+    new_rows: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """INCREMENTAL index update — Faiss ``add()`` after ``train()``:
+    encode new vectors with the EXISTING coarse centroids and PQ
+    codebooks (one fused Arrow pass — assignment + residual + codes,
+    zero shuffles) and append them to the coded inverted lists. No
+    retraining: the quantizers are frozen at build time, which is how
+    every deployment absorbs daily arrivals without paying the
+    training passes (and why codebooks/centroids persist separately
+    from the lists).
+
+    Returns a NEW index handle whose ``coded`` is the union; the input
+    handle is not mutated. The result is bit-identical to encoding the
+    combined corpus against the same build artifacts (encode is
+    per-row; value-hash certified by the registered ann_index_add
+    query, whose oracle trains on the BASE rows only and encodes
+    base + added — pq_topk_ctes(base_table=...)).
+
+    New rows with NULL vectors, or assigned to a NULL-embedding
+    centroid, drop exactly as at build time (the fused pass's keep
+    mask). Quantization drift is the deployment's tradeoff to watch:
+    frozen codebooks encode far-from-training-distribution arrivals
+    poorly — rebuild when the recall report degrades.
+    """
+    from ..sources.registry import widen_partitions
+
+    p = index["params"]
+    dim = _vec_dim(new_rows, vec_col, None)
+    if dim is not None and dim != p["dim"]:
+        raise ValueError(
+            f"ann_index_add: new rows have dim {dim}, index has "
+            f"dim {p['dim']}"
+        )
+    coded_new = _fused_residual_pass(
+        widen_partitions(new_rows),
+        _collect_cent_rows(index["cents"]),
+        index["books"],
+        id_col,
+        vec_col,
+        cent_id_type=index["coded"].schema["cent_id"].dataType,
+    )
+    return {**index, "coded": index["coded"].unionByName(coded_new)}
+
+
 def ann_index_write(
     index: dict, path: str, partition_by_cell: bool = False
 ) -> str:
@@ -2194,6 +2270,7 @@ def ann_index_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_filter: Column | str | None = None,
 ) -> DataFrame:
     """QUERY-ONLY residual IVF-PQ top-k against a persisted index —
     the plan contains ZERO training or encode stages (no Lloyd loop,
@@ -2210,6 +2287,18 @@ def ann_index_topk(
     ivf_pq_residual_topk with the same build parameters (same DuckDB
     oracle certifies both).
 
+    ``corpus_filter`` (r14): a predicate over the coded rows
+    (``nn_id``/``cent_id``) applied BEFORE the ADC scan and candidate
+    cut — Faiss IDSelector-style PRE-filtering, the shape every vector
+    store exposes as "filtered search". Pre- (not post-) filtering is
+    the recall-preserving order: the top-k is computed within the
+    allowed subset instead of filtering an already-cut candidate list
+    down to fewer than k survivors. The filter composes with partition
+    pruning and pushes to the coded parquet scan when it references
+    partition/stats columns. Richer attribute filters pre-join their
+    metadata onto the coded lists at build time (the lists are plain
+    parquet — add columns and filter on them).
+
     Scale: per query batch the corpus-sized work is ONE pruned scan of
     the coded inverted lists — the index build's two raw-vector passes
     are paid once at build time, which is the whole point of the
@@ -2220,7 +2309,10 @@ def ann_index_topk(
     cents_u = cents.select(
         "cent_id", _unit(F.col("cent_vec")).alias("cent_uvec")
     )
+    coded = index["coded"]
+    if corpus_filter is not None:
+        coded = coded.filter(corpus_filter)
     return _routed_residual_query(
-        cents, cents_u, index["books"], index["coded"], queries, corpus,
+        cents, cents_u, index["books"], coded, queries, corpus,
         k, m, ksub, dim // m, candidates, nprobe, id_col, vec_col, dim,
     )

@@ -276,6 +276,8 @@ def pq_topk_ctes(
     kmeans_cells: int | None = None,
     kmeans_iters: int = 2,
     emit: str = "topk",
+    base_table: str | None = None,
+    corpus_where: str | None = None,
 ) -> str:
     """Full PQ/ADC top-k oracle: training-sample selection (xxhash64
     modulus — bit-equal to F.xxhash64), per-subspace Lloyd with
@@ -320,6 +322,18 @@ def pq_topk_ctes(
         # chain cut at the coded-inverted-list seam; non-residual has
         # no registered index surface
         raise ValueError("emit='index' requires residual=True")
+    # ``base_table`` (r14, ann_index_add's twin): the INDEX-DEFINING
+    # rows — coarse centroids and the PQ training sample come from it,
+    # while assignment/encode/probes/re-rank still run over ``table``
+    # (base + added rows). Pass a parenthesized aliased subquery, e.g.
+    # "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) base_t".
+    # ``corpus_where`` (r14, filtered ANN's twin): a predicate over the
+    # coded rows (alias c) ANDed into the ADC scan — Faiss
+    # IDSelector-style PRE-filtering (applied before the candidate
+    # cut, so top-k recall is computed within the allowed subset).
+    # Both default to emission-byte-identical no-ops.
+    base_table = base_table or table
+    cwf = "" if corpus_where is None else f" AND ({corpus_where})"
     routing: list[str] = []
     if routed:
         C = cosine  # noqa: N806 — local alias, matches _duck_ivf_sql
@@ -330,15 +344,15 @@ def pq_topk_ctes(
             # routing; cell ids are the cluster indices, exactly the
             # Spark twin's enumerate() frame
             icents = (
-                lloyd_ctes(kmeans_cells, kmeans_iters, dim, table)
+                lloyd_ctes(kmeans_cells, kmeans_iters, dim, base_table)
                 + ", icents AS (SELECT CAST(cid AS BIGINT) AS cent_id, "
                 f"cent AS cent_vec FROM cents{kmeans_iters})"
             )
         else:
             icents = (
                 f"icents AS (SELECT vec_id AS cent_id, embedding AS "
-                f"cent_vec FROM {table} WHERE vec_id % {centroid_stride} "
-                f"= 0)"
+                f"cent_vec FROM {base_table} WHERE vec_id % "
+                f"{centroid_stride} = 0)"
             )
         routing = [
             icents,
@@ -383,7 +397,7 @@ def pq_topk_ctes(
             "FROM iasg a JOIN eu e ON e.vec_id = a.nn_id "
             "JOIN icu c ON c.cent_id = a.cent_id "
             "WHERE e.uvec IS NOT NULL AND c.ucent IS NOT NULL)",
-            xxhash64_ctes("hx", table, keep="vec_id"),
+            xxhash64_ctes("hx", base_table, keep="vec_id"),
             # training inputs are the SAMPLED residuals, un-normalized
             # (pq_train normalize=False): rvec IS the training space,
             # aliased to uvec so the shared slicing text applies
@@ -403,8 +417,8 @@ def pq_topk_ctes(
             # hash chain carries vec_id ONLY — the 13 materialized steps
             # must not each hold a copy of the embedding payload; the one
             # join below re-attaches it to the sampled ids
-            xxhash64_ctes("hx", table, keep="vec_id"),
-            f"trsel AS (SELECT t.vec_id, t.embedding FROM {table} t "
+            xxhash64_ctes("hx", base_table, keep="vec_id"),
+            f"trsel AS (SELECT t.vec_id, t.embedding FROM {base_table} t "
             f"JOIN hx ON hx.vec_id = t.vec_id "
             f"WHERE ((hx.h % {sample_mod}) + {sample_mod}) % {sample_mod} "
             f"= 0)",
@@ -493,7 +507,8 @@ def pq_topk_ctes(
             # pairs, so the cent_id join IS the routing
             f"adc AS (SELECT l.q_id, c.vec_id AS nn_id, {adc_sum} AS adist "
             "FROM cods c JOIN iasg a ON a.nn_id = c.vec_id "
-            "JOIN lut l ON l.cent_id = a.cent_id WHERE c.vec_id <> l.q_id)",
+            "JOIN lut l ON l.cent_id = a.cent_id WHERE c.vec_id <> l.q_id"
+            f"{cwf})",
         ]
     else:
         parts += [
@@ -513,13 +528,15 @@ def pq_topk_ctes(
                 "AS adist "
                 "FROM cods c JOIN iasg a ON a.nn_id = c.vec_id "
                 "JOIN iprobes p ON p.cent_id = a.cent_id "
-                "JOIN lut l ON l.q_id = p.q_id WHERE c.vec_id <> l.q_id)",
+                "JOIN lut l ON l.q_id = p.q_id WHERE c.vec_id <> l.q_id"
+                f"{cwf})",
             ]
         else:
             parts.append(
                 f"adc AS (SELECT l.q_id, c.vec_id AS nn_id, {adc_sum} "
                 "AS adist "
-                "FROM cods c CROSS JOIN lut l WHERE c.vec_id <> l.q_id)"
+                "FROM cods c CROSS JOIN lut l WHERE c.vec_id <> l.q_id"
+                f"{cwf})"
             )
     parts.append(
         "cand AS (SELECT q_id, nn_id FROM (SELECT q_id, nn_id, "

@@ -146,3 +146,102 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_topk(
         index, qs, emb, k=5, candidates=50, nprobe=4,
     )
+
+
+def _ann_add_oracle() -> str:
+    from .duck_vec import pq_topk_ctes
+
+    return pq_topk_ctes(
+        m=4, ksub=16, iters=2, dim=64, candidates=50, k=5,
+        sample_mod=5, q_mod=50, centroid_stride=10, nprobe=4,
+        residual=True,
+        base_table="(SELECT * FROM embeddings WHERE vec_id % 2 = 0) base_t",
+    )
+
+
+@query(
+    "ann_index_add_topk",
+    _ann_add_oracle(),
+    tags=["similarity", "ann", "ivf", "pq", "residual", "index",
+          "incremental"],
+)
+def q_ann_index_add_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index growth — Faiss add() after train()
+    (operators/similarity.ann_index_add): the index builds on the EVEN
+    half of the corpus (coarse centroids + PQ codebooks trained there,
+    frozen), the odd half is appended through one fused encode pass
+    with NO retraining, the grown index round-trips through
+    write/read, and the query runs over everything. The oracle trains
+    on the even half only (pq_topk_ctes(base_table=...)) and encodes
+    base + added — certifying that add() encodes exactly as a
+    full-corpus encode against the same frozen artifacts. Reference
+    parity: no ANN surface in the reference (build.sh:75-233); §2.11
+    extension."""
+    from ..operators.similarity import (
+        ann_index_add,
+        ann_index_build,
+        ann_index_read,
+        ann_index_topk,
+        ann_index_write,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    index = ann_index_build(
+        base, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    index = ann_index_add(index, extra)
+    path = _scratch_index_path()
+    ann_index_write(index, path)
+    index = ann_index_read(spark, path)
+    return ann_index_topk(index, qs, emb, k=5, candidates=50, nprobe=4)
+
+
+def _ann_filtered_oracle() -> str:
+    from .duck_vec import pq_topk_ctes
+
+    return pq_topk_ctes(
+        m=4, ksub=16, iters=2, dim=64, candidates=50, k=5,
+        sample_mod=5, q_mod=50, centroid_stride=10, nprobe=4,
+        residual=True, corpus_where="c.vec_id % 3 <> 0",
+    )
+
+
+@query(
+    "ann_index_filtered_topk",
+    _ann_filtered_oracle(),
+    tags=["similarity", "ann", "ivf", "pq", "residual", "index",
+          "filtered"],
+)
+def q_ann_index_filtered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED vector search against the persisted index
+    (operators/similarity.ann_index_topk(corpus_filter=...)): the
+    predicate restricts the coded inverted lists BEFORE the ADC scan
+    and candidate cut — Faiss IDSelector-style PRE-filtering, so the
+    top-k is computed within the allowed subset (post-filtering an
+    already-cut list can return fewer than k). The oracle ANDs the
+    same predicate into the adc CTE. Reference parity: no ANN surface
+    in the reference (build.sh:75-233); §2.11 extension."""
+    from ..operators.similarity import (
+        ann_index_build,
+        ann_index_read,
+        ann_index_topk,
+        ann_index_write,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    index = ann_index_build(
+        emb, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    path = _scratch_index_path()
+    ann_index_write(index, path)
+    index = ann_index_read(spark, path)
+    return ann_index_topk(
+        index, qs, emb, k=5, candidates=50, nprobe=4,
+        corpus_filter=F.col("nn_id") % 3 != 0,
+    )

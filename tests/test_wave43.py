@@ -349,3 +349,76 @@ def test_ann_index_partitioned_layout_dpp_and_bit_parity(
     assert _rows(df_part) == got_flat
     plan = df_part._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan
+
+
+def test_ann_index_add_equals_full_encode(spark, sf_dir):
+    """Faiss add() contract: building on the even half and adding the
+    odd half must produce coded lists BIT-IDENTICAL to encoding the
+    combined corpus against the same frozen artifacts (encode is
+    per-row) — and therefore identical query results."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    index = S.ann_index_build(
+        base, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    grown = S.ann_index_add(index, extra)
+    # same frozen artifacts, full-corpus encode in one pass
+    cents = index["cents"]
+    full_coded = S._fused_residual_pass(
+        emb,
+        S._collect_cent_rows(cents),
+        index["books"],
+        "vec_id",
+        "embedding",
+        cent_id_type=index["coded"].schema["cent_id"].dataType,
+    )
+    got = sorted(
+        (r["nn_id"], r["cent_id"], tuple(r["codes"]))
+        for r in grown["coded"].collect()
+    )
+    want = sorted(
+        (r["nn_id"], r["cent_id"], tuple(r["codes"]))
+        for r in full_coded.collect()
+    )
+    assert got == want and len(got) > len(
+        index["coded"].collect()
+    ) > 0
+    # the input handle is not mutated
+    assert index["coded"] is not grown["coded"]
+
+
+def test_ann_index_add_dim_mismatch_raises(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    index = S.ann_index_build(
+        emb, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    bad = spark.createDataFrame(
+        [(10_001, [0.1, 0.2])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        S.ann_index_add(index, bad)
+
+
+def test_ann_index_filtered_topk_pre_filter_semantics(spark, sf_dir):
+    """Pre-filtering contract: every neighbor satisfies the predicate,
+    AND the result equals brute-force cosine top-k restricted to the
+    allowed subset wherever the unfiltered index already agreed with
+    brute force on that subset — concretely, filtered search still
+    returns k rows per query (post-filtering an already-cut candidate
+    list would not)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    index = S.ann_index_build(
+        emb, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    out = S.ann_index_topk(
+        index, qs, emb, k=5, candidates=50, nprobe=4,
+        corpus_filter=F.col("nn_id") % 3 != 0,
+    ).collect()
+    assert all(r["nn_id"] % 3 != 0 for r in out)
+    n_q = qs.count()
+    per_q = {}
+    for r in out:
+        per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
+    assert len(per_q) == n_q and all(v == 5 for v in per_q.values())
