@@ -972,8 +972,9 @@ def cross_doc_span_dedup(
     their occurrences MAP-SIDE — the ranking window never sees a group
     larger than max_occurrences. (No forced broadcast hint: an
     aggressive cap could make the set arbitrarily large, and AQE's
-    shuffled anti-join is the right fallback there.) The default ``None`` keeps the paper-faithful
-    semantics (every duplicated gram is deduped). Exemption — not
+    shuffled anti-join is the right fallback there.) The default
+    ``None`` keeps the paper-faithful semantics (every duplicated gram
+    is deduped). Exemption — not
     "dedup without ranking" — is the deliberate semantics: a span on
     half the corpus is boilerplate, and cutting it from every document
     but one is rarely what a curation pipeline wants (Lee et al. §5

@@ -2232,7 +2232,7 @@ def ann_index_read(spark: SparkSession, path: str) -> dict:
     DataFrames (coded is corpus-sized and never leaves the cluster)."""
     prow = spark.read.parquet(path + "/params").collect()[0]
     m, ksub, dim = int(prow["m"]), int(prow["ksub"]), int(prow["dim"])
-    books: list[list[list[float]] | None] = [
+    books: list[list[list[float] | None]] = [
         [None] * ksub for _ in range(m)
     ]
     for r in spark.read.parquet(path + "/codebooks").collect():
