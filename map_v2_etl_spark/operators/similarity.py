@@ -2316,3 +2316,202 @@ def ann_index_topk(
         cents, cents_u, index["books"], coded, queries, corpus,
         k, m, ksub, dim // m, candidates, nprobe, id_col, vec_col, dim,
     )
+
+
+def sq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    train_sample_mod: int | None = None,
+) -> tuple[list[float], list[float]]:
+    """Train the 8-bit SCALAR quantizer — Faiss ScalarQuantizer
+    QT_8bit's training step: per-dimension (vmin, vmax) over the UNIT
+    forms of the (hash-sampled) corpus. MIN/MAX are exact, order-free
+    aggregates, so unlike the k-means chains this needs no decimal
+    machinery to be bit-reproducible: ONE corpus pass, 2*dim driver
+    doubles.
+
+    The xxhash64-modulus sample follows pq_train's discipline
+    (deterministic, id-type-agnostic); an EMPTY non-null sample falls
+    back to the full corpus (min/max are meaningful from one row, so
+    the gate is presence, not ksub)."""
+    dim = _vec_dim(corpus, vec_col, dim)
+    if dim is None:
+        raise ValueError("sq_train: corpus has no non-null vectors")
+    src = corpus.filter(F.col(vec_col).isNotNull())
+    if train_sample_mod and train_sample_mod > 1:
+        sample = src.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod))
+            == 0
+        )
+        if sample.limit(1).count() >= 1:
+            src = sample
+    cu = src.select(_unit(F.col(vec_col)).alias("uvec"))
+    aggs = []
+    for j in range(dim):
+        e = F.element_at(F.col("uvec"), j + 1)
+        aggs.append(F.min(e).alias(f"mn{j}"))
+        aggs.append(F.max(e).alias(f"mx{j}"))
+    row = cu.agg(*aggs).first()
+    vmin = [float(row[f"mn{j}"]) for j in range(dim)]
+    vmax = [float(row[f"mx{j}"]) for j in range(dim)]
+    return vmin, vmax
+
+
+def _sq_code_col(vec: Column, vmin_arr: Column, vmax_arr: Column) -> Column:
+    """8-bit scalar-quantize a unit vector against per-dimension
+    (vmin, vmax) array literals:
+    code = floor(clamp((x - vmin)/rng, 0, 1) * 255 + 0.5), zero-range
+    dims code 0. Pure JVM expression (transform's indexed lambda) —
+    the DuckDB cods CTE mirrors the term tree operation for
+    operation."""
+
+    def code(x, i):
+        mn = F.element_at(vmin_arr, i + 1)
+        mx = F.element_at(vmax_arr, i + 1)
+        rng = mx - mn
+        t = F.least(
+            F.greatest((x - mn) / rng, F.lit(0.0)), F.lit(1.0)
+        )
+        return F.when(rng == F.lit(0.0), F.lit(0)).otherwise(
+            F.floor(t * F.lit(255.0) + F.lit(0.5)).cast("int")
+        )
+
+    return F.transform(vec, code)
+
+
+def _sq_dist_col(
+    codes: Column, q_uvec: Column, vmin_arr: Column, vmax_arr: Column
+) -> Column:
+    """Asymmetric SQ distance: left fold (0.0 init) over dims of
+    (u(q)_j - (vmin_j + code_j * (vmax_j - vmin_j) / 255))^2 — the
+    codes never decode to a materialized vector, the reconstruction
+    lives inside the fold term (the SQ analog of the PQ LUT lookup)."""
+
+    def term(c, i):
+        mn = F.element_at(vmin_arr, i + 1)
+        mx = F.element_at(vmax_arr, i + 1)
+        dec = mn + (c.cast("double") * (mx - mn)) / F.lit(255.0)
+        d = F.element_at(q_uvec, i + 1) - dec
+        return d * d
+
+    return F.aggregate(
+        F.transform(codes, term), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def ivf_sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 50,
+    centroid_stride: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    train_sample_mod: int | None = None,
+) -> DataFrame:
+    """IVF-SQ8 approximate top-k with exact re-rank — Faiss
+    ``IndexIVFScalarQuantizer`` (QT_8bit) shape, the OTHER production
+    quantization family next to IVF-PQ: each unit vector stores dim
+    8-bit codes (64 B at dim 64) instead of PQ's m sub-codes (4 B) —
+    16x more memory than PQ but near-lossless fidelity and NO
+    codebook/LUT machinery (training is one min/max pass). The
+    standard deployment ladder is brute force -> SQ8 -> PQ as the
+    corpus outgrows memory tiers; this completes that ladder
+    (cosine_topk / ivf_sq_topk / ivf_pq_* are now all registered).
+    Output shape (q_id, nn_id, rank, cosine), self-matches excluded —
+    same as cosine_topk, so the exact twin is the recall reference.
+
+    Composition, reusing the audited pieces: coarse routing =
+    ivf_pq_topk's strided centroids + broadcast/max_by assignment
+    (identical tie rules, so the oracle shares _ivf_routing_parts);
+    the scan is the same BroadcastHashJoin on cent_id against a
+    broadcast (q_id, cent_id, q_uvec) probe frame — non-probed cells
+    drop map-side; distance is an in-row fold that reconstructs each
+    dimension INSIDE the term (no decoded vector materializes).
+
+    Scale: corpus-sized work is the coarse-assign aggregation, one
+    encode projection (pure codegen transform — no Arrow pass, no
+    driver codebooks beyond 2*dim doubles), and the narrow
+    codes/assignment equi-join; the pruned scan reads ~nprobe/n_cells
+    of the codes. Exact re-rank touches candidates x |Q| raw vectors.
+
+    Reference parity: the reference engine has no ANN surface
+    (build.sh:75-233 is tile ETL); §2.11 training-pipeline extension.
+    """
+    from ..sources.registry import widen_partitions
+
+    dim = _vec_dim(corpus, vec_col, dim)
+    if dim is None:
+        # empty corpus: correct empty result via the exact plan
+        return cosine_topk(corpus, queries, k, id_col, vec_col)
+    cents, _ = _coarse_cents(
+        corpus, centroid_stride, None, 2, id_col, vec_col, "ivf_sq_topk"
+    )
+    cos = _cos_fn(dim)
+    # nearest centroid per corpus vector — ivf_pq_topk's pass verbatim
+    # (broadcast cross + max_by; ties to the HIGHEST cent_id)
+    c = widen_partitions(corpus).select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("cs", cos(F.col("nn_vec"), F.col("cent_vec")))
+        .groupBy("nn_id")
+        .agg(F.max_by("cent_id", F.struct("cs", "cent_id")).alias("cent_id"))
+    )
+
+    vmin, vmax = sq_train(corpus, id_col, vec_col, dim, train_sample_mod)
+    # exact doubles relayed as literals (min/max PICK input values —
+    # no float arithmetic happens on the driver)
+    vmin_arr = F.array(*[F.lit(v) for v in vmin])
+    vmax_arr = F.array(*[F.lit(v) for v in vmax])
+
+    cu = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("nn_id"), _unit(F.col(vec_col)).alias("uvec")
+    )
+    codes = cu.select(
+        "nn_id", _sq_code_col(F.col("uvec"), vmin_arr, vmax_arr).alias("codes")
+    )
+    coded = codes.join(assign, "nn_id")
+
+    # query probes: nprobe nearest cells, ties to the LOWEST cent_id;
+    # the probe frame carries u(q) so the distance fold reads it in-row
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", cos(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cent_id")
+    )
+    q_unit = queries.select(
+        F.col(id_col).alias("q_id"), _unit(F.col(vec_col)).alias("q_uvec")
+    )
+    pframe = probes.join(q_unit, "q_id")
+
+    sqd = (
+        coded.join(F.broadcast(pframe), "cent_id")
+        .filter(F.col("nn_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "nn_id",
+            _sq_dist_col(
+                F.col("codes"), F.col("q_uvec"), vmin_arr, vmax_arr
+            ).alias("adist"),
+        )
+    )
+    wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
+    cand = (
+        sqd.withColumn("r", F.row_number().over(wnd))
+        .filter(F.col("r") <= candidates)
+        .select("q_id", "nn_id")
+    )
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, dim)

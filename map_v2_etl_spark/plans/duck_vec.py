@@ -336,42 +336,10 @@ def pq_topk_ctes(
     cwf = "" if corpus_where is None else f" AND ({corpus_where})"
     routing: list[str] = []
     if routed:
-        C = cosine  # noqa: N806 — local alias, matches _duck_ivf_sql
-        if kmeans_cells is not None:
-            # Lloyd-refined coarse codebook: the certified k-means CTE
-            # chain (lloyd_ctes — decimal-grid means, ties to the
-            # lowest cid, empty clusters keep their centroid) feeds the
-            # routing; cell ids are the cluster indices, exactly the
-            # Spark twin's enumerate() frame
-            icents = (
-                lloyd_ctes(kmeans_cells, kmeans_iters, dim, base_table)
-                + ", icents AS (SELECT CAST(cid AS BIGINT) AS cent_id, "
-                f"cent AS cent_vec FROM cents{kmeans_iters})"
-            )
-        else:
-            icents = (
-                f"icents AS (SELECT vec_id AS cent_id, embedding AS "
-                f"cent_vec FROM {base_table} WHERE vec_id % "
-                f"{centroid_stride} = 0)"
-            )
-        routing = [
-            icents,
-            # corpus assignment: ties to the HIGHEST cent_id (max_by)
-            "iasg AS (SELECT nn_id, cent_id FROM ("
-            "SELECT e.vec_id AS nn_id, c.cent_id, ROW_NUMBER() OVER ("
-            "PARTITION BY e.vec_id ORDER BY "
-            + C("e.embedding", "c.cent_vec")
-            + f" DESC, c.cent_id DESC) AS rn FROM {table} e "
-            "CROSS JOIN icents c) WHERE rn = 1)",
-            # query probes: nprobe nearest cells, ties to the LOWEST id
-            "iprobes AS (SELECT q_id, cent_id FROM ("
-            "SELECT q.vec_id AS q_id, c.cent_id, ROW_NUMBER() OVER ("
-            "PARTITION BY q.vec_id ORDER BY "
-            + C("q.embedding", "c.cent_vec")
-            + f" DESC, c.cent_id ASC) AS rn FROM {table} q "
-            f"CROSS JOIN icents c WHERE q.vec_id % {q_mod} = 0"
-            f") WHERE rn <= {nprobe})",
-        ]
+        routing = _ivf_routing_parts(
+            table, base_table, centroid_stride, nprobe, q_mod, dim,
+            kmeans_cells, kmeans_iters,
+        )
     if residual:
         parts = list(routing) + [
             # unit centroids — _unit's two-step norm-once semantics
@@ -555,6 +523,60 @@ def pq_topk_ctes(
     return _finish_ctes(parts, final)
 
 
+def _ivf_routing_parts(
+    table: str,
+    base_table: str,
+    centroid_stride: int | None,
+    nprobe: int,
+    q_mod: int,
+    dim: int,
+    kmeans_cells: int | None,
+    kmeans_iters: int,
+) -> list[str]:
+    """The IVF routing CTE trio (icents / iasg / iprobes) — extracted
+    VERBATIM from pq_topk_ctes (r14, for ivf_sq_ctes) so every routed
+    oracle shares one copy of the tie rules; pq_topk_ctes emissions
+    verified byte-identical pre/post. Corpus assignment ties to the
+    HIGHEST cent_id (max_by's struct order), probe ties to the
+    LOWEST."""
+    C = cosine  # noqa: N806 — local alias, matches _duck_ivf_sql
+    if kmeans_cells is not None:
+        # Lloyd-refined coarse codebook: the certified k-means CTE
+        # chain (lloyd_ctes — decimal-grid means, ties to the
+        # lowest cid, empty clusters keep their centroid) feeds the
+        # routing; cell ids are the cluster indices, exactly the
+        # Spark twin's enumerate() frame
+        icents = (
+            lloyd_ctes(kmeans_cells, kmeans_iters, dim, base_table)
+            + ", icents AS (SELECT CAST(cid AS BIGINT) AS cent_id, "
+            f"cent AS cent_vec FROM cents{kmeans_iters})"
+        )
+    else:
+        icents = (
+            f"icents AS (SELECT vec_id AS cent_id, embedding AS "
+            f"cent_vec FROM {base_table} WHERE vec_id % "
+            f"{centroid_stride} = 0)"
+        )
+    return [
+        icents,
+        # corpus assignment: ties to the HIGHEST cent_id (max_by)
+        "iasg AS (SELECT nn_id, cent_id FROM ("
+        "SELECT e.vec_id AS nn_id, c.cent_id, ROW_NUMBER() OVER ("
+        "PARTITION BY e.vec_id ORDER BY "
+        + C("e.embedding", "c.cent_vec")
+        + f" DESC, c.cent_id DESC) AS rn FROM {table} e "
+        "CROSS JOIN icents c) WHERE rn = 1)",
+        # query probes: nprobe nearest cells, ties to the LOWEST id
+        "iprobes AS (SELECT q_id, cent_id FROM ("
+        "SELECT q.vec_id AS q_id, c.cent_id, ROW_NUMBER() OVER ("
+        "PARTITION BY q.vec_id ORDER BY "
+        + C("q.embedding", "c.cent_vec")
+        + f" DESC, c.cent_id ASC) AS rn FROM {table} q "
+        f"CROSS JOIN icents c WHERE q.vec_id % {q_mod} = 0"
+        f") WHERE rn <= {nprobe})",
+    ]
+
+
 def _finish_ctes(parts: list[str], final: str) -> str:
     """Join CTE parts + final SELECT into the emitted oracle string —
     extracted verbatim from pq_topk_ctes' tail (r14, for the
@@ -582,3 +604,89 @@ def _finish_ctes(parts: list[str], final: str) -> str:
             "builder changed its head format"
         )
     return "WITH " + body + " " + final
+
+
+def ivf_sq_ctes(
+    dim: int = 64,
+    candidates: int = 50,
+    k: int = 5,
+    sample_mod: int = 5,
+    q_mod: int = 50,
+    table: str = "embeddings",
+    centroid_stride: int = 10,
+    nprobe: int = 4,
+) -> str:
+    """IVF-SQ8 oracle (operators/similarity.ivf_sq_topk): IVF routing
+    (the shared _ivf_routing_parts trio, identical tie rules) over
+    8-bit SCALAR-quantized unit vectors — Faiss IndexIVFScalarQuantizer
+    QT_8bit shape. Training is per-dimension MIN/MAX over the
+    xxhash64-sampled unit vectors (exact, order-free aggregates — no
+    decimal machinery needed, unlike the k-means chains); encode is
+    code = floor(clamp((x - vmin)/(vmax - vmin), 0, 1) * 255 + 0.5)
+    (zero-range dims code 0); the asymmetric distance replays Spark's
+    F.aggregate left fold over dims of
+    (u(q)_j - (vmin_j + code_j*(vmax_j - vmin_j)/255))^2, term trees
+    mirrored operation for operation. Assumes the sample is non-empty
+    (true at oracle SFs; the engine falls back to the full corpus on
+    an empty sample)."""
+    parts = _ivf_routing_parts(
+        table, table, centroid_stride, nprobe, q_mod, dim, None, 2
+    )
+    parts += [
+        xxhash64_ctes("hx", table, keep="vec_id"),
+        f"trsel AS (SELECT t.vec_id, t.embedding FROM {table} t "
+        f"JOIN hx ON hx.vec_id = t.vec_id "
+        f"WHERE ((hx.h % {sample_mod}) + {sample_mod}) % {sample_mod} "
+        f"= 0 AND t.embedding IS NOT NULL)",
+        _unit_cte("tr", "trsel"),
+        # per-dimension training stats: exact MIN/MAX over the sampled
+        # unit vectors (order-free aggregates -> bit-stable)
+        f"sqt AS (SELECT u.j, MIN(t.uvec[u.j + 1]) AS vmn, "
+        f"MAX(t.uvec[u.j + 1]) AS vmx "
+        f"FROM tr t, LATERAL unnest(range({dim})) AS u(j) GROUP BY u.j)",
+        "sqb AS (SELECT list(vmn ORDER BY j) AS vmin, "
+        "list(vmx ORDER BY j) AS vmax FROM sqt)",
+        _unit_cte("cu", table, "embedding IS NOT NULL"),
+        # encode: mirrors the Spark transform's term tree exactly
+        # (rng, clamp, floor(t*255 + 0.5)); zero-range dims code 0
+        "cods AS (SELECT c.vec_id, "
+        "list_transform(list_zip(c.uvec, b.vmin, b.vmax), "
+        "p -> CASE WHEN (CAST(p[3] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "= 0.0 THEN 0 ELSE CAST(floor(LEAST(GREATEST("
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) / "
+        "(CAST(p[3] AS DOUBLE) - CAST(p[2] AS DOUBLE)), 0.0), 1.0) "
+        "* 255.0 + 0.5) AS INT) END) AS codes "
+        "FROM cu c CROSS JOIN sqb b)",
+        _unit_cte("qu", table, f"vec_id % {q_mod} = 0", id_as="q_id"),
+    ]
+    # asymmetric distance: left fold (0.0 init) over dims of
+    # (uq - (vmin + code*(vmax - vmin)/255))^2 — F.aggregate's sequence
+    diff = (
+        "(CAST(p[2] AS DOUBLE) - (CAST(p[3] AS DOUBLE) + "
+        "(CAST(p[1] AS DOUBLE) * (CAST(p[4] AS DOUBLE) - "
+        "CAST(p[3] AS DOUBLE))) / 255.0))"
+    )
+    dist = fold_sum(
+        "list_transform(list_zip(c.codes, q.uvec, b.vmin, b.vmax), "
+        f"p -> {diff} * {diff})"
+    )
+    parts += [
+        f"sqd AS (SELECT p.q_id, c.vec_id AS nn_id, {dist} AS adist "
+        "FROM cods c JOIN iasg a ON a.nn_id = c.vec_id "
+        "JOIN iprobes p ON p.cent_id = a.cent_id "
+        "JOIN qu q ON q.q_id = p.q_id CROSS JOIN sqb b "
+        "WHERE c.vec_id <> p.q_id)",
+        "cand AS (SELECT q_id, nn_id FROM (SELECT q_id, nn_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, "
+        f"nn_id ASC) AS r FROM sqd) WHERE r <= {candidates})",
+    ]
+    cos = cosine("qv.embedding", "nv.embedding")
+    final = (
+        "SELECT q_id, nn_id, CAST(rank AS INTEGER) AS rank, cosine FROM ("
+        f"SELECT cand.q_id, cand.nn_id, {cos} AS cosine, "
+        "ROW_NUMBER() OVER (PARTITION BY cand.q_id "
+        f"ORDER BY {cos} DESC, cand.nn_id ASC) AS rank FROM cand "
+        f"JOIN {table} qv ON qv.vec_id = cand.q_id "
+        f"JOIN {table} nv ON nv.vec_id = cand.nn_id) WHERE rank <= {k}"
+    )
+    return _finish_ctes(parts, final)

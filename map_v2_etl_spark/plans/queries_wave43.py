@@ -245,3 +245,53 @@ def q_ann_index_filtered_topk(
         index, qs, emb, k=5, candidates=50, nprobe=4,
         corpus_filter=F.col("nn_id") % 3 != 0,
     )
+
+
+def _ann_index_recall_oracle() -> str:
+    from .duck_vec import pq_topk_ctes
+    from .queries_wave39 import _recall_report_sql
+
+    return _recall_report_sql(
+        pq_topk_ctes(
+            m=4, ksub=16, iters=2, dim=64, candidates=12, k=5,
+            sample_mod=5, q_mod=50, centroid_stride=10, nprobe=4,
+            residual=True,
+        )
+    )
+
+
+@query(
+    "ann_index_recall_report",
+    _ann_index_recall_oracle(),
+    tags=["embedding", "ann", "index", "residual", "observability"],
+)
+def q_ann_index_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """recall@5 of the PERSISTED index at a TIGHT candidate budget (12)
+    vs the exact cosine top-k — the codebook-DRIFT monitoring signal
+    for a deployment whose quantizers are frozen at build time (Faiss
+    add() absorbs arrivals without retraining; this report is what
+    tells you when the frozen codebooks have drifted from the data
+    distribution and the index needs a rebuild). Same shape as
+    ivf_pq_residual_recall_report (wave 41), served through
+    build → write → read → query-only plan. Reference parity: no ANN
+    surface in the reference (build.sh:75-233); §2.11 extension."""
+    from ..operators.similarity import (
+        ann_index_build,
+        ann_index_read,
+        ann_index_topk,
+        ann_index_write,
+    )
+    from .queries_wave39 import _recall_report_df
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    index = ann_index_build(
+        emb, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    path = _scratch_index_path()
+    ann_index_write(index, path)
+    index = ann_index_read(spark, path)
+    approx = ann_index_topk(index, qs, emb, k=5, candidates=12, nprobe=4)
+    return _recall_report_df(spark, sf_dir, approx)

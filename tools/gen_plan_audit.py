@@ -80,6 +80,9 @@ AUDIT_EXTRA = [
     # ANN index's two surfaces (build = fused encode; topk = the
     # query-only plan with zero train/encode stages)
     "span_dedup_capped", "ann_index_build", "ann_index_topk",
+    # wave-44 (r14): the scalar-quantization family (all-JVM encode +
+    # routed BHJ scan)
+    "ivf_sq8_topk",
 ]
 
 
