@@ -386,10 +386,16 @@ def pq_topk_ctes(
             # must not each hold a copy of the embedding payload; the one
             # join below re-attaches it to the sampled ids
             xxhash64_ctes("hx", base_table, keep="vec_id"),
+            # NULL embeddings drop from TRAINING here exactly as the
+            # Spark side always has (pq_train's isNotNull filter /
+            # _pq_train_local's notna) — without the clause a NULL row
+            # landing in the first ksub sample ids seeded a NULL b0
+            # centroid (r14 fix, same latent class as the residual
+            # res-CTE fix; unexercised at oracle SFs)
             f"trsel AS (SELECT t.vec_id, t.embedding FROM {base_table} t "
             f"JOIN hx ON hx.vec_id = t.vec_id "
             f"WHERE ((hx.h % {sample_mod}) + {sample_mod}) % {sample_mod} "
-            f"= 0)",
+            f"= 0 AND t.embedding IS NOT NULL)",
             _unit_cte("tr", "trsel"),
             f"sub_tr AS (SELECT vec_id, s, {slice_} AS sv "
             f"FROM tr, LATERAL unnest(range({m})) AS us(s))",
@@ -434,7 +440,10 @@ def pq_topk_ctes(
             # space — alias straight to uvec for the shared slicing
             "cu AS (SELECT vec_id, rvec AS uvec FROM res)"
             if residual
-            else _unit_cte("cu", table)
+            # non-residual encode: NULL embeddings drop exactly as in
+            # pq_encode's notna filter — without the clause they coded
+            # NULL and competed in adc (r14 fix, ADVICE-#1 class)
+            else _unit_cte("cu", table, "embedding IS NOT NULL")
         ),
         f"sub_c AS (SELECT vec_id, s, {slice_} AS sv "
         f"FROM cu, LATERAL unnest(range({m})) AS us(s))",

@@ -422,3 +422,65 @@ def test_ann_index_filtered_topk_pre_filter_semantics(spark, sf_dir):
     for r in out:
         per_q[r["q_id"]] = per_q.get(r["q_id"], 0) + 1
     assert len(per_q) == n_q and all(v == 5 for v in per_q.values())
+
+
+def test_pq_oracle_null_corpus_rows_parity(spark, tmp_path):
+    """r14 fix, ADVICE-#1 class, NON-residual PQ chain: NULL-embedding
+    corpus rows must drop from the oracle's training sample (a NULL at
+    a LOW id previously seeded a NULL b0 init centroid) and from its
+    encode side (NULL codes previously competed in adc) exactly as the
+    Spark side always dropped them. Runs the DuckDB oracle against
+    BOTH registered plan shapes (full-scan pq_cosine_topk and routed
+    ivf_pq_topk) on a corpus with NULLs at low and strided ids."""
+    import random
+
+    import duckdb
+
+    from map_v2_etl_spark.plans.duck_vec import pq_topk_ctes
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(30):
+        if i in (1, 13):  # low id -> inside the first-ksub init window
+            rows.append((i, None))
+        else:
+            rows.append(
+                (i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+            )
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    pq = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{pq}/*.parquet')"
+    )
+    qs = df.filter(F.col("vec_id") % 9 == 0)
+
+    got_full = _rows(
+        S.pq_cosine_topk(df, qs, k=3, m=2, ksub=4, candidates=10)
+    )
+    sql_full = pq_topk_ctes(
+        m=2, ksub=4, iters=2, dim=8, candidates=10, k=3,
+        sample_mod=1, q_mod=9,
+    )
+    want_full = sorted(
+        (q, n, r, c) for q, n, r, c in con.sql(sql_full).fetchall()
+    )
+    assert got_full == want_full
+    assert all(n not in (1, 13) for _, n, _, _ in want_full)
+
+    got_routed = _rows(
+        S.ivf_pq_topk(
+            df, qs, k=3, m=2, ksub=4, candidates=10,
+            centroid_stride=10, nprobe=2,
+        )
+    )
+    sql_routed = pq_topk_ctes(
+        m=2, ksub=4, iters=2, dim=8, candidates=10, k=3,
+        sample_mod=1, q_mod=9, centroid_stride=10, nprobe=2,
+    )
+    want_routed = sorted(
+        (q, n, r, c) for q, n, r, c in con.sql(sql_routed).fetchall()
+    )
+    assert got_routed == want_routed
