@@ -46,8 +46,7 @@ def _ref_ivf_sq(ids, vecs, q_ids, stride, nprobe, candidates, k,
     """Independent pure-Python IVF-SQ8: same folds, tie rules, and
     quantization terms as the Spark plan / DuckDB oracle."""
     id2v = dict(zip(ids, vecs))
-    cents = [(i, id2v[i]) for i in ids
-             if i % stride == 0 and True]
+    cents = [(i, id2v[i]) for i in ids if i % stride == 0]
     # corpus assignment: (valid, cs, cent_id) max — ties to HIGHEST id
     assign = {}
     for i in ids:
