@@ -460,6 +460,44 @@ def bench_ivf_pq_residual_fused(spark: SparkSession, frac: float) -> dict:
     return timed(spark, f"ivf_pq_residual_fused_{frac}x", run)
 
 
+def bench_ivf_sq(spark: SparkSession, frac: float) -> dict:
+    """IVF-SQ8 (operators/similarity.ivf_sq_topk, r14): same
+    fixed-nlist protocol and sizes as the ivf_pq cells. The whole
+    pipeline is JVM codegen (min/max train pass + indexed-transform
+    encode — no Arrow, no Lloyd rounds), so this cell watches the
+    scalar family stay at-or-under the PQ cells' walls while carrying
+    16x the code payload (dim bytes vs m)."""
+    from map_v2_etl_spark.operators.similarity import ivf_sq_topk
+
+    dim = 16
+    n = int(150_000 * MULT * frac)
+    n_cells = 512
+    stride = max(1, n // n_cells)
+    emb = gen_embeddings(spark, n, dim)
+    qs = emb.filter(F.col("vec_id") % max(1, n // 32) == 0)
+
+    def run():
+        out = ivf_sq_topk(
+            emb, qs, k=5, candidates=50,
+            centroid_stride=stride, nprobe=8, dim=dim,
+            train_sample_mod=max(1, n // 60_000),
+        )
+        agg = out.agg(
+            F.count("*").alias("rows"), F.sum("rank").alias("ranksum")
+        ).first()
+        return {
+            "n_rows": n,
+            "dim": dim,
+            "n_cells_target": n_cells,
+            "stride": stride,
+            "nprobe": 8,
+            "result_rows": agg["rows"],
+            "rank_sum": int(agg["ranksum"]),
+        }
+
+    return timed(spark, f"ivf_sq_{frac}x", run)
+
+
 def bench_ann_index_query(spark: SparkSession, frac: float) -> dict:
     """QUERY-ONLY cost against a PERSISTED residual IVF-PQ index
     (operators/similarity.ann_index_build/write/read/topk, r14): the
@@ -1223,6 +1261,7 @@ BENCHES = {
     "ivf_pq": bench_ivf_pq,
     "ivf_pq_residual": bench_ivf_pq_residual,
     "ivf_pq_residual_fused": bench_ivf_pq_residual_fused,
+    "ivf_sq": bench_ivf_sq,
     "ann_index_query": bench_ann_index_query,
     "span_dedup": bench_span_dedup,
     "span_dedup_skew": bench_span_dedup_skew,

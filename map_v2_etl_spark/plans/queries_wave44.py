@@ -92,3 +92,62 @@ def q_ivf_sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_sample_mod=5,
     )
     return _recall_report_df(spark, sf_dir, approx)
+
+
+def _ann_stream_add_oracle() -> str:
+    from .duck_vec import pq_topk_ctes
+
+    return pq_topk_ctes(
+        m=4, ksub=16, iters=2, dim=64, candidates=50, k=5,
+        sample_mod=5, q_mod=50, centroid_stride=10, nprobe=4,
+        residual=True,
+        base_table="(SELECT * FROM embeddings WHERE vec_id % 2 = 0) base_t",
+    )
+
+
+@query(
+    "ann_index_stream_add_topk",
+    _ann_stream_add_oracle(),
+    tags=["similarity", "ann", "index", "streaming", "incremental"],
+)
+def q_ann_index_stream_add_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-MAINTAINED vector index
+    (streaming/ann_maintenance.ann_index_stream_add): the index builds
+    on the even half and persists; the odd half arrives as a parquet
+    file stream (3 files -> 3 micro-batches, maxFilesPerTrigger=1),
+    each micro-batch encoded with the FROZEN artifacts in one fused
+    Arrow pass and appended to the coded lists; the query runs against
+    the reloaded grown index. Per-row encode makes the result
+    independent of batch boundaries, so this REAL streaming pipeline
+    certifies against the same full value-hash oracle as
+    ann_index_add_topk (base_table = even half). Reference parity: no
+    ANN or streaming surface in the reference (build.sh:75-233); §2.10
+    x §2.11 extension."""
+    import os
+
+    from ..operators.similarity import (
+        ann_index_build,
+        ann_index_topk,
+        ann_index_write,
+    )
+    from ..streaming.ann_maintenance import ann_index_stream_add
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    from .queries_wave43 import _scratch_index_path
+
+    path = _scratch_index_path()
+    ann_index_write(
+        ann_index_build(
+            base, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+        ),
+        path,
+    )
+    arrivals = os.path.join(path, "_arrivals")
+    extra.repartition(3).write.mode("overwrite").parquet(arrivals)
+    index = ann_index_stream_add(spark, path, arrivals)
+    return ann_index_topk(index, qs, emb, k=5, candidates=50, nprobe=4)

@@ -233,3 +233,36 @@ def test_ivf_sq_recall_dominates_pq_at_tight_budget(spark, sf_dir):
     ))
     assert r_sq >= r_pq, (r_sq, r_pq)
     assert r_sq >= 0.75, r_sq
+
+
+def test_ann_index_stream_add_equals_batch_add(spark, sf_dir, tmp_path):
+    """Streaming maintenance contract: 3 micro-batches of arrivals
+    encoded with frozen artifacts and appended must leave the index
+    BIT-IDENTICAL to one batch ann_index_add of the same rows — and
+    the run must actually micro-batch (one batch per arrival file)."""
+    from map_v2_etl_spark.streaming.ann_maintenance import (
+        ann_index_stream_add,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    index = S.ann_index_build(
+        base, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    path = str(tmp_path / "annidx")
+    S.ann_index_write(index, path)
+    arrivals = str(tmp_path / "arrivals")
+    extra.repartition(3).write.mode("overwrite").parquet(arrivals)
+    grown = ann_index_stream_add(spark, path, arrivals)
+    assert grown["n_stream_batches"] == 3
+
+    want = sorted(
+        (r["nn_id"], r["cent_id"], tuple(r["codes"]))
+        for r in S.ann_index_add(index, extra)["coded"].collect()
+    )
+    got = sorted(
+        (r["nn_id"], r["cent_id"], tuple(r["codes"]))
+        for r in grown["coded"].collect()
+    )
+    assert got == want and len(got) > 0
