@@ -266,3 +266,45 @@ def test_ann_index_stream_add_equals_batch_add(spark, sf_dir, tmp_path):
         for r in grown["coded"].collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_ann_index_stream_add_incremental_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """Long-running-deployment semantics: a SECOND ann_index_stream_add
+    over the same arrivals directory + checkpoint processes ONLY the
+    files that landed since the first run (the file-source offset log
+    makes re-runs incremental, not duplicating), and the grown index
+    equals one batch add of all arrivals."""
+    from map_v2_etl_spark.streaming.ann_maintenance import (
+        ann_index_stream_add,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    w1 = emb.filter(F.col("vec_id") % 4 == 1)
+    w2 = emb.filter(F.col("vec_id") % 4 == 2)
+    index = S.ann_index_build(
+        base, m=4, ksub=16, centroid_stride=20, train_sample_mod=5,
+    )
+    path = str(tmp_path / "annidx")
+    S.ann_index_write(index, path)
+    arrivals = str(tmp_path / "arrivals")
+    w1.repartition(2).write.mode("overwrite").parquet(arrivals)
+    grown1 = ann_index_stream_add(spark, path, arrivals)
+    assert grown1["n_stream_batches"] == 2
+    # second wave lands in the SAME directory; same checkpoint
+    w2.repartition(2).write.mode("append").parquet(arrivals)
+    grown2 = ann_index_stream_add(spark, path, arrivals)
+    assert grown2["n_stream_batches"] == 2  # only the NEW files
+    want = sorted(
+        (r["nn_id"], r["cent_id"], tuple(r["codes"]))
+        for r in S.ann_index_add(
+            index, w1.unionByName(w2)
+        )["coded"].collect()
+    )
+    got = sorted(
+        (r["nn_id"], r["cent_id"], tuple(r["codes"]))
+        for r in grown2["coded"].collect()
+    )
+    assert got == want and len(got) > 0
