@@ -32,6 +32,19 @@ from ..functions.vectors import (
 )
 
 
+def _nonnull_queries(queries: DataFrame, vec_col: str) -> DataFrame:
+    """Drop NULL-embedding QUERY rows at every family entry point — the
+    r15 family-wide contract: a NULL query has no geometry, so it
+    produces NO output rows (symmetric with the oracle builders' qu /
+    iprobes NOT NULL clauses). Before this, a NULL query's all-NULL
+    distances ordered differently across engines in the ASC candidate
+    cuts (Spark windows put NULLs FIRST, DuckDB's ORDER BY ASC puts
+    them LAST) — the latent corner documented in docs/ROUND14.md §9,
+    unexercised at certified SFs but divergent on corpora with NULL
+    embeddings at q_mod ids (pinned in tests/test_wave45.py)."""
+    return queries.filter(F.col(vec_col).isNotNull())
+
+
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = W.partitionBy("q_id").orderBy(
         F.desc("cosine"), F.asc("nn_id")  # unique-id tie-break: deterministic
@@ -62,7 +75,7 @@ def cosine_topk(
     from ..sources.registry import widen_partitions
 
     cos = _cos_fn(_vec_dim(corpus, vec_col, dim))
-    q = queries.select(
+    q = _nonnull_queries(queries, vec_col).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     # vector math is CPU-bound: widen a narrow local scan so the scoring
@@ -185,7 +198,7 @@ def lsh_cosine_topk(
     c = widen_partitions(corpus).select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec")
     )
-    q = queries.select(
+    q = _nonnull_queries(queries, vec_col).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     dim = _vec_dim(c, "nn_vec", dim)
@@ -305,7 +318,7 @@ def ivf_cosine_topk(
     )
     cells = c.join(assign, "nn_id")
 
-    q = queries.select(
+    q = _nonnull_queries(queries, vec_col).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
@@ -1350,6 +1363,7 @@ def pq_cosine_topk(
     if dim is None:
         # empty corpus: correct empty result via the exact plan
         return cosine_topk(corpus, queries, k, id_col, vec_col)
+    queries = _nonnull_queries(queries, vec_col)
     sublen = dim // m
     books = pq_train(
         corpus, m, ksub, iters, id_col, vec_col, dim, train_sample_mod
@@ -1483,6 +1497,7 @@ def ivf_pq_topk(
 
     # query probes: nprobe nearest cells, ties to the LOWEST cent_id
     # (ivf_cosine_topk's rule)
+    queries = _nonnull_queries(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -1833,7 +1848,11 @@ def _routed_residual_query(
     artifacts; ``corpus`` is touched only by the candidate-bounded
     exact re-rank."""
     cos = _cos_fn(dim)
-    # query probes: nprobe nearest cells, ties to the LOWEST cent_id
+    # query probes: nprobe nearest cells, ties to the LOWEST cent_id.
+    # NULL-embedding queries drop HERE for the whole residual family
+    # (ivf_pq_residual_topk and ann_index_topk both route through this
+    # helper) — the r15 family contract (_nonnull_queries)
+    queries = _nonnull_queries(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -2218,10 +2237,23 @@ def ann_index_write(
         coded_writer = coded_writer.partitionBy("cent_id")
     coded_writer.parquet(path + "/coded")
     cid_type = index["coded"].schema["cent_id"].dataType.simpleString()
+    # the layout is part of the index contract (r15, ADVICE r14 #1):
+    # every later writer (ann_index_add's caller, the streaming add)
+    # must write coded files in the SAME layout — mixing flat part
+    # files into a hive-partitioned coded/ dir (or vice versa) breaks
+    # partition discovery on the next read
     spark.createDataFrame(
-        [(p["m"], p["ksub"], p["dim"], cid_type)],
-        "m INT, ksub INT, dim INT, cent_id_type STRING",
+        [(p["m"], p["ksub"], p["dim"], cid_type, bool(partition_by_cell))],
+        "m INT, ksub INT, dim INT, cent_id_type STRING, "
+        "partitioned_by_cell BOOLEAN",
     ).write.mode("overwrite").parquet(path + "/params")
+    # a rebuilt/overwritten index must not inherit the PREVIOUS index's
+    # streaming-add source log: the default checkpoint under this path
+    # would silently skip every arrivals file the old index already
+    # consumed (r15, ADVICE r14 #2) — rotate it with the index
+    import shutil as _shutil
+
+    _shutil.rmtree(path + "/_stream_add_ckpt", ignore_errors=True)
     return path
 
 
@@ -2253,12 +2285,155 @@ def ann_index_read(spark: SparkSession, path: str) -> dict:
         coded = coded.withColumn(
             "cent_id", F.col("cent_id").cast(cid_type)
         )
+    # layout flag (r15): pre-r15 params tables lack the column — those
+    # indexes were only ever written flat by the registered queries
+    layout = bool(prow.asDict().get("partitioned_by_cell", False))
     return {
         "cents": spark.read.parquet(path + "/centroids"),
         "books": books,
         "coded": coded,
-        "params": {"m": m, "ksub": ksub, "dim": dim},
+        "params": {
+            "m": m, "ksub": ksub, "dim": dim,
+            "partitioned_by_cell": layout,
+        },
     }
+
+
+def ann_index_compact(
+    spark: SparkSession, path: str, target_bytes: int = 128 << 20
+) -> dict:
+    """COMPACT a persisted index's coded inverted lists in place — the
+    index-lifecycle twin of compact_small_files (queries_wave26):
+    incremental and streaming adds leave one parquet file per
+    batch (per cell under the partitioned layout), and at deployment
+    cadence that is the classic small-file problem — every query-time
+    scan pays per-file open/footer costs that dwarf the data read.
+
+    Mechanics: read the coded table (through the same type-restoring
+    path as ann_index_read), rewrite it at ``target_bytes`` per file —
+    flat layout: ceil(bytes/target) output files; partitioned layout:
+    clustered by cent_id so each cell lands in exactly ONE file (the
+    Faiss inverted-list-per-cell shape) — then atomically swap the
+    rewritten directory over the old one (stage → swap, the engine's
+    WAP discipline). Content is bit-identical (ints round-trip; row
+    order is not part of the table contract) — pinned with a file-count
+    assertion in tests/test_wave45.py.
+
+    Concurrency contract (plain-parquet honesty): run compaction only
+    while NO streaming add is active — a stream restart that replays a
+    mid-flight batch reconciles against its own batch-keyed files,
+    which compaction has absorbed and removed. Transactional table
+    formats solve this with a log; this layout documents it instead.
+    """
+    import math
+    import os
+    import shutil
+
+    index = ann_index_read(spark, path)
+    coded_dir = os.path.join(path, "coded")
+    total = 0
+    for root, _dirs, files in os.walk(coded_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    staging = os.path.join(path, "_coded_compacting")
+    shutil.rmtree(staging, ignore_errors=True)
+    if index["params"]["partitioned_by_cell"]:
+        # one file per cell: clustering by cent_id puts each cell's
+        # rows in exactly one task, and partitionBy splits per cell
+        (
+            index["coded"]
+            .repartition(F.col("cent_id"))
+            .write.partitionBy("cent_id")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+    else:
+        n_out = max(1, math.ceil(total / max(1, target_bytes)))
+        index["coded"].repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(staging)
+    old = os.path.join(path, "_coded_precompact")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(coded_dir, old)
+    os.rename(staging, coded_dir)
+    shutil.rmtree(old)
+    return ann_index_read(spark, path)
+
+
+def ann_index_rebuild(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    centroid_stride: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    train_sample_mod: int | None = None,
+    kmeans_cells: int | None = None,
+    kmeans_iters: int = 2,
+    partition_by_cell: bool | None = None,
+) -> dict:
+    """REBUILD a persisted index from the current corpus and atomically
+    swap it over the old one — the action ann_index_recall_report's
+    drift signal calls for: quantizers frozen at build time encode
+    far-from-training-distribution arrivals poorly, and the only cure
+    is retrain + re-encode (Faiss retrains a new index and swaps the
+    pointer; same shape here at the directory level).
+
+    Mechanics (write-audit-publish, queries_wave37's discipline at
+    directory granularity): the certified build pass
+    (ann_index_build — the same fused engine the original build used)
+    writes a COMPLETE new index to a sibling staging directory; the
+    audit re-reads it through ann_index_read (which validates params
+    and codebook completeness) and requires non-empty coded lists; only
+    then does the old directory swap out. A failed build or audit
+    leaves the live index untouched and the staging directory on disk
+    for inspection. The swap also retires the old index's streaming-add
+    checkpoint (it moves out with the old directory), so a stream
+    re-attached after a rebuild re-consumes the arrivals directory
+    against the NEW quantizers instead of silently skipping files the
+    old index had seen (ADVICE r14 #2's rebuild case).
+
+    ``partition_by_cell=None`` preserves the live index's layout.
+    Returns the reloaded rebuilt index handle.
+    """
+    import os
+    import shutil
+
+    if partition_by_cell is None:
+        partition_by_cell = bool(
+            ann_index_read(spark, path)["params"]["partitioned_by_cell"]
+        )
+    norm = path.rstrip("/")
+    staging = norm + "__rebuild_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    rebuilt = ann_index_build(
+        corpus, m=m, ksub=ksub, iters=iters,
+        centroid_stride=centroid_stride, id_col=id_col, vec_col=vec_col,
+        dim=dim, train_sample_mod=train_sample_mod,
+        kmeans_cells=kmeans_cells, kmeans_iters=kmeans_iters,
+    )
+    ann_index_write(rebuilt, staging, partition_by_cell=partition_by_cell)
+    # audit: the staged index must reload cleanly (params + codebook
+    # completeness validated inside ann_index_read) with non-empty lists
+    staged = ann_index_read(spark, staging)
+    if staged["coded"].limit(1).count() == 0:
+        raise ValueError(
+            f"ann_index_rebuild: staged index at {staging} has empty "
+            "coded lists (corpus all-NULL?); live index left untouched"
+        )
+    old = norm + "__pre_rebuild"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(norm, old)
+    os.rename(staging, norm)
+    shutil.rmtree(old)
+    return ann_index_read(spark, path)
 
 
 def ann_index_topk(
@@ -2480,6 +2655,7 @@ def ivf_sq_topk(
 
     # query probes: nprobe nearest cells, ties to the LOWEST cent_id;
     # the probe frame carries u(q) so the distance fold reads it in-row
+    queries = _nonnull_queries(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )

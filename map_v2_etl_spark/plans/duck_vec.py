@@ -333,6 +333,15 @@ def pq_topk_ctes(
     # cut, so top-k recall is computed within the allowed subset).
     # Both default to emission-byte-identical no-ops.
     base_table = base_table or table
+    pre_parts: list[str] = []
+    if not base_table.isidentifier():
+        # a parenthesized aliased subquery cannot take the SECOND alias
+        # some downstream FROM sites append ("FROM {base} e" in
+        # lloyd_ctes, "FROM {base} t" in trsel) — normalize it behind a
+        # named CTE once (r15: closes the r14-flagged untested
+        # kmeans_cells × base_table emission, which was a parse error)
+        pre_parts.append(f"ibase AS (SELECT * FROM {base_table})")
+        base_table = "ibase"
     cwf = "" if corpus_where is None else f" AND ({corpus_where})"
     routing: list[str] = []
     if routed:
@@ -341,7 +350,7 @@ def pq_topk_ctes(
             kmeans_cells, kmeans_iters,
         )
     if residual:
-        parts = list(routing) + [
+        parts = pre_parts + list(routing) + [
             # unit centroids — _unit's two-step norm-once semantics
             "icu_n AS (SELECT cent_id, cent_vec, "
             + l2_norm("cent_vec")
@@ -381,7 +390,7 @@ def pq_topk_ctes(
             f"LIMIT {ksub}))",
         ]
     else:
-        parts = [
+        parts = pre_parts + [
             # hash chain carries vec_id ONLY — the 13 materialized steps
             # must not each hold a copy of the embedding payload; the one
             # join below re-attaches it to the sampled ids
@@ -462,7 +471,16 @@ def pq_topk_ctes(
     parts += [
         "cods AS (SELECT vec_id, list(code ORDER BY s) AS codes "
         "FROM enc GROUP BY vec_id)",
-        _unit_cte("qu", table, f"vec_id % {q_mod} = 0", id_as="q_id"),
+        # NULL-embedding queries drop (r15 family contract, symmetric
+        # with the Spark operators' _nonnull_queries filter): a NULL
+        # query's all-NULL distances ordered differently across engines
+        # in the ASC candidate cuts (Spark NULLS FIRST, DuckDB NULLS
+        # LAST — docs/ROUND14.md §9's documented corner)
+        _unit_cte(
+            "qu", table,
+            f"vec_id % {q_mod} = 0 AND embedding IS NOT NULL",
+            id_as="q_id",
+        ),
     ]
     if residual:
         qsl = f"q.uvec[(b.s * {sublen} + 1):(b.s * {sublen} + {sublen})]"
@@ -575,13 +593,16 @@ def _ivf_routing_parts(
         + C("e.embedding", "c.cent_vec")
         + f" DESC, c.cent_id DESC) AS rn FROM {table} e "
         "CROSS JOIN icents c) WHERE rn = 1)",
-        # query probes: nprobe nearest cells, ties to the LOWEST id
+        # query probes: nprobe nearest cells, ties to the LOWEST id;
+        # NULL-embedding queries drop (r15 family contract — symmetric
+        # with the Spark _nonnull_queries filter)
         "iprobes AS (SELECT q_id, cent_id FROM ("
         "SELECT q.vec_id AS q_id, c.cent_id, ROW_NUMBER() OVER ("
         "PARTITION BY q.vec_id ORDER BY "
         + C("q.embedding", "c.cent_vec")
         + f" DESC, c.cent_id ASC) AS rn FROM {table} q "
-        f"CROSS JOIN icents c WHERE q.vec_id % {q_mod} = 0"
+        f"CROSS JOIN icents c WHERE q.vec_id % {q_mod} = 0 "
+        "AND q.embedding IS NOT NULL"
         f") WHERE rn <= {nprobe})",
     ]
 
@@ -666,7 +687,13 @@ def ivf_sq_ctes(
         "(CAST(p[3] AS DOUBLE) - CAST(p[2] AS DOUBLE)), 0.0), 1.0) "
         "* 255.0 + 0.5) AS INT) END) AS codes "
         "FROM cu c CROSS JOIN sqb b)",
-        _unit_cte("qu", table, f"vec_id % {q_mod} = 0", id_as="q_id"),
+        # NULL-embedding queries drop (r15 family contract — symmetric
+        # with the Spark _nonnull_queries filter)
+        _unit_cte(
+            "qu", table,
+            f"vec_id % {q_mod} = 0 AND embedding IS NOT NULL",
+            id_as="q_id",
+        ),
     ]
     # asymmetric distance: left fold (0.0 init) over dims of
     # (uq - (vmin + code*(vmax - vmin)/255))^2 — F.aggregate's sequence

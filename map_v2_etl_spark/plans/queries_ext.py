@@ -182,7 +182,8 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_COSINE_TOPK = """
 WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id % 50 = 0),
+           FROM embeddings
+           WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
 c AS (SELECT vec_id AS nn_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
 s AS (SELECT q_id, nn_id, list_cosine_similarity(qv, cv) AS cos
       FROM q, c WHERE nn_id <> q_id),
@@ -217,7 +218,8 @@ def _duck_lsh_topk_sql() -> str:
     )
     return (
         f"WITH sigs AS ({sig_scans}), "
-        "q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0), "
+        "q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0 "
+        "AND embedding IS NOT NULL), "
         "cand AS (SELECT DISTINCT qs.vec_id AS q_id, cs.vec_id AS nn_id "
         "FROM sigs qs JOIN q ON q.vec_id = qs.vec_id "
         "JOIN sigs cs ON cs.tbl = qs.tbl AND cs.sig = qs.sig "

@@ -836,7 +836,8 @@ def _duck_ivf_sql() -> str:
         "SELECT q.vec_id AS q_id, c.cent_id, ROW_NUMBER() OVER ("
         f"PARTITION BY q.vec_id ORDER BY {C('q.embedding', 'c.cent_vec')} "
         "DESC, c.cent_id ASC) AS rn "
-        "FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 50 = 0"
+        "FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 50 = 0 "
+        "AND q.embedding IS NOT NULL"
         ") WHERE rn <= 4), "
         "scored AS (SELECT p.q_id, a.nn_id, "
         f"{C('qv.embedding', 'nv.embedding')} AS cosine "

@@ -258,7 +258,8 @@ def _duck_ann_recall_sql() -> str:
     )
     return (
         f"WITH sigs AS ({sig_scans}), "
-        "q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0), "
+        "q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0 "
+        "AND embedding IS NOT NULL), "
         "exact AS (SELECT q_id, nn_id FROM ("
         "SELECT q.vec_id AS q_id, e.vec_id AS nn_id, ROW_NUMBER() OVER ("
         f"PARTITION BY q.vec_id ORDER BY {C('qq.embedding', 'e.embedding')} "

@@ -75,7 +75,8 @@ def _recall_report_sql(approx_sql: str) -> str:
 
     return (
         "WITH approx AS (" + approx_sql + "), "
-        "q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0), "
+        "q AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0 "
+        "AND embedding IS NOT NULL), "
         "exact AS (SELECT q_id, nn_id FROM ("
         "SELECT q.vec_id AS q_id, e.vec_id AS nn_id, ROW_NUMBER() OVER ("
         f"PARTITION BY q.vec_id ORDER BY {C('qq.embedding', 'e.embedding')} "

@@ -46,17 +46,36 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
+#: process start marker for the scratch sweeper: directories older than
+#: this session cannot be referenced by any live DataFrame in it
+_SESSION_T0 = __import__("time").time()
+
 
 def _scratch_index_path() -> str:
     """A unique on-disk location for a registered query's index
     round-trip — under the repo's gitignored spark-warehouse so driver
     runs never write outside the repo. The path must OUTLIVE the
     returned DataFrame (the driver collects lazily after the query
-    function returns), so nothing deletes it; each run writes a fresh
-    uuid directory of a few hundred KB at oracle SFs."""
-    return os.path.join(
-        _REPO_ROOT, "spark-warehouse", "ann_index", uuid.uuid4().hex
-    )
+    function returns), so nothing deletes it within a session; instead
+    each call best-effort sweeps sibling uuid dirs from PREVIOUS
+    sessions (mtime before this process started — r15, ADVICE r14 #3:
+    repeated gate/bench sweeps otherwise accumulate unbounded scratch).
+    Each run writes a fresh uuid directory of a few hundred KB at
+    oracle SFs."""
+    import shutil
+
+    root = os.path.join(_REPO_ROOT, "spark-warehouse", "ann_index")
+    try:
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            # 60 s margin: a dir created a blink before process start
+            # belongs to a session that can no longer collect from it,
+            # but keep the sweep conservative anyway
+            if os.path.isdir(p) and os.path.getmtime(p) < _SESSION_T0 - 60:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass  # best-effort: a racing sweep must never fail the query
+    return os.path.join(root, uuid.uuid4().hex)
 
 
 def _ann_index_oracle() -> str:

@@ -1,0 +1,151 @@
+"""Wave-45 surface: the index-lifecycle closers — compaction and
+drift-triggered rebuild (r14 verdict #3). With these, the persisted ANN
+index covers the full single-index production loop:
+
+    build → write → add / STREAM add → monitor (recall report)
+          → COMPACT (this wave) → REBUILD (this wave)
+
+* ann_index_compact_topk — build on the even half, stream the odd half
+  in as 3 micro-batches against the PARTITIONED (per-cell) layout —
+  which leaves one file per (cell × batch), the literal small-file
+  problem — then compact to one file per cell and query. The oracle is
+  the incremental-add oracle (pq_topk_ctes(base_table=even)): a
+  value-hash match certifies compaction moved BYTES, not semantics.
+
+* ann_index_rebuild_topk — build on the even half only (quantizers
+  frozen there: the drifted-deployment state the recall report flags),
+  then REBUILD on the full corpus — retrain + re-encode through the
+  certified build pass, staged to a sibling directory, audited, and
+  atomically swapped (write-audit-publish at directory granularity,
+  queries_wave37's discipline) — and query. The oracle is the FULL
+  build oracle: a match certifies the rebuilt index is bit-identical
+  to a fresh build on the current corpus, which is the rebuild
+  contract.
+
+Scale notes: compaction reads/writes only the coded lists ((id, cell,
+m small ints) — the corpus's compressed representation, never raw
+vectors) with one clustered shuffle; rebuild pays exactly the build
+passes (the operation's definition) and swaps directories in O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .registry import query
+
+
+def _ann_compact_oracle() -> str:
+    from .duck_vec import pq_topk_ctes
+
+    return pq_topk_ctes(
+        m=4, ksub=16, iters=2, dim=64, candidates=50, k=5,
+        sample_mod=5, q_mod=50, centroid_stride=10, nprobe=4,
+        residual=True,
+        base_table="(SELECT * FROM embeddings WHERE vec_id % 2 = 0) base_t",
+    )
+
+
+@query(
+    "ann_index_compact_topk",
+    _ann_compact_oracle(),
+    tags=["similarity", "ann", "index", "compaction", "streaming"],
+)
+def q_ann_index_compact_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index COMPACTION (operators/similarity.ann_index_compact) on the
+    per-cell layout: the even half builds and persists partitioned by
+    cent_id; the odd half streams in as 3 micro-batches
+    (streaming/ann_maintenance — batchId-keyed exactly-once publish,
+    one file per touched cell per batch: the small-file problem at its
+    worst); compaction rewrites the lists to ONE file per cell and
+    atomically swaps them in; the query runs over the compacted index
+    with dynamic partition pruning intact. Same value-hash oracle as
+    ann_index_add_topk — compaction must move bytes, never semantics.
+    Reference parity: the reference engine (build.sh:75-233) has no ANN
+    surface; §2.11 extension."""
+    import os
+
+    from ..operators.similarity import (
+        ann_index_build,
+        ann_index_compact,
+        ann_index_topk,
+        ann_index_write,
+    )
+    from ..streaming.ann_maintenance import ann_index_stream_add
+    from .queries_wave43 import _scratch_index_path
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    path = _scratch_index_path()
+    ann_index_write(
+        ann_index_build(
+            base, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+        ),
+        path,
+        partition_by_cell=True,
+    )
+    arrivals = os.path.join(path, "_arrivals")
+    extra.repartition(3).write.mode("overwrite").parquet(arrivals)
+    ann_index_stream_add(spark, path, arrivals)
+    index = ann_index_compact(spark, path)
+    return ann_index_topk(index, qs, emb, k=5, candidates=50, nprobe=4)
+
+
+def _ann_rebuild_oracle() -> str:
+    from .duck_vec import pq_topk_ctes
+
+    return pq_topk_ctes(
+        m=4, ksub=16, iters=2, dim=64, candidates=50, k=5,
+        sample_mod=5, q_mod=50, centroid_stride=10, nprobe=4,
+        residual=True,
+    )
+
+
+@query(
+    "ann_index_rebuild_topk",
+    _ann_rebuild_oracle(),
+    tags=["similarity", "ann", "index", "rebuild", "wap"],
+)
+def q_ann_index_rebuild_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drift-triggered index REBUILD
+    (operators/similarity.ann_index_rebuild): the live index's
+    quantizers are frozen on the EVEN half (the drifted state
+    ann_index_recall_report flags); rebuild retrains + re-encodes on
+    the full current corpus through the certified build pass, stages to
+    a sibling directory, audits (reload + non-empty lists), and
+    atomically swaps — write-audit-publish at directory granularity.
+    The oracle is the FULL build oracle: matching it certifies
+    rebuild ≡ fresh build on the current corpus, bit for bit, through
+    the swap. Reference parity: the reference engine (build.sh:75-233)
+    has no ANN surface; §2.11 extension."""
+    from ..operators.similarity import (
+        ann_index_build,
+        ann_index_rebuild,
+        ann_index_topk,
+        ann_index_write,
+    )
+    from .queries_wave43 import _scratch_index_path
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    path = _scratch_index_path()
+    ann_index_write(
+        ann_index_build(
+            base, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+        ),
+        path,
+    )
+    index = ann_index_rebuild(
+        spark, path, emb, m=4, ksub=16, centroid_stride=10,
+        train_sample_mod=5,
+    )
+    return ann_index_topk(index, qs, emb, k=5, candidates=50, nprobe=4)

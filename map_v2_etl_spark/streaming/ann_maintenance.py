@@ -12,7 +12,59 @@ streaming surface; §2.11 training-pipeline extension.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import SparkSession
+
+#: every file this module publishes into coded/ carries this prefix +
+#: the micro-batch id — the idempotence key a replayed batch reconciles
+#: against (see _publish_batch)
+_BATCH_FILE_PREFIX = "stream-batch-"
+
+
+def _publish_batch(staging: str, coded_dir: str, batch_id: int) -> int:
+    """Atomically publish one micro-batch's staged coded files into the
+    live ``coded`` directory under batchId-keyed names — the
+    write-audit-publish idempotence discipline (queries_wave37) at file
+    granularity, which is what makes the stream add EXACTLY-once:
+
+      1. delete every file already in ``coded`` carrying THIS batch's
+         prefix (a replayed batch — restart mid-publish or between
+         publish and checkpoint commit — overwrites its own output
+         instead of appending a duplicate copy);
+      2. move the staged part files in, renamed to
+         ``stream-batch-<id>-<seq>.parquet`` (per-file os.replace:
+         atomic within a filesystem), preserving any hive partition
+         subdirectories (``cent_id=*/``) the staged write produced;
+      3. drop the staging directory.
+
+    A crash anywhere in 1–2 leaves a prefix-complete subset that the
+    replay's step 1 clears — duplicates are impossible for committed
+    OR replayed batches (pinned by the crash/restart test in
+    tests/test_wave45.py)."""
+    prefix = f"{_BATCH_FILE_PREFIX}{batch_id}-"
+    for root, _dirs, files in os.walk(coded_dir):
+        for fn in files:
+            if fn.startswith(prefix):
+                os.remove(os.path.join(root, fn))
+    moved = 0
+    for root, _dirs, files in os.walk(staging):
+        rel = os.path.relpath(root, staging)
+        for fn in sorted(files):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            dest_dir = (
+                coded_dir if rel == "." else os.path.join(coded_dir, rel)
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            os.replace(
+                os.path.join(root, fn),
+                os.path.join(dest_dir, f"{prefix}{moved:05d}.parquet"),
+            )
+            moved += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return moved
 
 
 def ann_index_stream_add(
@@ -22,6 +74,7 @@ def ann_index_stream_add(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint_path: str | None = None,
+    _test_crash_after_publish: set[int] | None = None,
 ) -> dict:
     """Run a REAL Structured Streaming query over ``arrivals_path``
     (a parquet directory; one file per micro-batch via
@@ -40,14 +93,25 @@ def ann_index_stream_add(
         every broadcast already assumes — collected ONCE, reused by
         every batch;
       * each batch is one fused Arrow pass (zero joins/shuffles) plus
-        one append write — the arrival path never touches the existing
+        one staged write — the arrival path never touches the existing
         lists;
-      * the bounded availableNow run here is exactly-once; a
-        long-running deployment restarting MID-batch replays it, and
-        a plain parquet append makes that at-least-once — production
-        would key output files by batchId (the write-audit-publish
-        pattern, queries_wave37) or use a transactional table format.
-        Documented rather than hidden.
+      * EXACTLY-once under restart (r15; the r14 docstring documented
+        the at-least-once caveat of a plain append): each batch's
+        output files are keyed by batchId and published via
+        _publish_batch, so a batch replayed after a mid-batch kill
+        overwrites its own files instead of duplicating rows —
+        the write-audit-publish pattern (queries_wave37) applied to
+        the streaming sink; crash/restart pinned in
+        tests/test_wave45.py;
+      * the coded files are written in the INDEX's recorded layout
+        (``partitioned_by_cell`` from the params table — ADVICE r14
+        #1): a flat append into a hive-partitioned coded/ dir (or vice
+        versa) would corrupt partition discovery on the next read.
+
+    ``_test_crash_after_publish``: test-only fault injection — batch
+    ids whose on_batch raises AFTER publishing but BEFORE the
+    checkpoint commits, simulating the kill window that makes a plain
+    append duplicate rows. Never set in production paths.
     """
     from ..operators.similarity import (
         _collect_cent_rows,
@@ -59,19 +123,35 @@ def ann_index_stream_add(
     cent_rows = _collect_cent_rows(index["cents"])
     books = index["books"]
     cid_type = index["coded"].schema["cent_id"].dataType
+    partitioned = bool(index["params"]["partitioned_by_cell"])
     schema = spark.read.parquet(arrivals_path).schema
     if checkpoint_path is None:
         checkpoint_path = index_path + "/_stream_add_ckpt"
 
     n_batches = {"n": 0}
+    coded_dir = os.path.join(index_path, "coded")
 
     def on_batch(batch_df, batch_id):
         coded_new = _fused_residual_pass(
             batch_df, cent_rows, books, id_col, vec_col,
             cent_id_type=cid_type,
         )
-        coded_new.write.mode("append").parquet(index_path + "/coded")
+        staging = os.path.join(
+            index_path, f"_stream_add_staging_{batch_id}"
+        )
+        writer = coded_new.write.mode("overwrite")
+        if partitioned:
+            writer = writer.partitionBy("cent_id")
+        writer.parquet(staging)
+        _publish_batch(staging, coded_dir, batch_id)
         n_batches["n"] += 1
+        if (
+            _test_crash_after_publish
+            and batch_id in _test_crash_after_publish
+        ):
+            raise RuntimeError(
+                f"_test_crash_after_publish: batch {batch_id}"
+            )
 
     stream = (
         spark.readStream.schema(schema)
