@@ -2145,6 +2145,76 @@ def ann_index_build(
     }
 
 
+def ann_index_encode_shard(
+    index: dict,
+    rows: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Encode ``rows`` against an index's FROZEN build artifacts into a
+    SHARD handle: same centroids/codebooks/params, coded lists holding
+    ONLY these rows — the parallel-ingest deployment shape (Faiss:
+    train once, encode shards independently on separate workers, then
+    ``merge_from`` the inverted lists; here each shard is one fused
+    Arrow pass with zero joins/shuffles, so S shards are S independent
+    jobs over disjoint row sets). Recombine with ann_index_merge;
+    ann_index_merge(index, shard) is bit-identical to
+    ann_index_add(index, rows) by construction (same encode pass, same
+    union — pinned in tests/test_wave45.py)."""
+    p = index["params"]
+    dim = _vec_dim(rows, vec_col, None)
+    if dim is not None and dim != p["dim"]:
+        raise ValueError(
+            f"ann_index_encode_shard: rows have dim {dim}, index has "
+            f"dim {p['dim']}"
+        )
+    from ..sources.registry import widen_partitions
+
+    coded = _fused_residual_pass(
+        widen_partitions(rows),
+        _collect_cent_rows(index["cents"]),
+        index["books"],
+        id_col,
+        vec_col,
+        cent_id_type=index["coded"].schema["cent_id"].dataType,
+    )
+    return {**index, "coded": coded}
+
+
+def ann_index_merge(a: dict, b: dict) -> dict:
+    """MERGE two index handles that share build artifacts — Faiss
+    ``merge_from``: the inverted lists union; centroids and codebooks
+    must be THE SAME quantizers (codes are meaningless across different
+    codebooks, so this validates artifact identity — params equal,
+    codebook floats equal, centroid tables equal — and raises on any
+    mismatch rather than silently mixing incompatible codes).
+
+    The corpus-sized side is a metadata-only unionByName of the coded
+    lists (no shuffle — union concatenates partitions); the validation
+    collects only the bounded artifacts both handles already hold
+    driver-side. The standard composition is
+    merge(index, ann_index_encode_shard(index, shard_rows)) — the
+    parallel-ingest path whose result is bit-identical to
+    ann_index_add (pinned in tests/test_wave45.py)."""
+    for key in ("m", "ksub", "dim"):
+        if a["params"][key] != b["params"][key]:
+            raise ValueError(
+                f"ann_index_merge: params mismatch on {key!r}: "
+                f"{a['params'][key]} != {b['params'][key]}"
+            )
+    if a["books"] != b["books"]:
+        raise ValueError(
+            "ann_index_merge: codebooks differ — these indexes were "
+            "not built from the same training pass"
+        )
+    if _collect_cent_rows(a["cents"]) != _collect_cent_rows(b["cents"]):
+        raise ValueError(
+            "ann_index_merge: coarse centroids differ — these indexes "
+            "were not built from the same training pass"
+        )
+    return {**a, "coded": a["coded"].unionByName(b["coded"])}
+
+
 def ann_index_add(
     index: dict,
     new_rows: DataFrame,

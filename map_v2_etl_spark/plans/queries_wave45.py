@@ -1,8 +1,10 @@
-"""Wave-45 surface: the index-lifecycle closers — compaction and
-drift-triggered rebuild (r14 verdict #3). With these, the persisted ANN
+"""Wave-45 surface: the index-lifecycle closers — compaction,
+drift-triggered rebuild (r14 verdict #3), and sharded merge (the r14
+hand-off's last named roadmap item). With these, the persisted ANN
 index covers the full single-index production loop:
 
-    build → write → add / STREAM add → monitor (recall report)
+    build → write → add / STREAM add / shard-encode + MERGE (this wave)
+          → monitor (recall report)
           → COMPACT (this wave) → REBUILD (this wave)
 
 * ann_index_compact_topk — build on the even half, stream the odd half
@@ -149,3 +151,57 @@ def q_ann_index_rebuild_topk(
         train_sample_mod=5,
     )
     return ann_index_topk(index, qs, emb, k=5, candidates=50, nprobe=4)
+
+
+def _ann_merge_oracle() -> str:
+    from .duck_vec import pq_topk_ctes
+
+    return pq_topk_ctes(
+        m=4, ksub=16, iters=2, dim=64, candidates=50, k=5,
+        sample_mod=5, q_mod=50, centroid_stride=10, nprobe=4,
+        residual=True,
+        base_table="(SELECT * FROM embeddings WHERE vec_id % 2 = 0) base_t",
+    )
+
+
+@query(
+    "ann_index_merge_topk",
+    _ann_merge_oracle(),
+    tags=["similarity", "ann", "index", "merge", "shard"],
+)
+def q_ann_index_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded PARALLEL ingest — Faiss merge_from
+    (operators/similarity.ann_index_encode_shard / ann_index_merge):
+    quantizers train once on the even half; the odd half is encoded as
+    an INDEPENDENT shard against the frozen artifacts (one fused Arrow
+    pass — at deployment scale each shard is a separate job on a
+    separate worker set); the merge validates artifact identity and
+    unions the inverted lists (metadata-only — no shuffle); the merged
+    index round-trips through write/read and serves the query. Same
+    value-hash oracle as ann_index_add_topk: merge(index,
+    encode_shard(index, rows)) must be bit-identical to add(index,
+    rows). Reference parity: the reference engine (build.sh:75-233) has
+    no ANN surface; §2.11 extension."""
+    from ..operators.similarity import (
+        ann_index_build,
+        ann_index_encode_shard,
+        ann_index_merge,
+        ann_index_read,
+        ann_index_topk,
+        ann_index_write,
+    )
+    from .queries_wave43 import _scratch_index_path
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    index = ann_index_build(
+        base, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    shard = ann_index_encode_shard(index, extra)
+    merged = ann_index_merge(index, shard)
+    path = _scratch_index_path()
+    ann_index_write(merged, path)
+    merged = ann_index_read(spark, path)
+    return ann_index_topk(merged, qs, emb, k=5, candidates=50, nprobe=4)

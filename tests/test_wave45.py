@@ -407,3 +407,44 @@ def test_pq_oracle_kmeans_base_table_executes(spark, sf_dir):
     rows = con.sql(sql).fetchall()
     assert rows, "kmeans × base_table emission returned no rows"
     assert all(q % 50 == 0 and 1 <= r <= 3 for q, _n, r, _c in rows)
+
+
+# --------------------------------------------------------------------------
+# sharded encode + merge
+# --------------------------------------------------------------------------
+
+
+def test_merge_shard_bit_identical_to_add(spark, sf_dir):
+    """merge(index, encode_shard(index, rows)) ≡ add(index, rows) bit
+    for bit — the parallel-ingest contract."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    index = S.ann_index_build(
+        base, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    shard = S.ann_index_encode_shard(index, extra)
+    merged = S.ann_index_merge(index, shard)
+    added = S.ann_index_add(index, extra)
+    assert _coded_rows(merged) == _coded_rows(added)
+
+
+def test_merge_rejects_foreign_artifacts(spark, sf_dir):
+    """Merging indexes from DIFFERENT training passes must raise —
+    codes are meaningless across codebooks."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = S.ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    b = S.ann_index_build(  # full corpus: different training pass
+        emb, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    with pytest.raises(ValueError, match="centroids|codebooks"):
+        S.ann_index_merge(a, b)
+    c = S.ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        m=2, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    with pytest.raises(ValueError, match="params"):
+        S.ann_index_merge(a, c)
