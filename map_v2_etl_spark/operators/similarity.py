@@ -2472,6 +2472,12 @@ def ann_index_rebuild(
 
     ``partition_by_cell=None`` preserves the live index's layout.
     Returns the reloaded rebuilt index handle.
+
+    The swap replaces the WHOLE index directory: anything a caller
+    co-located inside it that is not part of the index contract
+    (e.g. an arrivals directory parked there for scratch convenience)
+    moves out with the old index and is deleted — keep arrivals
+    outside the index path in a real deployment.
     """
     import os
     import shutil
