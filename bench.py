@@ -119,6 +119,14 @@ HEADLINE = [
     # query many — includes the build+write+read in its wall, so the
     # number is an upper bound on what a deployment's query batch pays)
     "ann_index_topk",
+    # the r15 lifecycle queries (compact/rebuild/merge) are NOT
+    # headline entries: each is a self-contained composition paying
+    # 1-2 one-time index builds plus (for compact) ~3x n_cells file
+    # creates at sf0.1's pathological 10-rows-per-cell ratio — wall
+    # measures filesystem churn, not plan cost (21s observed, r15).
+    # bench_scale's ann_index_maintenance cell times the phases
+    # separately at 150k+ rows where data amortizes the per-file cost
+    # (stream 3.4-6.6s, compact ~1-1.5s, query near-flat 2.6-3.7s).
 ]
 
 
