@@ -448,3 +448,61 @@ def test_merge_rejects_foreign_artifacts(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="params"):
         S.ann_index_merge(a, c)
+
+
+# --------------------------------------------------------------------------
+# reinforcement pins (r15 self-review): crash-point fuzz + DPP survival
+# --------------------------------------------------------------------------
+
+
+def test_stream_add_crash_fuzz_every_batch_once(spark, sf_dir, tmp_path):
+    """Exactly-once under ARBITRARY crash points, not just the one the
+    unit pin chooses: kill the stream after the publish of EVERY batch
+    in turn (batch 0, then 1, then 2 on successive restarts), then let
+    a final run drain the source. The coded set must end duplicate-free
+    and bit-identical to the one-shot add — the replay path exercised
+    at every batch boundary."""
+    path = str(tmp_path / "idxz")
+    emb = _build_and_write(spark, sf_dir, path)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    arrivals = str(tmp_path / "arrivalsz")
+    extra.repartition(3).write.mode("overwrite").parquet(arrivals)
+
+    for crash_batch in (0, 1, 2):
+        with pytest.raises(Exception, match="_test_crash_after_publish"):
+            ann_index_stream_add(
+                spark, path, arrivals,
+                _test_crash_after_publish={crash_batch},
+            )
+    grown = ann_index_stream_add(spark, path, arrivals)
+
+    dup = (
+        grown["coded"].groupBy("nn_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    fresh = S.ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    assert _coded_rows(grown) == _coded_rows(S.ann_index_add(fresh, extra))
+
+
+def test_compact_preserves_dpp(spark, sf_dir, tmp_path):
+    """Compaction must not cost the partitioned layout its file-level
+    skip: the routed query over a COMPACTED per-cell index still shows
+    dynamic partition pruning on the coded scan, with results
+    bit-identical to the flat layout."""
+    path = str(tmp_path / "idxdpp")
+    emb = _build_and_write(spark, sf_dir, path, half=False, partition=True)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    index = S.ann_index_compact(spark, path)
+    df = S.ann_index_topk(index, qs, emb, k=5, candidates=50, nprobe=4)
+    flat = S.ann_index_build(
+        emb, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    want = _rows(S.ann_index_topk(flat, qs, emb, k=5, candidates=50,
+                                  nprobe=4))
+    assert _rows(df) == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
