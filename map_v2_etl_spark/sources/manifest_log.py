@@ -1,0 +1,261 @@
+"""Manifest-based commit log over plain parquet — the minimal
+transactional table layout (Iceberg's core loop in miniature) that
+closes the one concurrency gap the r15 index lifecycle documents
+instead of solving: on plain directory-of-parquet tables, a compaction
+racing a concurrent append can lose rows or duplicate them, because the
+directory listing IS the table state and nothing orders the writers.
+
+Layout:
+
+    <path>/data/<uuid>-<seq>.parquet      immutable data files
+    <path>/_manifests/v{N}.json           immutable manifest per version
+
+A manifest is the COMPLETE table state: the list of live data files
+plus a metadata dict. The current version is simply the highest N —
+and commits are linearized by ``os.open(v{N+1}.json, O_CREAT|O_EXCL)``:
+exclusive file creation is the compare-and-swap (atomic on POSIX and
+local filesystems; object stores would use a conditional PUT). A loser
+re-reads the new current manifest, REBASES its intent (same add/remove
+sets against the new file list) and retries at N+2 — Iceberg's
+optimistic-concurrency loop at file granularity.
+
+What this buys over the raw directory layout:
+
+  * readers never see a half-published state: they read the file LIST
+    from one immutable manifest, so a compaction that rewrites N files
+    into one is a single atomic version flip, invisible mid-flight;
+  * a compaction racing an append CANNOT lose the append: the
+    compaction removes exactly the files it absorbed; the rebase keeps
+    any file committed meanwhile (validated — removing a file that is
+    no longer live raises ConflictError instead of silently dropping
+    someone else's compaction);
+  * streaming writers get exactly-once ACROSS compactions: a commit
+    tagged with a batch id is a no-op when that id is already in the
+    manifest's ``stream_batches`` set, and compactions carry the set
+    forward — so a replayed micro-batch stays deduplicated even after
+    its file was absorbed into a compacted one (the case the
+    batchId-keyed FILE naming of streaming/ann_maintenance cannot
+    survive, documented at ann_index_compact);
+  * crash between data write and commit leaves an ORPHAN data file
+    that no manifest references — invisible to readers, reclaimed by
+    ``log_vacuum``.
+
+Scale: a manifest is O(live files) JSON — bytes, not data; commits move
+no rows; readers plan directly from the file list (no directory
+listing). At 100 TB the data files are the same parquet the rest of the
+engine writes; only the pointer flip is new. Reference parity: the
+reference engine (build.sh:75-233) has no table format; §2 sink /
+training-pipeline extension (Iceberg/Delta are the public blueprints).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConflictError(RuntimeError):
+    """A commit's remove-set is no longer live — a concurrent commit
+    already removed (compacted) those files; re-read and retry at the
+    caller's level."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def log_init(path: str) -> str:
+    """Create an empty log table (version 0, no files)."""
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    v0 = os.path.join(_manifest_dir(path), "v0.json")
+    if not os.path.exists(v0):
+        tmp = v0 + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": 0, "files": [], "meta": {}}, f)
+        os.replace(tmp, v0)
+    return path
+
+
+def log_current(path: str) -> dict:
+    """The current (highest-version) manifest. Manifests are immutable,
+    so reading the max-N file is linearizable with the O_EXCL commit."""
+    best = -1
+    for fn in os.listdir(_manifest_dir(path)):
+        if fn.startswith("v") and fn.endswith(".json"):
+            try:
+                best = max(best, int(fn[1:-5]))
+            except ValueError:
+                continue
+    if best < 0:
+        raise FileNotFoundError(f"no manifest under {path}")
+    with open(os.path.join(_manifest_dir(path), f"v{best}.json")) as f:
+        return json.load(f)
+
+
+def log_write_data(df: DataFrame, path: str) -> list[str]:
+    """Write ``df`` as immutable data files under <path>/data and
+    return their names (NOT yet visible — nothing is live until
+    log_commit publishes the names in a manifest). Spark stages the
+    write to a scratch dir; the parts then move to uuid-prefixed names
+    so concurrent writers can never collide."""
+    stamp = uuid.uuid4().hex
+    staging = os.path.join(path, f"_staging_{stamp}")
+    df.write.mode("overwrite").parquet(staging)
+    out: list[str] = []
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    i = 0
+    for root, _dirs, files in os.walk(staging):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            name = f"{stamp}-{i:05d}.parquet"
+            os.replace(
+                os.path.join(root, fn), os.path.join(data_dir, name)
+            )
+            out.append(name)
+            i += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def log_commit(
+    path: str,
+    add_files: list[str],
+    remove_files: list[str] | None = None,
+    batch_id: int | None = None,
+    note: str | None = None,
+    max_retries: int = 50,
+) -> dict:
+    """Atomically publish a new table version: files(current)
+    - remove_files + add_files. The CAS is the exclusive creation of
+    v{N+1}.json; on loss the intent REBASES onto the winner's file list
+    and retries (bounded).
+
+    ``batch_id`` makes the commit IDEMPOTENT for streaming replay: if
+    the id is already in the current manifest's ``stream_batches``, the
+    commit is a no-op returning the current manifest (the replayed
+    batch's freshly written data files become orphans for vacuum) —
+    and every commit carries the set forward, so the guarantee
+    survives compactions absorbing the original file.
+
+    Raises ConflictError when any of ``remove_files`` is not live in
+    the manifest being rebased onto (a concurrent commit already
+    removed it — e.g. two compactions racing): the caller must re-read
+    the table and rebuild its intent, because its replacement files
+    were derived from a stale snapshot."""
+    remove = set(remove_files or [])
+    for _ in range(max_retries):
+        cur = log_current(path)
+        batches = set(cur["meta"].get("stream_batches", []))
+        if batch_id is not None and batch_id in batches:
+            return cur  # replay: already committed, no-op
+        live = set(cur["files"])
+        if not remove <= live:
+            raise ConflictError(
+                f"commit removes files not live at v{cur['version']}: "
+                f"{sorted(remove - live)[:3]}... — concurrent "
+                "compaction; re-read and rebuild the intent"
+            )
+        files = sorted((live - remove) | set(add_files))
+        if batch_id is not None:
+            batches.add(batch_id)
+        manifest = {
+            "version": cur["version"] + 1,
+            "files": files,
+            "meta": {
+                **cur["meta"],
+                "stream_batches": sorted(batches),
+                **({"note": note} if note else {}),
+            },
+        }
+        target = os.path.join(
+            _manifest_dir(path), f"v{manifest['version']}.json"
+        )
+        # atomic-CONTENT CAS: the manifest is fully written to a tmp
+        # name first, then hardlinked to the version name — link(2)
+        # fails if the target exists (the compare) and the new name
+        # appears with its complete content (the swap), so a racing
+        # log_current can never observe a half-written manifest
+        # (an O_EXCL create-then-write exposed an empty file to
+        # concurrent readers — caught by the r15 race test)
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # lost the CAS: rebase onto the new current
+        os.remove(tmp)
+        return manifest
+    raise RuntimeError(f"log_commit: lost the CAS {max_retries} times")
+
+
+def log_read(spark: SparkSession, path: str) -> DataFrame:
+    """Read the CURRENT snapshot: plan directly from the manifest's
+    file list (no directory listing — orphans and in-flight files are
+    invisible by construction). Empty table → raises ValueError, since
+    a schema cannot be inferred from zero files; callers that allow
+    empty snapshots should branch on log_current(path)['files']."""
+    cur = log_current(path)
+    if not cur["files"]:
+        raise ValueError(
+            f"log_read: {path} is empty at v{cur['version']} (no "
+            "schema to infer); check log_current()['files'] first"
+        )
+    return spark.read.parquet(
+        *[os.path.join(path, "data", f) for f in cur["files"]]
+    )
+
+
+def log_compact(spark: SparkSession, path: str, note: str = "compact") -> dict:
+    """Rewrite the current snapshot's files into ONE data file and
+    commit the replacement (remove = exactly the absorbed files).
+    Concurrent appends are safe: the rebase keeps any file committed
+    after the snapshot was read; a concurrent COMPACTION surfaces as
+    ConflictError (both absorbed the same files) and the caller simply
+    retries on the new state."""
+    cur = log_current(path)
+    if not cur["files"]:
+        return cur
+    snapshot = spark.read.parquet(
+        *[os.path.join(path, "data", f) for f in cur["files"]]
+    ).coalesce(1)
+    new_files = log_write_data(snapshot, path)
+    return log_commit(
+        path, new_files, remove_files=cur["files"], note=note
+    )
+
+
+def log_vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files referenced by NO kept manifest (orphans from
+    crashes + files replaced by compactions), and manifests older than
+    the newest ``keep_versions``. Returns the deleted data files.
+    Run from a maintenance job, never concurrently with a reader older
+    than the kept horizon (Iceberg's expire-snapshots contract)."""
+    mdir = _manifest_dir(path)
+    versions = sorted(
+        int(fn[1:-5])
+        for fn in os.listdir(mdir)
+        if fn.startswith("v") and fn.endswith(".json")
+    )
+    kept = versions[-keep_versions:]
+    live: set[str] = set()
+    for v in kept:
+        with open(os.path.join(mdir, f"v{v}.json")) as f:
+            live |= set(json.load(f)["files"])
+    deleted = []
+    data_dir = os.path.join(path, "data")
+    for fn in sorted(os.listdir(data_dir)):
+        if fn.endswith(".parquet") and fn not in live:
+            os.remove(os.path.join(data_dir, fn))
+            deleted.append(fn)
+    for v in versions[:-keep_versions]:
+        os.remove(os.path.join(mdir, f"v{v}.json"))
+    return deleted

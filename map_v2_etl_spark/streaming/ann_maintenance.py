@@ -168,3 +168,95 @@ def ann_index_stream_add(
     out = ann_index_read(spark, index_path)
     out["n_stream_batches"] = n_batches["n"]
     return out
+
+
+def ann_index_stream_add_log(
+    spark: SparkSession,
+    index: dict,
+    log_path: str,
+    arrivals_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_path: str | None = None,
+    _test_crash_after_commit: set[int] | None = None,
+) -> dict:
+    """Stream arrivals into a MANIFEST-COMMITTED inverted-lists table
+    (sources/manifest_log) — the transactional upgrade of
+    ann_index_stream_add: each micro-batch's coded rows are written as
+    immutable data files and published with ONE CAS commit tagged by
+    batchId, which makes the add exactly-once in a strictly stronger
+    sense than the batchId-keyed file names of the plain layout:
+
+      * a replayed batch is a manifest-level NO-OP (its id is in the
+        manifest's stream_batches set), and the set survives
+        COMPACTION — the plain layout's replay guard dies the moment
+        compaction absorbs the batch's file (documented at
+        ann_index_compact); here a compaction can run BETWEEN a crash
+        and the replay and the guarantee holds (test-pinned);
+      * a compaction racing the stream can never lose a batch: the
+        loser of the CAS rebases onto the winner's file list
+        (manifest_log.log_commit), so append-vs-compact interleaves
+        converge to the same table in either commit order.
+
+    On first use the log is seeded with the handle's current lists
+    (one commit); the returned handle reads the CURRENT snapshot.
+    ``index`` carries the frozen quantizers (Faiss posture: artifacts
+    persist via ann_index_write; the lists table is the thing that
+    churns, so it is the thing that gets the commit log).
+
+    ``_test_crash_after_commit``: test-only fault injection — raise
+    after the manifest commit but before the checkpoint commits,
+    simulating the replay window.
+    """
+    from ..operators.similarity import (
+        _collect_cent_rows,
+        _fused_residual_pass,
+    )
+    from ..sources.manifest_log import (
+        log_commit,
+        log_current,
+        log_init,
+        log_read,
+        log_write_data,
+    )
+
+    log_init(log_path)
+    if not log_current(log_path)["files"]:
+        log_commit(
+            log_path,
+            log_write_data(index["coded"], log_path),
+            note="seed: handle lists",
+        )
+    cent_rows = _collect_cent_rows(index["cents"])
+    books = index["books"]
+    cid_type = index["coded"].schema["cent_id"].dataType
+    schema = spark.read.parquet(arrivals_path).schema
+    if checkpoint_path is None:
+        checkpoint_path = log_path + "/_stream_add_ckpt"
+
+    def on_batch(batch_df, batch_id):
+        coded_new = _fused_residual_pass(
+            batch_df, cent_rows, books, id_col, vec_col,
+            cent_id_type=cid_type,
+        )
+        files = log_write_data(coded_new, log_path)
+        log_commit(log_path, files, batch_id=batch_id)
+        if (
+            _test_crash_after_commit
+            and batch_id in _test_crash_after_commit
+        ):
+            raise RuntimeError(
+                f"_test_crash_after_commit: batch {batch_id}"
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_path)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {**index, "coded": log_read(spark, log_path)}
