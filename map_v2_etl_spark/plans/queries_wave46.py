@@ -89,7 +89,9 @@ def q_manifest_log_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_commit(root, log_write_data(part_a, root), note="append A")
     log_commit(root, log_write_data(part_b, root), note="append B")
     log_compact(spark, root)
-    log_vacuum(root, keep_versions=1)
+    # grace 0: this scratch table has no concurrent writers by
+    # construction, so the vacuum demonstration reclaims immediately
+    log_vacuum(root, keep_versions=1, orphan_grace_sec=0.0)
     cur = log_current(root)
     out = log_read(spark, root).select(
         "lang",

@@ -233,12 +233,26 @@ def log_compact(spark: SparkSession, path: str, note: str = "compact") -> dict:
     )
 
 
-def log_vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def log_vacuum(
+    path: str, keep_versions: int = 1, orphan_grace_sec: float = 3600.0
+) -> list[str]:
     """Delete data files referenced by NO kept manifest (orphans from
     crashes + files replaced by compactions), and manifests older than
     the newest ``keep_versions``. Returns the deleted data files.
-    Run from a maintenance job, never concurrently with a reader older
-    than the kept horizon (Iceberg's expire-snapshots contract)."""
+
+    ``orphan_grace_sec`` (Iceberg's remove-orphan-files ``older_than``
+    contract): an unreferenced file YOUNGER than the grace is spared,
+    because it may belong to an IN-FLIGHT writer that has staged its
+    data but not yet won its commit CAS — vacuuming it would publish a
+    manifest referencing deleted bytes. The default (1 h) dwarfs any
+    write-to-commit window; pass 0 only when no writer can be live
+    (tests, drained pipelines). Files ABSORBED by a kept compaction
+    are also age-gated — they reappear as reclaimable on the next
+    cycle, which is how Iceberg ages garbage too. Never run
+    concurrently with a reader pinned to an expired version (the
+    expire-snapshots contract)."""
+    import time
+
     mdir = _manifest_dir(path)
     versions = sorted(
         int(fn[1:-5])
@@ -251,10 +265,16 @@ def log_vacuum(path: str, keep_versions: int = 1) -> list[str]:
         with open(os.path.join(mdir, f"v{v}.json")) as f:
             live |= set(json.load(f)["files"])
     deleted = []
+    horizon = time.time() - orphan_grace_sec
     data_dir = os.path.join(path, "data")
     for fn in sorted(os.listdir(data_dir)):
-        if fn.endswith(".parquet") and fn not in live:
-            os.remove(os.path.join(data_dir, fn))
+        fp = os.path.join(data_dir, fn)
+        if (
+            fn.endswith(".parquet")
+            and fn not in live
+            and os.path.getmtime(fp) <= horizon
+        ):
+            os.remove(fp)
             deleted.append(fn)
     for v in versions[:-keep_versions]:
         os.remove(os.path.join(mdir, f"v{v}.json"))

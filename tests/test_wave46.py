@@ -87,7 +87,7 @@ def test_orphans_invisible_and_vacuumed(spark, tmp_path):
     orphan = L.log_write_data(df.filter("k >= 10"), root)  # no commit
     assert _vals(spark, root) == sorted((i, i * 10) for i in range(10))
     L.log_compact(spark, root)
-    deleted = L.log_vacuum(root, keep_versions=1)
+    deleted = L.log_vacuum(root, keep_versions=1, orphan_grace_sec=0.0)
     assert set(orphan) <= set(deleted)
     data = os.listdir(os.path.join(root, "data"))
     cur = L.log_current(root)
@@ -184,3 +184,19 @@ def test_ann_log_stream_crash_compact_restart_exactly_once(
         for r in grown["coded"].collect()
     )
     assert got == want
+
+
+def test_vacuum_grace_spares_inflight_writers(spark, tmp_path):
+    """Iceberg's older_than contract: an unreferenced data file younger
+    than the grace window is spared (it may belong to a writer that has
+    staged data but not yet won its commit CAS); grace 0 reclaims it."""
+    df, root = _mk(spark, tmp_path)
+    L.log_commit(root, L.log_write_data(df.filter("k < 10"), root))
+    inflight = L.log_write_data(df.filter("k >= 10"), root)  # no commit yet
+    spared = L.log_vacuum(root, keep_versions=1, orphan_grace_sec=3600)
+    assert not (set(inflight) & set(spared))
+    # the writer now wins its commit: the table must be whole
+    L.log_commit(root, inflight)
+    assert _vals(spark, root) == sorted((i, i * 10) for i in range(20))
+    # a drained pipeline reclaims at grace 0 (nothing unreferenced left)
+    assert L.log_vacuum(root, keep_versions=1, orphan_grace_sec=0.0) == []
