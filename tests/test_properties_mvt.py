@@ -211,6 +211,84 @@ def test_duck_dec_mean_matches_decimal_reference(xs):
     assert got == float(mean16)
 
 
+@given(
+    st.lists(
+        st.floats(-1.0, 1.0, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_duck_dec_mean12_matches_decimal_reference(xs):
+    """dec_mean12 (the PQ-training twin: avg over the 1e-12 grid, cast
+    BACK onto the grid) equals the Python decimal reference — the same
+    shortest-repr HALF_UP quantize net that caught dec_mean's ulp-edge
+    divergence at r15, extended to the second builder."""
+    import decimal
+
+    import duckdb
+
+    from map_v2_etl_spark.plans.duck_vec import dec_mean12
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    (got,) = con.sql(f"SELECT {dec_mean12('x')} AS m FROM t").fetchone()
+
+    q12 = decimal.Decimal(1).scaleb(-12)
+    total = sum(
+        decimal.Decimal(repr(x)).quantize(
+            q12, rounding=decimal.ROUND_HALF_UP
+        )
+        for x in xs
+    )
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        mean16 = (total / len(xs)).quantize(
+            decimal.Decimal(1).scaleb(-16), rounding=decimal.ROUND_HALF_UP
+        )
+        mean12 = mean16.quantize(q12, rounding=decimal.ROUND_HALF_UP)
+    assert got == float(mean12)
+
+
+@given(
+    st.lists(
+        st.floats(-1.0, 1.0, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_quantize_e12_matches_duck_emission(xs):
+    """The engine's vectorized local twin _quantize_e12 and the oracle
+    emissions' VARCHAR-routed CAST(... AS DECIMAL(27,12)) agree element
+    for element — the _quantize_e12 <-> emission pair the r15 verdict
+    asked to pin. Both must model Spark's shortest-repr HALF_UP cast;
+    a drift on either side shows up here before it can skew a k-means/
+    PQ oracle."""
+    import duckdb
+    import numpy as np
+
+    from map_v2_etl_spark.operators.similarity import _quantize_e12
+    from map_v2_etl_spark.plans.duck_vec import _dec12
+
+    local = _quantize_e12(np.array(xs, dtype=np.float64))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, x DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(xs))
+    )
+    duck = dict(
+        con.sql(
+            f"SELECT i, CAST({_dec12('x')} "
+            "* 1000000000000 AS HUGEINT) FROM t"
+        ).fetchall()
+    )
+    for i, x in enumerate(xs):
+        assert int(local[i]) == int(duck[i]), (i, x)
+
+
 def test_tile_span_matches_python_reference(spark):
     """_with_tile_span's buffered, clamped tile ranges (Spark column
     math) equal an independent pure-Python computation for a seeded
