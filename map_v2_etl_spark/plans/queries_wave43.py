@@ -50,6 +50,16 @@ _REPO_ROOT = os.path.dirname(
 #: this session cannot be referenced by any live DataFrame in it
 _SESSION_T0 = __import__("time").time()
 
+#: minimum real AGE before a scratch dir is sweepable (r16, r15 verdict
+#: #6 / ADVICE #1): mtime-before-MY-start only proves no live DataFrame
+#: in THIS session references the dir — a second concurrently running
+#: driver (overlapping gate/bench sweeps) started later would rmtree an
+#: earlier still-running session's in-use index dirs, failing its lazy
+#: collection mid-query. No gate or bench session runs remotely close
+#: to 24 h, so age > 24 h additionally proves no OTHER live session can
+#: reference it either
+_SWEEP_MIN_AGE_SEC = 24 * 3600.0
+
 
 def _scratch_index_path() -> str:
     """A unique on-disk location for a registered query's index
@@ -57,21 +67,23 @@ def _scratch_index_path() -> str:
     runs never write outside the repo. The path must OUTLIVE the
     returned DataFrame (the driver collects lazily after the query
     function returns), so nothing deletes it within a session; instead
-    each call best-effort sweeps sibling uuid dirs from PREVIOUS
-    sessions (mtime before this process started — r15, ADVICE r14 #3:
-    repeated gate/bench sweeps otherwise accumulate unbounded scratch).
-    Each run writes a fresh uuid directory of a few hundred KB at
-    oracle SFs."""
+    each call best-effort sweeps sibling uuid dirs that are BOTH from a
+    previous session (mtime before this process started — r15, ADVICE
+    r14 #3: repeated gate/bench sweeps otherwise accumulate unbounded
+    scratch) AND older than _SWEEP_MIN_AGE_SEC (r16: the real-age gate
+    that keeps a CONCURRENT session's live dirs safe — see the
+    constant's comment). Each run writes a fresh uuid directory of a
+    few hundred KB at oracle SFs; the steady state is one day of
+    scratch, reclaimed by whichever session runs next."""
     import shutil
+    import time
 
     root = os.path.join(_REPO_ROOT, "spark-warehouse", "ann_index")
+    cutoff = min(_SESSION_T0 - 60, time.time() - _SWEEP_MIN_AGE_SEC)
     try:
         for d in os.listdir(root):
             p = os.path.join(root, d)
-            # 60 s margin: a dir created a blink before process start
-            # belongs to a session that can no longer collect from it,
-            # but keep the sweep conservative anyway
-            if os.path.isdir(p) and os.path.getmtime(p) < _SESSION_T0 - 60:
+            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass  # best-effort: a racing sweep must never fail the query

@@ -65,8 +65,6 @@ def q_manifest_log_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot aggregate — with the version counter at 3 (v0 init, v1/v2
     appends, v3 compaction; vacuum keeps the newest manifest without
     renumbering it) and exactly ONE live file."""
-    import tempfile
-
     from ..sources.manifest_log import (
         log_commit,
         log_compact,
@@ -82,7 +80,12 @@ def q_manifest_log_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
-    root = tempfile.mkdtemp(prefix="m2e_log_")
+    # under the swept scratch root (r16, r15 verdict #7): the previous
+    # tempfile.mkdtemp leaked one small /tmp dir per gate run; the
+    # wave-43 sweeper reclaims this one on a later session instead
+    from .queries_wave43 import _scratch_index_path
+
+    root = os.path.join(_scratch_index_path(), "manifest_log")
     log_init(root)
     part_a = agg.filter(F.col("lang") < "m")
     part_b = agg.filter(~(F.col("lang") < "m"))

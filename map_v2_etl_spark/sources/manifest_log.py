@@ -58,6 +58,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: stream_batches low-watermark: manifests retain at most this many of
+#: the NEWEST batch ids (see log_commit) — a replay can only be the
+#: last uncommitted batch under checkpointed Structured Streaming, so
+#: anything >= 2 is safe; 1024 is margin, not a requirement
+_STREAM_BATCH_RETAIN = 1024
+
+
 class ConflictError(RuntimeError):
     """A commit's remove-set is no longer live — a concurrent commit
     already removed (compacted) those files; re-read and retry at the
@@ -97,24 +104,44 @@ def log_current(path: str) -> dict:
         return json.load(f)
 
 
-def log_write_data(df: DataFrame, path: str) -> list[str]:
+def log_write_data(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> list[str]:
     """Write ``df`` as immutable data files under <path>/data and
     return their names (NOT yet visible — nothing is live until
     log_commit publishes the names in a manifest). Spark stages the
     write to a scratch dir; the parts then move to uuid-prefixed names
-    so concurrent writers can never collide."""
+    so concurrent writers can never collide.
+
+    ``partition_by`` (r16) hive-partitions the staged write; the
+    returned names then carry the partition subpath
+    (``cent_id=3/<uuid>-00000.parquet``), which log_read turns back
+    into partition columns via basePath — so a manifest-committed table
+    keeps the file-level pruning (DPP on partition columns) of the
+    plain hive layout. Mixing partitioned and unpartitioned commits
+    into one table is the caller's bug, exactly as with plain parquet
+    directories."""
     stamp = uuid.uuid4().hex
     staging = os.path.join(path, f"_staging_{stamp}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     out: list[str] = []
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     i = 0
     for root, _dirs, files in os.walk(staging):
+        rel = os.path.relpath(root, staging)
         for fn in sorted(files):
             if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
                 continue
             name = f"{stamp}-{i:05d}.parquet"
+            if rel != ".":
+                name = os.path.join(rel, name)
+                os.makedirs(
+                    os.path.join(data_dir, rel), exist_ok=True
+                )
             os.replace(
                 os.path.join(root, fn), os.path.join(data_dir, name)
             )
@@ -165,6 +192,20 @@ def log_commit(
         files = sorted((live - remove) | set(add_files))
         if batch_id is not None:
             batches.add(batch_id)
+            # low-watermark retention (r16, r15 ADVICE #4): without a
+            # cap the set is O(total batches ever) and every manifest
+            # carries it forever. Keep only the newest ids: a
+            # checkpointed foreachBatch stream can only ever REPLAY its
+            # last uncommitted batch (batch N re-runs only until the
+            # checkpoint commits N; ids <= N - 1 are checkpoint-durable
+            # and can never arrive again), so any retention >= 2
+            # suffices for Structured Streaming — 1024 leaves three
+            # orders of margin for exotic drivers while keeping the
+            # manifest O(live files + const)
+            if len(batches) > _STREAM_BATCH_RETAIN:
+                batches = set(
+                    sorted(batches)[-_STREAM_BATCH_RETAIN:]
+                )
         manifest = {
             "version": cur["version"] + 1,
             "files": files,
@@ -197,37 +238,103 @@ def log_commit(
     raise RuntimeError(f"log_commit: lost the CAS {max_retries} times")
 
 
-def log_read(spark: SparkSession, path: str) -> DataFrame:
+def log_versions(path: str) -> list[int]:
+    """All manifest versions still on disk, ascending — the readable
+    time-travel range (vacuum expires old ones)."""
+    return sorted(
+        int(fn[1:-5])
+        for fn in os.listdir(_manifest_dir(path))
+        if fn.startswith("v") and fn.endswith(".json")
+    )
+
+
+def log_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read the CURRENT snapshot: plan directly from the manifest's
     file list (no directory listing — orphans and in-flight files are
     invisible by construction). Empty table → raises ValueError, since
     a schema cannot be inferred from zero files; callers that allow
-    empty snapshots should branch on log_current(path)['files']."""
-    cur = log_current(path)
+    empty snapshots should branch on log_current(path)['files'].
+
+    ``version`` (r16) time-travels to an older snapshot: manifests are
+    immutable and data files are never rewritten in place, so any
+    un-vacuumed version replays exactly — Iceberg's snapshot read.
+    This is why log_vacuum's expire-snapshots contract matters: a
+    pinned reader and a vacuum of its version cannot overlap."""
+    if version is not None:
+        mf = os.path.join(_manifest_dir(path), f"v{version}.json")
+        if not os.path.exists(mf):
+            raise FileNotFoundError(
+                f"log_read: version {version} of {path} is expired or "
+                f"never existed (available: {log_versions(path)})"
+            )
+        with open(mf) as f:
+            cur = json.load(f)
+    else:
+        cur = log_current(path)
     if not cur["files"]:
         raise ValueError(
             f"log_read: {path} is empty at v{cur['version']} (no "
             "schema to infer); check log_current()['files'] first"
         )
-    return spark.read.parquet(
-        *[os.path.join(path, "data", f) for f in cur["files"]]
+    data_dir = os.path.join(path, "data")
+    # basePath recovers hive partition columns from partitioned file
+    # names (``cent_id=3/...parquet``) when planning from an explicit
+    # file list; harmless for flat names — the scan keeps partition
+    # columns, so DPP/partition pruning applies exactly as on a plain
+    # hive directory
+    return spark.read.option("basePath", data_dir).parquet(
+        *[os.path.join(data_dir, f) for f in cur["files"]]
     )
 
 
-def log_compact(spark: SparkSession, path: str, note: str = "compact") -> dict:
-    """Rewrite the current snapshot's files into ONE data file and
-    commit the replacement (remove = exactly the absorbed files).
+def log_compact(
+    spark: SparkSession,
+    path: str,
+    note: str = "compact",
+    target_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Rewrite the current snapshot's files at ``target_bytes`` per
+    output file — ceil(live bytes / target) files, the same byte-target
+    shape as ann_index_compact (r16, r15 verdict #5: the previous
+    coalesce(1) was fine for a miniature but a single-file rewrite of a
+    real table is a one-task bottleneck AND re-creates the small-file
+    problem's dual, the giant-file problem) — and commit the
+    replacement (remove = exactly the absorbed files).
+
+    ``partition_by`` clusters the rewrite per partition value (one file
+    per value — the inverted-list-per-cell shape) and writes
+    hive-partitioned data files so the compacted table keeps its
+    partition columns and pruning.
+
     Concurrent appends are safe: the rebase keeps any file committed
     after the snapshot was read; a concurrent COMPACTION surfaces as
     ConflictError (both absorbed the same files) and the caller simply
-    retries on the new state."""
+    retries on the new state. Readers are safe by construction — the
+    commit IS the swap, one atomic pointer flip."""
+    import math
+
+    from pyspark.sql import functions as F
+
     cur = log_current(path)
     if not cur["files"]:
         return cur
-    snapshot = spark.read.parquet(
-        *[os.path.join(path, "data", f) for f in cur["files"]]
-    ).coalesce(1)
-    new_files = log_write_data(snapshot, path)
+    data_dir = os.path.join(path, "data")
+    snapshot = spark.read.option("basePath", data_dir).parquet(
+        *[os.path.join(data_dir, f) for f in cur["files"]]
+    )
+    if partition_by:
+        snapshot = snapshot.repartition(*[F.col(c) for c in partition_by])
+    else:
+        total = sum(
+            os.path.getsize(os.path.join(data_dir, f))
+            for f in cur["files"]
+        )
+        n_out = max(1, math.ceil(total / max(1, target_bytes)))
+        snapshot = snapshot.repartition(n_out)
+    new_files = log_write_data(snapshot, path, partition_by=partition_by)
     return log_commit(
         path, new_files, remove_files=cur["files"], note=note
     )
@@ -250,7 +357,16 @@ def log_vacuum(
     are also age-gated — they reappear as reclaimable on the next
     cycle, which is how Iceberg ages garbage too. Never run
     concurrently with a reader pinned to an expired version (the
-    expire-snapshots contract)."""
+    expire-snapshots contract).
+
+    Superseded MANIFESTS are age-gated by the same grace (r16, r15
+    ADVICE #2): a reader that picked the current version via
+    log_current just before a racing commit + vacuum(keep_versions=1)
+    must still be able to open it — the grace spans any plausible
+    pick-to-open window. The sweep also reclaims aged ``.tmp-*``
+    leftovers under _manifests (a crash between the hardlink CAS and
+    the tmp unlink in log_commit leaks one; harmless but permanent
+    without this)."""
     import time
 
     mdir = _manifest_dir(path)
@@ -267,15 +383,23 @@ def log_vacuum(
     deleted = []
     horizon = time.time() - orphan_grace_sec
     data_dir = os.path.join(path, "data")
-    for fn in sorted(os.listdir(data_dir)):
-        fp = os.path.join(data_dir, fn)
-        if (
-            fn.endswith(".parquet")
-            and fn not in live
-            and os.path.getmtime(fp) <= horizon
-        ):
-            os.remove(fp)
-            deleted.append(fn)
+    for root, _dirs, files in os.walk(data_dir):
+        for fn in sorted(files):
+            fp = os.path.join(root, fn)
+            rel = os.path.relpath(fp, data_dir)
+            if (
+                fn.endswith(".parquet")
+                and rel not in live
+                and os.path.getmtime(fp) <= horizon
+            ):
+                os.remove(fp)
+                deleted.append(rel)
     for v in versions[:-keep_versions]:
-        os.remove(os.path.join(mdir, f"v{v}.json"))
+        mf = os.path.join(mdir, f"v{v}.json")
+        if os.path.getmtime(mf) <= horizon:
+            os.remove(mf)
+    for fn in os.listdir(mdir):
+        fp = os.path.join(mdir, fn)
+        if ".tmp-" in fn and os.path.getmtime(fp) <= horizon:
+            os.remove(fp)
     return deleted

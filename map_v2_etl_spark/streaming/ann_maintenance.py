@@ -106,7 +106,13 @@ def ann_index_stream_add(
       * the coded files are written in the INDEX's recorded layout
         (``partitioned_by_cell`` from the params table — ADVICE r14
         #1): a flat append into a hive-partitioned coded/ dir (or vice
-        versa) would corrupt partition discovery on the next read.
+        versa) would corrupt partition discovery on the next read;
+      * an index written with ``layout="manifest"`` (r16) publishes
+        each batch as ONE batchId-tagged CAS commit on the coded
+        table's manifest log instead of batchId-keyed file names —
+        the strictly stronger exactly-once (replay stays a no-op even
+        after a compaction absorbs the batch's files, and a compaction
+        may run CONCURRENTLY with the stream: the CAS loser rebases).
 
     ``_test_crash_after_publish``: test-only fault injection — batch
     ids whose on_batch raises AFTER publishing but BEFORE the
@@ -124,6 +130,7 @@ def ann_index_stream_add(
     books = index["books"]
     cid_type = index["coded"].schema["cent_id"].dataType
     partitioned = bool(index["params"]["partitioned_by_cell"])
+    manifest = index["params"].get("layout", "plain") == "manifest"
     schema = spark.read.parquet(arrivals_path).schema
     if checkpoint_path is None:
         checkpoint_path = index_path + "/_stream_add_ckpt"
@@ -136,14 +143,24 @@ def ann_index_stream_add(
             batch_df, cent_rows, books, id_col, vec_col,
             cent_id_type=cid_type,
         )
-        staging = os.path.join(
-            index_path, f"_stream_add_staging_{batch_id}"
-        )
-        writer = coded_new.write.mode("overwrite")
-        if partitioned:
-            writer = writer.partitionBy("cent_id")
-        writer.parquet(staging)
-        _publish_batch(staging, coded_dir, batch_id)
+        if manifest:
+            from ..sources.manifest_log import log_commit, log_write_data
+
+            files = log_write_data(
+                coded_new,
+                coded_dir,
+                partition_by=["cent_id"] if partitioned else None,
+            )
+            log_commit(coded_dir, files, batch_id=batch_id)
+        else:
+            staging = os.path.join(
+                index_path, f"_stream_add_staging_{batch_id}"
+            )
+            writer = coded_new.write.mode("overwrite")
+            if partitioned:
+                writer = writer.partitionBy("cent_id")
+            writer.parquet(staging)
+            _publish_batch(staging, coded_dir, batch_id)
         n_batches["n"] += 1
         if (
             _test_crash_after_publish
@@ -222,9 +239,17 @@ def ann_index_stream_add_log(
 
     log_init(log_path)
     if not log_current(log_path)["files"]:
+        # the seed commit carries the RESERVED batch id -1 (Spark batch
+        # ids are >= 0) so it is idempotent under the same CAS loop as
+        # every stream commit: two drivers racing an empty log both
+        # pass the files-empty check above, but the second seed commit
+        # no-ops on the id instead of duplicating every seeded row
+        # (r15 ADVICE #5); its freshly written files become orphans
+        # for vacuum, exactly like a replayed batch's
         log_commit(
             log_path,
             log_write_data(index["coded"], log_path),
+            batch_id=-1,
             note="seed: handle lists",
         )
     cent_rows = _collect_cent_rows(index["cents"])
