@@ -394,6 +394,13 @@ def log_vacuum(
             ):
                 os.remove(fp)
                 deleted.append(rel)
+    # drop now-empty partition subdirs (bottom-up so nesting clears)
+    for root, dirs, files in os.walk(data_dir, topdown=False):
+        if root != data_dir and not dirs and not files:
+            try:
+                os.rmdir(root)
+            except OSError:
+                pass  # a racing writer re-created it — leave it
     for v in versions[:-keep_versions]:
         mf = os.path.join(mdir, f"v{v}.json")
         if os.path.getmtime(mf) <= horizon:
