@@ -628,6 +628,79 @@ def bench_ann_index_maintenance(spark: SparkSession, frac: float) -> dict:
     return timed(spark, f"ann_index_maintenance_{frac}x", run)
 
 
+def bench_manifest_maintenance(spark: SparkSession, frac: float) -> dict:
+    """ann_index_maintenance's twin on the MANIFEST layout (r16): the
+    identical maintenance cycle — 3-micro-batch stream add, compaction,
+    one query batch — with the coded table as a manifest-log table
+    (each batch ONE batchId-tagged CAS commit; the compaction ONE
+    replace-commit). Watches that the transactional layer's overhead is
+    O(1) per operation — bytes of JSON plus a hardlink CAS — on top of
+    the same encode/rewrite/query plans, i.e. the two cells' walls
+    should track each other at every scale while this one buys
+    compaction-vs-append safety and replay-across-compaction."""
+    import tempfile
+
+    from map_v2_etl_spark.operators.similarity import (
+        ann_index_build,
+        ann_index_compact,
+        ann_index_topk,
+        ann_index_write,
+    )
+    from map_v2_etl_spark.sources.manifest_log import log_current
+    from map_v2_etl_spark.streaming.ann_maintenance import (
+        ann_index_stream_add,
+    )
+
+    dim = 16
+    n = int(150_000 * MULT * frac)
+    n_cells = 512
+    stride = max(1, n // n_cells) | 1
+    emb = gen_embeddings(spark, n, dim)
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    arrivals_df = emb.filter(F.col("vec_id") % 4 == 0)
+    qs = emb.filter(F.col("vec_id") % max(1, n // 32) == 0)
+    t_build0 = time.perf_counter()
+    index = ann_index_build(
+        base, m=4, ksub=16, centroid_stride=stride, dim=dim,
+        train_sample_mod=max(1, n // 60_000),
+    )
+    path = tempfile.mkdtemp(prefix="ann_idx_mlog_")
+    ann_index_write(index, path, layout="manifest")
+    build_sec = round(time.perf_counter() - t_build0, 3)
+    arrivals = path + "/_arrivals"
+    arrivals_df.repartition(3).write.mode("overwrite").parquet(arrivals)
+
+    def run():
+        t0 = time.perf_counter()
+        ann_index_stream_add(spark, path, arrivals)
+        t1 = time.perf_counter()
+        index2 = ann_index_compact(spark, path)
+        t2 = time.perf_counter()
+        out = ann_index_topk(index2, qs, emb, k=5, candidates=50, nprobe=8)
+        agg = out.agg(
+            F.count("*").alias("rows"), F.sum("rank").alias("ranksum")
+        ).first()
+        t3 = time.perf_counter()
+        cur = log_current(path + "/coded")
+        return {
+            "n_rows": n,
+            "dim": dim,
+            "n_cells_target": n_cells,
+            "stride": stride,
+            "arrivals_rows_approx": n // 4,
+            "build_write_sec_untimed": build_sec,
+            "stream_add_sec": round(t1 - t0, 3),
+            "compact_sec": round(t2 - t1, 3),
+            "query_sec": round(t3 - t2, 3),
+            "log_version": cur["version"],
+            "live_files": len(cur["files"]),
+            "result_rows": agg["rows"],
+            "rank_sum": int(agg["ranksum"]),
+        }
+
+    return timed(spark, f"manifest_maintenance_{frac}x", run)
+
+
 def bench_span_dedup(spark: SparkSession, frac: float) -> dict:
     """Cross-doc exact substring dedup (operators/dedup.
     cross_doc_span_dedup, wave 42): gen_docs plants a shared base
@@ -1339,6 +1412,7 @@ BENCHES = {
     "ivf_sq": bench_ivf_sq,
     "ann_index_query": bench_ann_index_query,
     "ann_index_maintenance": bench_ann_index_maintenance,
+    "manifest_maintenance": bench_manifest_maintenance,
     "span_dedup": bench_span_dedup,
     "span_dedup_skew": bench_span_dedup_skew,
     "triangles": bench_triangles,

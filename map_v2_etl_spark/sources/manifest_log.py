@@ -409,4 +409,15 @@ def log_vacuum(
         fp = os.path.join(mdir, fn)
         if ".tmp-" in fn and os.path.getmtime(fp) <= horizon:
             os.remove(fp)
+    # aged _staging_* dirs: a writer that crashed MID-Spark-write (before
+    # log_write_data's move loop) leaks its staging dir outside data/ —
+    # same orphan class, same grace
+    for fn in os.listdir(path):
+        fp = os.path.join(path, fn)
+        if (
+            fn.startswith("_staging_")
+            and os.path.isdir(fp)
+            and os.path.getmtime(fp) <= horizon
+        ):
+            shutil.rmtree(fp, ignore_errors=True)
     return deleted

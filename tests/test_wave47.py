@@ -266,6 +266,14 @@ def test_log_vacuum_manifest_grace_and_tmp_reclaim(spark, tmp_path):
     assert os.path.exists(os.path.join(mdir, "v2.json"))
     # the table still reads
     assert L.log_read(spark, root).count() == 2
+    # a crashed writer's staging dir is the same orphan class
+    stg = os.path.join(root, "_staging_deadbeef")
+    os.makedirs(stg)
+    L.log_vacuum(root, keep_versions=1, orphan_grace_sec=3600.0)
+    assert os.path.exists(stg)  # young: spared
+    os.utime(stg, (old, old))
+    L.log_vacuum(root, keep_versions=1, orphan_grace_sec=3600.0)
+    assert not os.path.exists(stg)  # aged: reclaimed
 
 
 def test_seed_commit_idempotent_across_drivers(spark, sf_dir, tmp_path):
