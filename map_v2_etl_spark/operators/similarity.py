@@ -2379,6 +2379,22 @@ def ann_index_write(
     return path
 
 
+def _read_index_params(spark: SparkSession, path: str) -> dict:
+    """The one-row params table only — layout / partitioning flags for
+    maintenance pre-checks (r16 self-review: rebuild and compact used a
+    FULL ann_index_read here, which both collected the codebooks for
+    nothing and made a corrupted live index un-rebuildable — the full
+    read validates codebook completeness and non-empty coded lists,
+    exactly what a repair rebuild must not require)."""
+    prow = spark.read.parquet(path + "/params").collect()[0]
+    d = prow.asDict()
+    return {
+        "m": int(d["m"]), "ksub": int(d["ksub"]), "dim": int(d["dim"]),
+        "partitioned_by_cell": bool(d.get("partitioned_by_cell", False)),
+        "layout": d.get("layout", "plain") or "plain",
+    }
+
+
 def ann_index_read(spark: SparkSession, path: str) -> dict:
     """Reload a persisted ANN index written by ann_index_write. The
     codebooks table collects driver-side (m x ksub rows — bounded,
@@ -2472,8 +2488,8 @@ def ann_index_compact(
     import os
     import shutil
 
-    index = ann_index_read(spark, path)
-    if index["params"].get("layout", "plain") == "manifest":
+    pre = _read_index_params(spark, path)
+    if pre["layout"] == "manifest":
         from ..sources.manifest_log import log_compact
 
         log_compact(
@@ -2481,12 +2497,11 @@ def ann_index_compact(
             os.path.join(path, "coded"),
             target_bytes=target_bytes,
             partition_by=(
-                ["cent_id"]
-                if index["params"]["partitioned_by_cell"]
-                else None
+                ["cent_id"] if pre["partitioned_by_cell"] else None
             ),
         )
         return ann_index_read(spark, path)
+    index = ann_index_read(spark, path)
     coded_dir = os.path.join(path, "coded")
     total = 0
     for root, _dirs, files in os.walk(coded_dir):
@@ -2574,13 +2589,16 @@ def ann_index_rebuild(
     import os
     import shutil
 
-    live_params = ann_index_read(spark, path)["params"]
+    # params-only read (r16 self-review): a rebuild is the prescribed
+    # REPAIR action, so it must not require the live index to pass the
+    # full read's codebook/coded validation — only the layout flags
+    live_params = _read_index_params(spark, path)
     if partition_by_cell is None:
         partition_by_cell = bool(live_params["partitioned_by_cell"])
     # the table layout (plain directory vs manifest log) is preserved
     # across rebuilds — it is part of the index's deployment contract,
     # not a build parameter
-    layout = live_params.get("layout", "plain")
+    layout = live_params["layout"]
     norm = path.rstrip("/")
     staging = norm + "__rebuild_staging"
     shutil.rmtree(staging, ignore_errors=True)
@@ -2694,7 +2712,14 @@ def ann_multi_index_topk(
     top-``merge_k`` per query — exact cosines are already computed by
     each index's re-rank, so the merge is one k-bounded window over
     |indexes| x k x |Q| rows (ties broken by nn_id, which is unique
-    per corpus row), never a corpus-sized operation.
+    per corpus row), never a corpus-sized operation. Indexes with
+    OVERLAPPING corpora (mid-reshard shards, a replica passed twice)
+    return the same neighbor from several indexes with bit-identical
+    cosine; the merge dedups (q_id, nn_id) first — keeping the
+    lexicographically smallest index_id, deterministic — so one
+    neighbor never occupies two of the merge_k slots (r16
+    self-review). The un-merged frame keeps the duplicates: per-index
+    result lists are exactly what each index answered.
 
     Scale: the per-index plans are INDEPENDENT — Spark schedules their
     stages concurrently under the union, each keeping its own
@@ -2717,11 +2742,17 @@ def ann_multi_index_topk(
     ]
     out = reduce(lambda a, b: a.unionByName(b), parts)
     if merge_k is not None:
+        dw = W.partitionBy("q_id", "nn_id").orderBy(
+            F.col("index_id").asc()
+        )
         w = W.partitionBy("q_id").orderBy(
             F.col("cosine").desc(), F.col("nn_id").asc()
         )
         out = (
-            out.withColumn("rank", F.row_number().over(w).cast("int"))
+            out.withColumn("_dup", F.row_number().over(dw))
+            .filter(F.col("_dup") == 1)
+            .drop("_dup")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= merge_k)
         )
     return out

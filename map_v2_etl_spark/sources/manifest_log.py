@@ -104,6 +104,38 @@ def log_current(path: str) -> dict:
         return json.load(f)
 
 
+def move_staged_parquet(staging: str, dest_dir: str, name_fn) -> list[str]:
+    """Move a Spark staging directory's part files into ``dest_dir``
+    under caller-chosen names, preserving hive partition subdirs
+    (``cent_id=*/``) — the one walk/filter/replace loop shared by the
+    manifest log's data writes and the plain layout's streaming publish
+    (streaming/ann_maintenance._publish_batch); a fix to either
+    (marker-file filters, partition handling) lands in both.
+    ``name_fn(i)`` names the i-th file; returns the dest-relative
+    names. Per-file os.replace: atomic within a filesystem. The staging
+    dir is removed afterwards."""
+    out: list[str] = []
+    i = 0
+    for root, _dirs, files in os.walk(staging):
+        rel = os.path.relpath(root, staging)
+        for fn in sorted(files):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            name = name_fn(i)
+            if rel != ".":
+                name = os.path.join(rel, name)
+                os.makedirs(os.path.join(dest_dir, rel), exist_ok=True)
+            else:
+                os.makedirs(dest_dir, exist_ok=True)
+            os.replace(
+                os.path.join(root, fn), os.path.join(dest_dir, name)
+            )
+            out.append(name)
+            i += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
 def log_write_data(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> list[str]:
@@ -127,28 +159,11 @@ def log_write_data(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    out: list[str] = []
-    data_dir = os.path.join(path, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    i = 0
-    for root, _dirs, files in os.walk(staging):
-        rel = os.path.relpath(root, staging)
-        for fn in sorted(files):
-            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
-                continue
-            name = f"{stamp}-{i:05d}.parquet"
-            if rel != ".":
-                name = os.path.join(rel, name)
-                os.makedirs(
-                    os.path.join(data_dir, rel), exist_ok=True
-                )
-            os.replace(
-                os.path.join(root, fn), os.path.join(data_dir, name)
-            )
-            out.append(name)
-            i += 1
-    shutil.rmtree(staging, ignore_errors=True)
-    return out
+    return move_staged_parquet(
+        staging,
+        os.path.join(path, "data"),
+        lambda i: f"{stamp}-{i:05d}.parquet",
+    )
 
 
 def log_commit(
@@ -366,7 +381,19 @@ def log_vacuum(
     pick-to-open window. The sweep also reclaims aged ``.tmp-*``
     leftovers under _manifests (a crash between the hardlink CAS and
     the tmp unlink in log_commit leaks one; harmless but permanent
-    without this)."""
+    without this) and aged ``_staging_*`` dirs from writers that
+    crashed mid-Spark-write.
+
+    Ordering (r16 self-review): manifests expire FIRST, and the data
+    live-set is the union over EVERY manifest still on disk AFTER that
+    expiry — not just the newest ``keep_versions``. Keying liveness on
+    the kept set alone deleted data out from under an age-SPARED
+    superseded manifest (a file committed days ago and compacted away
+    a minute ago is unreferenced by the new version but mtime-old, so
+    a file-mtime gate alone reclaims it while v_prev — young, spared,
+    still listed by log_versions — advertises it). With the union rule
+    a snapshot is readable exactly as long as its manifest exists:
+    Iceberg's expire-snapshots-then-remove-orphans order."""
     import time
 
     mdir = _manifest_dir(path)
@@ -375,13 +402,21 @@ def log_vacuum(
         for fn in os.listdir(mdir)
         if fn.startswith("v") and fn.endswith(".json")
     )
-    kept = versions[-keep_versions:]
-    live: set[str] = set()
-    for v in kept:
-        with open(os.path.join(mdir, f"v{v}.json")) as f:
-            live |= set(json.load(f)["files"])
     deleted = []
     horizon = time.time() - orphan_grace_sec
+    # 1) expire superseded manifests (age-gated)
+    remaining = list(versions)
+    for v in versions[:-keep_versions]:
+        mf = os.path.join(mdir, f"v{v}.json")
+        if os.path.getmtime(mf) <= horizon:
+            os.remove(mf)
+            remaining.remove(v)
+    # 2) liveness = union over every manifest still on disk, so any
+    # version a reader can still open keeps its files
+    live: set[str] = set()
+    for v in remaining:
+        with open(os.path.join(mdir, f"v{v}.json")) as f:
+            live |= set(json.load(f)["files"])
     data_dir = os.path.join(path, "data")
     for root, _dirs, files in os.walk(data_dir):
         for fn in sorted(files):
@@ -394,17 +429,21 @@ def log_vacuum(
             ):
                 os.remove(fp)
                 deleted.append(rel)
-    # drop now-empty partition subdirs (bottom-up so nesting clears)
+    # drop now-empty partition subdirs (bottom-up so nesting clears) —
+    # age-gated like everything else: an in-flight writer's freshly
+    # makedirs'd cell dir (about to receive its first os.replace) must
+    # not vanish under it
     for root, dirs, files in os.walk(data_dir, topdown=False):
-        if root != data_dir and not dirs and not files:
+        if (
+            root != data_dir
+            and not dirs
+            and not files
+            and os.path.getmtime(root) <= horizon
+        ):
             try:
                 os.rmdir(root)
             except OSError:
                 pass  # a racing writer re-created it — leave it
-    for v in versions[:-keep_versions]:
-        mf = os.path.join(mdir, f"v{v}.json")
-        if os.path.getmtime(mf) <= horizon:
-            os.remove(mf)
     for fn in os.listdir(mdir):
         fp = os.path.join(mdir, fn)
         if ".tmp-" in fn and os.path.getmtime(fp) <= horizon:

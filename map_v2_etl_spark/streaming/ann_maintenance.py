@@ -13,7 +13,6 @@ streaming surface; §2.11 training-pipeline extension.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import SparkSession
 
@@ -42,29 +41,21 @@ def _publish_batch(staging: str, coded_dir: str, batch_id: int) -> int:
     A crash anywhere in 1–2 leaves a prefix-complete subset that the
     replay's step 1 clears — duplicates are impossible for committed
     OR replayed batches (pinned by the crash/restart test in
-    tests/test_wave45.py)."""
+    tests/test_wave45.py). The move loop is the shared
+    sources/manifest_log.move_staged_parquet (r16 — one
+    walk/filter/replace implementation for both layouts)."""
+    from ..sources.manifest_log import move_staged_parquet
+
     prefix = f"{_BATCH_FILE_PREFIX}{batch_id}-"
     for root, _dirs, files in os.walk(coded_dir):
         for fn in files:
             if fn.startswith(prefix):
                 os.remove(os.path.join(root, fn))
-    moved = 0
-    for root, _dirs, files in os.walk(staging):
-        rel = os.path.relpath(root, staging)
-        for fn in sorted(files):
-            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
-                continue
-            dest_dir = (
-                coded_dir if rel == "." else os.path.join(coded_dir, rel)
-            )
-            os.makedirs(dest_dir, exist_ok=True)
-            os.replace(
-                os.path.join(root, fn),
-                os.path.join(dest_dir, f"{prefix}{moved:05d}.parquet"),
-            )
-            moved += 1
-    shutil.rmtree(staging, ignore_errors=True)
-    return moved
+    return len(
+        move_staged_parquet(
+            staging, coded_dir, lambda i: f"{prefix}{i:05d}.parquet"
+        )
+    )
 
 
 def ann_index_stream_add(

@@ -276,6 +276,61 @@ def test_log_vacuum_manifest_grace_and_tmp_reclaim(spark, tmp_path):
     assert not os.path.exists(stg)  # aged: reclaimed
 
 
+def test_log_vacuum_spared_manifest_keeps_its_data(spark, tmp_path):
+    """Liveness is the union over every manifest still ON DISK after
+    expiry, not just the newest keep_versions (r16 self-review): a
+    file absorbed by a compaction a moment ago is unreferenced by the
+    new version but may be mtime-old — if its (age-spared, still
+    listed) manifest survives, the file must too, or time travel and
+    the just-picked-version reader race both break."""
+    df = spark.createDataFrame([(1, 1)], "k LONG, v LONG")
+    root = str(tmp_path / "log")
+    L.log_init(root)
+    f1 = L.log_write_data(df, root)
+    L.log_commit(root, f1)  # v1
+    L.log_compact(spark, root)  # v2 absorbs f1's file
+    data_dir = os.path.join(root, "data")
+    # age every DATA file past the grace; manifests stay young
+    old = time.time() - 7200
+    for r, _d, fs in os.walk(data_dir):
+        for fn in fs:
+            os.utime(os.path.join(r, fn), (old, old))
+    L.log_vacuum(root, keep_versions=1, orphan_grace_sec=3600.0)
+    # v1 was spared (young) -> its file must survive and replay
+    assert os.path.exists(os.path.join(data_dir, f1[0]))
+    assert L.log_read(spark, root, version=1).count() == 1
+    # once the manifests age out, the file is reclaimable
+    mdir = os.path.join(root, "_manifests")
+    for fn in os.listdir(mdir):
+        os.utime(os.path.join(mdir, fn), (old, old))
+    deleted = L.log_vacuum(root, keep_versions=1, orphan_grace_sec=3600.0)
+    assert f1[0] in deleted
+    assert L.log_read(spark, root).count() == 1  # current still fine
+
+
+def test_multi_index_merge_dedups_overlapping_corpora(spark, sf_dir):
+    """Overlapping-corpus fan-out (the same index passed twice — the
+    degenerate full overlap): the merged top-k must contain each
+    (q_id, nn_id) once, labeled with the lexicographically smallest
+    index_id, and equal the single-index top-k values."""
+    emb, index = _build(spark, sf_dir, half=False)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    merged = S.ann_multi_index_topk(
+        {"b": index, "a": index}, qs, emb, k=5, candidates=50,
+        nprobe=4, merge_k=5,
+    ).collect()
+    pairs = [(r["q_id"], r["nn_id"]) for r in merged]
+    assert len(pairs) == len(set(pairs))
+    assert {r["index_id"] for r in merged} == {"a"}
+    single = {
+        (r["q_id"], r["nn_id"], r["rank"])
+        for r in S.ann_index_topk(
+            index, qs, emb, k=5, candidates=50, nprobe=4
+        ).collect()
+    }
+    assert {(r["q_id"], r["nn_id"], r["rank"]) for r in merged} == single
+
+
 def test_seed_commit_idempotent_across_drivers(spark, sf_dir, tmp_path):
     """Two drivers racing an empty log both pass the files-empty check;
     the second seed commit must NO-OP on the reserved batch id -1
