@@ -182,6 +182,83 @@ def q_manifest_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.localCheckpoint(eager=True)
 
 
+_DUCK_SCHEMA_EVOLUTION = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CASE WHEN lang < 'm' THEN NULL
+            ELSE CAST(SUM(n_chars) AS BIGINT) END AS sum_chars,
+       3 AS log_version,
+       1 AS live_files
+FROM documents
+GROUP BY lang
+"""
+
+
+@query(
+    "manifest_log_schema_evolution",
+    _DUCK_SCHEMA_EVOLUTION,
+    tags=["sink", "transactions", "manifest", "schema-evolution",
+          "compaction"],
+)
+def q_manifest_log_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Add-column schema evolution through the commit log (r16): commit
+    A writes (lang, n_docs); commit B adds a sum_chars column; the
+    merged read surfaces pre-evolution rows with NULL in the added
+    column (Iceberg's add-column semantics via parquet schema merge);
+    a compaction rewrites the UNION schema — log_compact merges
+    unconditionally, else Spark would infer from one file and silently
+    drop the other files' columns — and the final one-file snapshot
+    must still carry the NULLs exactly. Version counter 3 (init, A, B,
+    compact) and one live file pin the commit arithmetic."""
+    from ..sources.manifest_log import (
+        log_commit,
+        log_compact,
+        log_current,
+        log_init,
+        log_read,
+        log_write_data,
+    )
+    from .queries_wave43 import _scratch_index_path
+
+    docs = load_table(spark, "documents", sf_dir)
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    root = os.path.join(_scratch_index_path(), "evo_log")
+    log_init(root)
+    log_commit(
+        root,
+        log_write_data(
+            agg.filter(F.col("lang") < "m").select("lang", "n_docs"),
+            root,
+        ),
+        note="append A (pre-evolution schema)",
+    )
+    log_commit(
+        root,
+        log_write_data(
+            agg.filter(~(F.col("lang") < "m")).select(
+                "lang", "n_docs", "sum_chars"
+            ),
+            root,
+        ),
+        note="append B (adds sum_chars)",
+    )
+    log_compact(spark, root)
+    cur = log_current(root)
+    out = log_read(spark, root).select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        F.lit(cur["version"]).cast("int").alias("log_version"),
+        F.lit(len(cur["files"])).cast("int").alias("live_files"),
+    )
+    return out.localCheckpoint(eager=True)
+
+
 def _ann_manifest_oracle() -> str:
     from .duck_vec import pq_topk_ctes
 

@@ -264,7 +264,10 @@ def log_versions(path: str) -> list[int]:
 
 
 def log_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the CURRENT snapshot: plan directly from the manifest's
     file list (no directory listing — orphans and in-flight files are
@@ -276,7 +279,19 @@ def log_read(
     immutable and data files are never rewritten in place, so any
     un-vacuumed version replays exactly — Iceberg's snapshot read.
     This is why log_vacuum's expire-snapshots contract matters: a
-    pinned reader and a vacuum of its version cannot overlap."""
+    pinned reader and a vacuum of its version cannot overlap.
+
+    SCHEMA EVOLUTION (r16): commits may add columns over time — pass
+    ``merge_schema=True`` to union the file schemas (Spark's parquet
+    schema merge): rows from pre-evolution files read the added
+    columns as NULL, Iceberg's add-column semantics. Opt-in, not
+    default, because the merge reads every file's footer at PLANNING
+    time — a real driver cost on a many-file table whose schema never
+    evolves (Iceberg avoids it by carrying the schema in metadata;
+    this layout's manifests deliberately carry only file lists). Type
+    CHANGES of an existing column are not supported (parquet merge
+    raises — the honest failure; widenings need the column-id
+    metadata this layout doesn't have)."""
     if version is not None:
         mf = os.path.join(_manifest_dir(path), f"v{version}.json")
         if not os.path.exists(mf):
@@ -299,7 +314,10 @@ def log_read(
     # file list; harmless for flat names — the scan keeps partition
     # columns, so DPP/partition pruning applies exactly as on a plain
     # hive directory
-    return spark.read.option("basePath", data_dir).parquet(
+    reader = spark.read.option("basePath", data_dir)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(
         *[os.path.join(data_dir, f) for f in cur["files"]]
     )
 
@@ -337,8 +355,15 @@ def log_compact(
     if not cur["files"]:
         return cur
     data_dir = os.path.join(path, "data")
-    snapshot = spark.read.option("basePath", data_dir).parquet(
-        *[os.path.join(data_dir, f) for f in cur["files"]]
+    # mergeSchema ALWAYS here: a compaction of a schema-evolved table
+    # must rewrite the UNION schema — without the merge Spark infers
+    # from one file and the rewrite would silently drop columns the
+    # other files carry; compaction already reads every file, so the
+    # footer-merge planning cost is free relative to the job
+    snapshot = (
+        spark.read.option("basePath", data_dir)
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(data_dir, f) for f in cur["files"]])
     )
     if partition_by:
         snapshot = snapshot.repartition(*[F.col(c) for c in partition_by])

@@ -397,6 +397,33 @@ def test_log_time_travel_reads_old_snapshot(spark, tmp_path):
         L.log_read(spark, root, version=99)
 
 
+def test_log_schema_evolution_merge_and_compact(spark, tmp_path):
+    """Add-column evolution: merged reads surface NULLs for
+    pre-evolution rows; compaction rewrites the UNION schema (it
+    merges unconditionally — without it Spark infers from one file
+    and the rewrite drops the added column)."""
+    root = str(tmp_path / "log")
+    L.log_init(root)
+    a = spark.createDataFrame([(1, 10)], "k LONG, v LONG")
+    b = spark.createDataFrame([(2, 20, 200)], "k LONG, v LONG, w LONG")
+    L.log_commit(root, L.log_write_data(a, root))
+    L.log_commit(root, L.log_write_data(b, root))
+    got = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in L.log_read(spark, root, merge_schema=True).collect()
+    )
+    assert got == [(1, 10, None), (2, 20, 200)]
+    L.log_compact(spark, root)
+    # post-compact: one file carries the union schema, no merge needed
+    m = L.log_current(root)
+    assert len(m["files"]) == 1
+    got2 = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in L.log_read(spark, root).collect()
+    )
+    assert got2 == [(1, 10, None), (2, 20, 200)]
+
+
 def test_scratch_sweep_real_age_gate(tmp_path, monkeypatch):
     """The wave-43 scratch sweeper only reclaims dirs that are BOTH
     pre-session and older than _SWEEP_MIN_AGE_SEC — a concurrent
