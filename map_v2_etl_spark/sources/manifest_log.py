@@ -12,9 +12,11 @@ Layout:
 
 A manifest is the COMPLETE table state: the list of live data files
 plus a metadata dict. The current version is simply the highest N —
-and commits are linearized by ``os.open(v{N+1}.json, O_CREAT|O_EXCL)``:
-exclusive file creation is the compare-and-swap (atomic on POSIX and
-local filesystems; object stores would use a conditional PUT). A loser
+and commits are linearized by exclusive creation of ``v{N+1}.json``:
+the compare-and-swap is the pluggable ``CAS_PUBLISH`` seam (default:
+hardlink, atomic on POSIX and local filesystems; an object-store
+deployment swaps in a conditional PUT — S3 ``If-None-Match: *`` /
+GCS generation-match-0 — with the identical contract, r16). A loser
 re-reads the new current manifest, REBASES its intent (same add/remove
 sets against the new file list) and retries at N+2 — Iceberg's
 optimistic-concurrency loop at file granularity.
@@ -69,6 +71,30 @@ class ConflictError(RuntimeError):
     """A commit's remove-set is no longer live — a concurrent commit
     already removed (compacted) those files; re-read and retry at the
     caller's level."""
+
+
+def _cas_publish_hardlink(tmp: str, target: str) -> bool:
+    """The default commit CAS: hardlink the fully-written tmp manifest
+    to the version name — link(2) fails iff the target exists (the
+    compare) and the name appears with complete content (the swap).
+    POSIX/local-FS semantics; returns False on a lost race."""
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        return False
+    return True
+
+
+#: the commit compare-and-swap, swappable per deployment (r16, closing
+#: the r15 "object-store CAS" gap at the seam): an S3/GCS deployment
+#: replaces this with a conditional PUT — S3 `If-None-Match: *` /
+#: GCS `x-goog-if-generation-match: 0` — which has the same contract:
+#: write the COMPLETE manifest body under the version key iff the key
+#: does not exist, return False on precondition failure. Everything
+#: above the seam (rebase loop, batch idempotence, vacuum) is
+#: storage-agnostic; tests pin the contract against a simulated
+#: conditional-PUT backend (tests/test_wave47.py).
+CAS_PUBLISH = _cas_publish_hardlink
 
 
 def _manifest_dir(path: str) -> str:
@@ -243,9 +269,7 @@ def log_commit(
         tmp = target + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        try:
-            os.link(tmp, target)
-        except FileExistsError:
+        if not CAS_PUBLISH(tmp, target):
             os.remove(tmp)
             continue  # lost the CAS: rebase onto the new current
         os.remove(tmp)

@@ -424,6 +424,107 @@ def test_log_schema_evolution_merge_and_compact(spark, tmp_path):
     assert got2 == [(1, 10, None), (2, 20, 200)]
 
 
+def test_cas_publish_seam_conditional_put(spark, tmp_path, monkeypatch):
+    """The commit CAS is a pluggable seam (CAS_PUBLISH): a simulated
+    object-store conditional PUT — copy-if-absent with a racing writer
+    injected mid-commit — must drive the SAME rebase loop to the same
+    linearized result as the hardlink default. Pins that everything
+    above the seam is storage-agnostic (the r15 'object-store CAS'
+    gap, closed at the seam)."""
+    import shutil as sh
+
+    df = spark.createDataFrame([(1, 1)], "k LONG, v LONG")
+    root = str(tmp_path / "log")
+    L.log_init(root)
+    f1 = L.log_write_data(df, root)
+    f2 = L.log_write_data(df, root)
+    calls = {"n": 0}
+
+    def conditional_put(tmp, target):
+        # object-store semantics: full-body write iff key absent
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # inject a racing writer that claims THIS version first
+            # (the precondition-failure path a real store returns 412 on)
+            with open(target, "w") as f:
+                json.dump(
+                    {
+                        "version": int(
+                            os.path.basename(target)[1:-5]
+                        ),
+                        "files": sorted(f2),
+                        "meta": {},
+                    },
+                    f,
+                )
+        if os.path.exists(target):
+            return False
+        sh.copyfile(tmp, target)
+        return True
+
+    monkeypatch.setattr(L, "CAS_PUBLISH", conditional_put)
+    m = L.log_commit(root, f1)
+    # the injected racer won v1 with f2; our commit rebased to v2 and
+    # kept BOTH file sets — nothing lost, versions linear
+    assert m["version"] == 2
+    assert set(m["files"]) == set(f1) | set(f2)
+    assert calls["n"] >= 2
+    assert L.log_read(spark, root).count() == 2
+    # no stray tmp files left behind
+    mdir = os.path.join(root, "_manifests")
+    assert not [fn for fn in os.listdir(mdir) if ".tmp-" in fn]
+
+
+def test_manifest_stream_add_races_live_compactions(
+    spark, sf_dir, tmp_path
+):
+    """TRUE concurrency on the unified path: a background thread
+    compacts the manifest-layout index's coded log in a loop (retrying
+    on ConflictError — the documented caller contract) while the REAL
+    streaming add commits its 3 batches. Whatever the interleaving,
+    the final table must equal ann_index_add of the whole arrivals set
+    and every batch id must be present exactly once."""
+    import threading
+
+    from map_v2_etl_spark.sources.manifest_log import ConflictError
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    index = S.ann_index_build(
+        base, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    path = str(tmp_path / "midx")
+    S.ann_index_write(index, path, layout="manifest")
+    arrivals = str(tmp_path / "arrivals")
+    extra.repartition(3).write.mode("overwrite").parquet(arrivals)
+    stop = threading.Event()
+    compactions = {"done": 0, "conflicts": 0}
+
+    def compact_loop():
+        while not stop.is_set():
+            try:
+                S.ann_index_compact(spark, path)
+                compactions["done"] += 1
+            except ConflictError:
+                compactions["conflicts"] += 1
+            stop.wait(0.05)
+
+    t = threading.Thread(target=compact_loop, daemon=True)
+    t.start()
+    try:
+        grown = ann_index_stream_add(spark, path, arrivals)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert grown["n_stream_batches"] == 3
+    assert compactions["done"] >= 1  # the race actually happened
+    cur = L.log_current(path + "/coded")
+    assert sorted(cur["meta"]["stream_batches"]) == [0, 1, 2]
+    want = _coded_rows(S.ann_index_add(index, extra))
+    assert _coded_rows(S.ann_index_read(spark, path)) == want
+
+
 def test_scratch_sweep_real_age_gate(tmp_path, monkeypatch):
     """The wave-43 scratch sweeper only reclaims dirs that are BOTH
     pre-session and older than _SWEEP_MIN_AGE_SEC — a concurrent
