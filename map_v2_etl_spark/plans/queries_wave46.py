@@ -75,20 +75,18 @@ def q_manifest_log_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         log_write_data,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
-    agg = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("sum_chars"),
-    )
     # under the swept scratch root (r16, r15 verdict #7): the previous
     # tempfile.mkdtemp leaked one small /tmp dir per gate run; the
     # wave-43 sweeper reclaims this one on a later session instead
     from .queries_wave43 import _scratch_index_path
 
+    # NULL-safe exhaustive split (r16 self-review) — see
+    # queries_wave47._lang_agg_split's docstring
+    from .queries_wave47 import _lang_agg_split
+
     root = os.path.join(_scratch_index_path(), "manifest_log")
     log_init(root)
-    part_a = agg.filter(F.col("lang") < "m")
-    part_b = agg.filter(~(F.col("lang") < "m"))
+    part_a, part_b = _lang_agg_split(spark, sf_dir)
     log_commit(root, log_write_data(part_a, root), note="append A")
     log_commit(root, log_write_data(part_b, root), note="append B")
     log_compact(spark, root)

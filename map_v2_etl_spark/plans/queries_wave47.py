@@ -117,6 +117,23 @@ def q_ann_multi_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_agg_split(spark: SparkSession, sf_dir: str):
+    """The manifest demos' shared corpus: the per-lang documents
+    aggregate split into two commit slices on lang < 'm'. The second
+    slice takes NULL langs too (``~coalesce(lang < 'm', false)``) so
+    the split is exhaustive — a plain ``~(lang < 'm')`` drops
+    NULL-lang rows from BOTH slices while the oracles aggregate every
+    row (r16 self-review; latent until the testdata grows a NULL
+    lang). Returns (slice_a, slice_b)."""
+    docs = load_table(spark, "documents", sf_dir)
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    is_a = F.coalesce(F.col("lang") < "m", F.lit(False))
+    return agg.filter(is_a), agg.filter(~is_a)
+
+
 _DUCK_TIME_TRAVEL = """
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -153,23 +170,11 @@ def q_manifest_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .queries_wave43 import _scratch_index_path
 
-    docs = load_table(spark, "documents", sf_dir)
-    agg = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("sum_chars"),
-    )
+    part_a, part_b = _lang_agg_split(spark, sf_dir)
     root = os.path.join(_scratch_index_path(), "tt_log")
     log_init(root)
-    log_commit(
-        root,
-        log_write_data(agg.filter(F.col("lang") < "m"), root),
-        note="append A",
-    )
-    log_commit(
-        root,
-        log_write_data(agg.filter(~(F.col("lang") < "m")), root),
-        note="append B",
-    )
+    log_commit(root, log_write_data(part_a, root), note="append A")
+    log_commit(root, log_write_data(part_b, root), note="append B")
     log_compact(spark, root)
     n_versions = len(log_versions(root))
     out = log_read(spark, root, version=1).select(
@@ -222,28 +227,18 @@ def q_manifest_log_schema_evolution(
     )
     from .queries_wave43 import _scratch_index_path
 
-    docs = load_table(spark, "documents", sf_dir)
-    agg = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("sum_chars"),
-    )
+    part_a, part_b = _lang_agg_split(spark, sf_dir)
     root = os.path.join(_scratch_index_path(), "evo_log")
     log_init(root)
     log_commit(
         root,
-        log_write_data(
-            agg.filter(F.col("lang") < "m").select("lang", "n_docs"),
-            root,
-        ),
+        log_write_data(part_a.select("lang", "n_docs"), root),
         note="append A (pre-evolution schema)",
     )
     log_commit(
         root,
         log_write_data(
-            agg.filter(~(F.col("lang") < "m")).select(
-                "lang", "n_docs", "sum_chars"
-            ),
-            root,
+            part_b.select("lang", "n_docs", "sum_chars"), root
         ),
         note="append B (adds sum_chars)",
     )

@@ -93,7 +93,12 @@ def _cas_publish_hardlink(tmp: str, target: str) -> bool:
 #: does not exist, return False on precondition failure. Everything
 #: above the seam (rebase loop, batch idempotence, vacuum) is
 #: storage-agnostic; tests pin the contract against a simulated
-#: conditional-PUT backend (tests/test_wave47.py).
+#: conditional-PUT backend (tests/test_wave47.py). Scope: the hook is
+#: PROCESS-WIDE — one storage backend per process, which fits the
+#: engine's deployments (all-local or all-object-store). Hosting
+#: local and remote manifest tables in one process would need the
+#: backend recorded per table at log_init; deliberately out of scope
+#: until a workload needs it.
 CAS_PUBLISH = _cas_publish_hardlink
 
 
