@@ -2695,6 +2695,7 @@ def ann_multi_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     merge_k: int | None = None,
+    route: dict[str, Column] | None = None,
 ) -> DataFrame:
     """MULTI-INDEX fan-out search (r16 — the last named ANN roadmap
     item, r15 verdict missing #2): every query batch hits EVERY index
@@ -2721,6 +2722,15 @@ def ann_multi_index_topk(
     self-review). The un-merged frame keeps the duplicates: per-index
     result lists are exactly what each index answered.
 
+    ``route`` (r16, the roadmap item's other half): per-index QUERY
+    predicates — index ``name`` answers only ``queries.filter(
+    route[name])``. This is tenancy routing (each tenant's queries hit
+    only that tenant's index — the vector-store resident-shard shape),
+    versus the default broadcast fan-out (every query hits every
+    index — federated search). The predicates need not partition the
+    query set: overlapping routes mean some queries legitimately fan
+    out; an unmatched query simply returns no rows.
+
     Scale: the per-index plans are INDEPENDENT — Spark schedules their
     stages concurrently under the union, each keeping its own
     broadcast/DPP shape; the driver loop is bounded by the number of
@@ -2732,7 +2742,9 @@ def ann_multi_index_topk(
         raise ValueError("ann_multi_index_topk: no indexes given")
     parts = [
         ann_index_topk(
-            idx, queries, corpus, k=k, candidates=candidates,
+            idx,
+            queries.filter(route[name]) if route else queries,
+            corpus, k=k, candidates=candidates,
             nprobe=nprobe, id_col=id_col, vec_col=vec_col,
         ).select(
             F.lit(name).alias("index_id"),

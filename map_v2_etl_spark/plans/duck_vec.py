@@ -312,6 +312,7 @@ def pq_topk_ctes(
     emit: str = "topk",
     base_table: str | None = None,
     corpus_where: str | None = None,
+    query_where: str | None = None,
 ) -> str:
     """Full PQ/ADC top-k oracle: training-sample selection (xxhash64
     modulus — bit-equal to F.xxhash64), per-subspace Lloyd with
@@ -509,10 +510,16 @@ def pq_topk_ctes(
         # with the Spark operators' _nonnull_queries filter): a NULL
         # query's all-NULL distances ordered differently across engines
         # in the ASC candidate cuts (Spark NULLS FIRST, DuckDB NULLS
-        # LAST — docs/ROUND14.md §9's documented corner)
+        # LAST — docs/ROUND14.md §9's documented corner).
+        # ``query_where`` (r16, the routed multi-index twin): an extra
+        # predicate on the QUERY set — filtering qu alone suffices,
+        # because every downstream query-side CTE (lutt/lut, and
+        # through them adc) joins on qu's q_id; byte-identical no-op
+        # when None
         _unit_cte(
             "qu", table,
-            f"vec_id % {q_mod} = 0 AND embedding IS NOT NULL",
+            f"vec_id % {q_mod} = 0 AND embedding IS NOT NULL"
+            + (f" AND ({query_where})" if query_where else ""),
             id_as="q_id",
         ),
     ]

@@ -134,6 +134,73 @@ def _lang_agg_split(spark: SparkSession, sf_dir: str):
     return agg.filter(is_a), agg.filter(~is_a)
 
 
+def _ann_routed_oracle() -> str:
+    """Routing twin: per-tenant emission with BOTH sides of the tenant
+    predicate — base_table/corpus_where restrict the index to the
+    tenant's rows (as in the fan-out oracle) and query_where restricts
+    the QUERY set to the tenant's own queries (the routing). The union
+    needs no re-rank: routes are disjoint, so each query's rows come
+    from exactly one index and the local rank IS the global one."""
+    from .duck_vec import pq_topk_ctes
+
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS index_id, q_id, nn_id, rank, cosine "
+        "FROM ("
+        + pq_topk_ctes(
+            m=4, ksub=16, iters=2, dim=64, candidates=50, k=5,
+            sample_mod=5, q_mod=50, centroid_stride=10, nprobe=4,
+            residual=True,
+            base_table=(
+                f"(SELECT * FROM embeddings WHERE {pred}) base_t"
+            ),
+            corpus_where=pred.replace("vec_id", "c.vec_id"),
+            query_where=pred,
+        )
+        + f") s_{name}"
+        for name, pred in _TENANTS
+    )
+    return (
+        "SELECT index_id, q_id, nn_id, CAST(rank AS INTEGER) AS rank, "
+        f"cosine FROM (\n{branches}\n)"
+    )
+
+
+@query(
+    "ann_routed_index_topk",
+    _ann_routed_oracle(),
+    tags=["similarity", "ann", "index", "multi-tenant", "routing"],
+)
+def q_ann_routed_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenancy ROUTING over two per-tenant indexes (the other half of
+    the multi-index roadmap item — contrast ann_multi_index_topk's
+    broadcast fan-out): each tenant's queries hit ONLY that tenant's
+    index (`route=` predicates), so a query's neighbors come from its
+    own corpus slice with its own frozen quantizers — the vector-store
+    resident-shard shape. The oracle replays both tenant residual
+    chains with the SAME routing predicate on the query set
+    (pq_topk_ctes(query_where=...)) and unions them — no re-rank
+    needed, routes are disjoint. Reference parity: no ANN in the
+    reference (build.sh:75-233); §2.11 extension."""
+    from ..operators.similarity import (
+        ann_index_build,
+        ann_multi_index_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    indexes = {
+        name: ann_index_build(
+            emb.filter(F.expr(pred)),
+            m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+        )
+        for name, pred in _TENANTS
+    }
+    return ann_multi_index_topk(
+        indexes, qs, emb, k=5, candidates=50, nprobe=4,
+        route={name: F.expr(pred) for name, pred in _TENANTS},
+    )
+
+
 _DUCK_TIME_TRAVEL = """
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

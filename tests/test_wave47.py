@@ -331,6 +331,34 @@ def test_multi_index_merge_dedups_overlapping_corpora(spark, sf_dir):
     assert {(r["q_id"], r["nn_id"], r["rank"]) for r in merged} == single
 
 
+def test_multi_index_route_restricts_queries(spark, sf_dir):
+    """route= predicates: every result row's query satisfies its
+    answering index's predicate (tenancy isolation), and an index
+    whose route matches no query contributes zero rows."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = {
+        name: S.ann_index_build(
+            emb.filter(F.expr(pred)),
+            m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+        )
+        for name, pred in (
+            ("lo", "vec_id % 4 < 2"), ("hi", "vec_id % 4 >= 2"),
+        )
+    }
+    out = S.ann_multi_index_topk(
+        idx, qs, emb, k=5, candidates=50, nprobe=4,
+        route={
+            "lo": F.col("vec_id") % 4 < 2,
+            # route NOTHING to hi: empty-route indexes answer nothing
+            "hi": F.lit(False),
+        },
+    ).collect()
+    assert out, "lo tenant must answer"
+    assert {r["index_id"] for r in out} == {"lo"}
+    assert all(r["q_id"] % 4 < 2 for r in out)
+
+
 def test_seed_commit_idempotent_across_drivers(spark, sf_dir, tmp_path):
     """Two drivers racing an empty log both pass the files-empty check;
     the second seed commit must NO-OP on the reserved batch id -1
