@@ -397,6 +397,15 @@ def main() -> None:
     elif cmd == "stale":
         for q in sorted(stale_queries(root)):
             print(q)
+    elif cmd == "stale-line":
+        # Round-doc-ready provenance line: emitted by the tool, never typed
+        # by hand (r14 "40", r15 "25", r16 "29" were all prose typos for the
+        # actual stale counts — VERDICT r16 asked for this subcommand).
+        import subprocess
+        head = subprocess.run(
+            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True).stdout.strip() or "?"
+        print(f"Stale certs at {head}: **{len(stale_queries(root))}**")
     else:
         raise SystemExit(f"unknown command {cmd!r}")
 
