@@ -2266,6 +2266,7 @@ def ann_index_add(
 def ann_index_write(
     index: dict, path: str, partition_by_cell: bool = False,
     layout: str = "plain",
+    versioned: bool = False,
 ) -> str:
     """Persist a built ANN index as four parquet tables under ``path``:
     ``centroids`` (cent_id, cent_vec), ``codebooks`` (sub, code, cent),
@@ -2314,7 +2315,37 @@ def ann_index_write(
     Scale: ``coded`` is the only corpus-sized write — (id, int cell,
     m small ints) rows, written with the corpus's own partitioning
     (or one directory per cell with ``partition_by_cell``);
-    centroids/codebooks/params are bounded driver-side artifacts."""
+    centroids/codebooks/params are bounded driver-side artifacts.
+
+    ``versioned=True`` (r17, r16 verdict #1 — the last non-atomic
+    swap): the four tables land in a GENERATION subdirectory
+    (``<path>/gen-<id>/``) and a tiny CAS pointer manifest at the
+    index ROOT (``<path>/_manifests/`` — the manifest_log commit loop
+    with zero data files, its meta naming the live generation) is
+    what readers resolve through (_resolve_index_root). A rebuild
+    then publishes generation N+1 with ONE CAS pointer flip instead
+    of the legacy layout's two os.rename calls — readers planning
+    mid-rebuild keep a complete index at every instant (Iceberg's
+    metadata-pointer swap at index granularity). Writing versioned
+    over an EXISTING versioned index appends a new generation and
+    flips the pointer — the old generation stays on disk for
+    in-flight readers until ann_index_vacuum reclaims it."""
+    if versioned:
+        import os as _os
+        import uuid as _uuid
+
+        from ..sources import manifest_log as _ml
+
+        gen = f"gen-{_uuid.uuid4().hex[:12]}"
+        ann_index_write(
+            index, _os.path.join(path, gen),
+            partition_by_cell=partition_by_cell, layout=layout,
+        )
+        _ml.log_init(path)
+        _ml.log_commit(
+            path, [], meta={"index_generation": gen}, note="build",
+        )
+        return path
     spark = index["cents"].sparkSession
     p = index["params"]
     index["cents"].write.mode("overwrite").parquet(path + "/centroids")
@@ -2379,6 +2410,31 @@ def ann_index_write(
     return path
 
 
+def _resolve_index_root(path: str) -> str:
+    """Resolve a VERSIONED index path (ann_index_write(versioned=True))
+    to its live generation directory: the index root holds a pointer
+    manifest log whose meta names the generation; legacy flat indexes
+    (no ``_manifests/`` at the root) resolve to themselves. One JSON
+    read — planning metadata, no data IO. The coded table's own
+    manifest log lives at ``<gen>/coded/_manifests`` and is NOT a
+    pointer — resolution only ever looks one level, at the root."""
+    import os as _os
+
+    if not _os.path.isdir(_os.path.join(path, "_manifests")):
+        return path
+    from ..sources.manifest_log import log_current
+
+    gen = log_current(path)["meta"].get("index_generation")
+    if gen is None:
+        raise ValueError(
+            f"_resolve_index_root: {path} has a manifest log but no "
+            "index_generation in its meta — not a versioned index "
+            "root (did a coded/ log path get passed as the index "
+            "path?)"
+        )
+    return _os.path.join(path, gen)
+
+
 def _read_index_params(spark: SparkSession, path: str) -> dict:
     """The one-row params table only — layout / partitioning flags for
     maintenance pre-checks (r16 self-review: rebuild and compact used a
@@ -2386,6 +2442,7 @@ def _read_index_params(spark: SparkSession, path: str) -> dict:
     nothing and made a corrupted live index un-rebuildable — the full
     read validates codebook completeness and non-empty coded lists,
     exactly what a repair rebuild must not require)."""
+    path = _resolve_index_root(path)
     prow = spark.read.parquet(path + "/params").collect()[0]
     d = prow.asDict()
     return {
@@ -2399,7 +2456,12 @@ def ann_index_read(spark: SparkSession, path: str) -> dict:
     """Reload a persisted ANN index written by ann_index_write. The
     codebooks table collects driver-side (m x ksub rows — bounded,
     exactly the state pq_train holds); centroids and coded stay
-    DataFrames (coded is corpus-sized and never leaves the cluster)."""
+    DataFrames (coded is corpus-sized and never leaves the cluster).
+    A VERSIONED index path resolves through its root pointer manifest
+    to the live generation first (r17) — the whole read then plans
+    against one immutable generation directory, so a concurrent
+    rebuild flipping the pointer mid-read is invisible."""
+    path = _resolve_index_root(path)
     prow = spark.read.parquet(path + "/params").collect()[0]
     m, ksub, dim = int(prow["m"]), int(prow["ksub"]), int(prow["dim"])
     books: list[list[list[float] | None]] = [
@@ -2488,6 +2550,10 @@ def ann_index_compact(
     import os
     import shutil
 
+    # a versioned index compacts IN PLACE within its live generation —
+    # compaction rewrites the coded table, not the build artifacts, so
+    # it needs no generation flip
+    path = _resolve_index_root(path)
     pre = _read_index_params(spark, path)
     if pre["layout"] == "manifest":
         from ..sources.manifest_log import log_compact
@@ -2564,15 +2630,23 @@ def ann_index_rebuild(
     writes a COMPLETE new index to a sibling staging directory; the
     audit re-reads it through ann_index_read (which validates params
     and codebook completeness) and requires non-empty coded lists; only
-    then does the old directory swap out. A failed build or audit
-    leaves the live index untouched and the staging directory on disk
-    for inspection. The swap itself is two os.rename calls, so a
-    reader that starts planning between them sees a missing index
-    (r15 ADVICE #3) — quiesce readers across a rebuild, or point them
-    at a path indirection you flip atomically; the coded table's
-    manifest layout does not help here because rebuild replaces the
-    WHOLE index directory including the log. The swap also retires the old index's streaming-add
-    checkpoint (it moves out with the old directory), so a stream
+    then is the new index published. A failed build or audit leaves
+    the live index untouched and the staging directory on disk for
+    inspection.
+
+    Publication (r17, r16 verdict #1): on a VERSIONED index
+    (ann_index_write(versioned=True)) the staged index IS the next
+    generation directory and publishing is ONE CAS pointer-manifest
+    flip (the manifest_log commit loop at the index root) — readers
+    that resolved the pointer before the flip keep planning against
+    their complete, immutable old generation; readers after it see
+    the complete new one; there is NO instant with a missing index.
+    The superseded generation stays on disk until ann_index_vacuum.
+    On a LEGACY flat index the swap remains two os.rename calls with
+    the documented reader race window — quiesce readers, or write
+    the index versioned (the deployment shape). Either way the
+    rebuilt index's streaming-add checkpoint starts fresh (it lives
+    under the new generation / new directory), so a stream
     re-attached after a rebuild re-consumes the arrivals directory
     against the NEW quantizers instead of silently skipping files the
     old index had seen (ADVICE r14 #2's rebuild case).
@@ -2580,14 +2654,17 @@ def ann_index_rebuild(
     ``partition_by_cell=None`` preserves the live index's layout.
     Returns the reloaded rebuilt index handle.
 
-    The swap replaces the WHOLE index directory: anything a caller
-    co-located inside it that is not part of the index contract
+    The LEGACY swap replaces the WHOLE index directory: anything a
+    caller co-located inside it that is not part of the index contract
     (e.g. an arrivals directory parked there for scratch convenience)
     moves out with the old index and is deleted — keep arrivals
-    outside the index path in a real deployment.
+    outside the index path in a real deployment. (A versioned rebuild
+    touches only ``gen-*`` subdirectories and the pointer manifest —
+    co-located extras at the root survive.)
     """
     import os
     import shutil
+    import uuid as _uuid
 
     # params-only read (r16 self-review): a rebuild is the prescribed
     # REPAIR action, so it must not require the live index to pass the
@@ -2600,7 +2677,12 @@ def ann_index_rebuild(
     # not a build parameter
     layout = live_params["layout"]
     norm = path.rstrip("/")
-    staging = norm + "__rebuild_staging"
+    versioned = os.path.isdir(os.path.join(norm, "_manifests"))
+    if versioned:
+        gen = f"gen-{_uuid.uuid4().hex[:12]}"
+        staging = os.path.join(norm, gen)
+    else:
+        staging = norm + "__rebuild_staging"
     shutil.rmtree(staging, ignore_errors=True)
     rebuilt = ann_index_build(
         corpus, m=m, ksub=ksub, iters=iters,
@@ -2620,12 +2702,68 @@ def ann_index_rebuild(
             f"ann_index_rebuild: staged index at {staging} has empty "
             "coded lists (corpus all-NULL?); live index left untouched"
         )
+    if versioned:
+        # ONE CAS flip: the pointer manifest now names the audited new
+        # generation; the old generation stays on disk for in-flight
+        # readers (ann_index_vacuum reclaims it later)
+        from ..sources.manifest_log import log_commit
+
+        log_commit(
+            norm, [], meta={"index_generation": gen}, note="rebuild",
+        )
+        return ann_index_read(spark, norm)
     old = norm + "__pre_rebuild"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(norm, old)
     os.rename(staging, norm)
     shutil.rmtree(old)
     return ann_index_read(spark, path)
+
+
+def ann_index_vacuum(
+    path: str, grace_sec: float = 3600.0
+) -> list[str]:
+    """Reclaim SUPERSEDED generations of a versioned index (r17): a
+    rebuild leaves the previous ``gen-*`` directory on disk so
+    in-flight readers finish against a complete index; this deletes
+    every generation that (a) no pointer manifest still on disk
+    references — expire old pointer versions first with
+    sources.manifest_log.log_vacuum on the index root if time travel
+    to them is no longer needed — and (b) is older than ``grace_sec``
+    (the same in-flight-writer grace log_vacuum uses: a rebuild that
+    has staged its generation but not yet won the pointer CAS must
+    not lose it). Returns the deleted generation names. The liveness
+    rule is the union-over-on-disk-manifests discipline from
+    log_vacuum: any generation a still-openable pointer version names
+    survives, so pinned time-travel readers stay valid."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    mdir = _os.path.join(path, "_manifests")
+    if not _os.path.isdir(mdir):
+        return []  # legacy flat index: nothing generation-shaped
+    referenced: set[str] = set()
+    for fn in _os.listdir(mdir):
+        if fn.startswith("v") and fn.endswith(".json"):
+            with open(_os.path.join(mdir, fn)) as f:
+                gen = _json.load(f)["meta"].get("index_generation")
+            if gen:
+                referenced.add(gen)
+    horizon = _time.time() - grace_sec
+    deleted = []
+    for fn in sorted(_os.listdir(path)):
+        fp = _os.path.join(path, fn)
+        if (
+            fn.startswith("gen-")
+            and _os.path.isdir(fp)
+            and fn not in referenced
+            and _os.path.getmtime(fp) <= horizon
+        ):
+            _shutil.rmtree(fp, ignore_errors=True)
+            deleted.append(fn)
+    return deleted
 
 
 def ann_index_topk(
@@ -2729,7 +2867,12 @@ def ann_multi_index_topk(
     versus the default broadcast fan-out (every query hits every
     index — federated search). The predicates need not partition the
     query set: overlapping routes mean some queries legitimately fan
-    out; an unmatched query simply returns no rows.
+    out; an unmatched query simply returns no rows. A passed ``route``
+    must be TOTAL over the index names (r17, r16 ADVICE #3): a missing
+    entry raises ValueError up front instead of a bare KeyError
+    mid-plan — tenancy isolation is exactly where a silently-defaulted
+    index must not guess. To fan one index out explicitly under
+    routing, map it to None (no predicate — every query hits it).
 
     Scale: the per-index plans are INDEPENDENT — Spark schedules their
     stages concurrently under the union, each keeping its own
@@ -2740,10 +2883,20 @@ def ann_multi_index_topk(
 
     if not indexes:
         raise ValueError("ann_multi_index_topk: no indexes given")
+    if route is not None:
+        missing = sorted(n for n in indexes if n not in route)
+        if missing:
+            raise ValueError(
+                "ann_multi_index_topk: route must map every index "
+                f"name; missing {missing} (map an index to None to "
+                "fan it out explicitly)"
+            )
     parts = [
         ann_index_topk(
             idx,
-            queries.filter(route[name]) if route else queries,
+            queries.filter(route[name])
+            if route is not None and route[name] is not None
+            else queries,
             corpus, k=k, candidates=candidates,
             nprobe=nprobe, id_col=id_col, vec_col=vec_col,
         ).select(

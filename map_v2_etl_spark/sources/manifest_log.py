@@ -10,8 +10,10 @@ Layout:
     <path>/data/<uuid>-<seq>.parquet      immutable data files
     <path>/_manifests/v{N}.json           immutable manifest per version
 
-A manifest is the COMPLETE table state: the list of live data files
-plus a metadata dict. The current version is simply the highest N —
+A manifest is the COMPLETE table state: the list of live data files,
+a metadata dict, and (r17) optionally the table SCHEMA plus per-file
+column min/max stats — Iceberg's manifest-entry stats in miniature.
+The current version is simply the highest N —
 and commits are linearized by exclusive creation of ``v{N+1}.json``:
 the compare-and-swap is the pluggable ``CAS_PUBLISH`` seam (default:
 hardlink, atomic on POSIX and local filesystems; an object-store
@@ -90,31 +92,53 @@ def _cas_publish_hardlink(tmp: str, target: str) -> bool:
 #: replaces this with a conditional PUT — S3 `If-None-Match: *` /
 #: GCS `x-goog-if-generation-match: 0` — which has the same contract:
 #: write the COMPLETE manifest body under the version key iff the key
-#: does not exist, return False on precondition failure. Everything
-#: above the seam (rebase loop, batch idempotence, vacuum) is
-#: storage-agnostic; tests pin the contract against a simulated
-#: conditional-PUT backend (tests/test_wave47.py). Scope: the hook is
-#: PROCESS-WIDE — one storage backend per process, which fits the
-#: engine's deployments (all-local or all-object-store). Hosting
-#: local and remote manifest tables in one process would need the
-#: backend recorded per table at log_init; deliberately out of scope
-#: until a workload needs it.
+#: does not exist, return False on precondition failure. Scope of the
+#: claim (r17, r16 ADVICE #2): the seam pins the COMMIT-LINEARIZATION
+#: contract only — swapping the backend makes commits race-safe on an
+#: object store, but a full object-store deployment would ALSO need a
+#: storage backend for listing (log_current/log_versions), manifest
+#: reads, data-file IO, and vacuum, which here use local-FS calls.
+#: Tests pin the commit contract against a simulated conditional-PUT
+#: backend (tests/test_wave47.py). Resolution order (r17, r16 verdict
+#: #4): a table whose v0 meta records ``cas_backend`` (log_init)
+#: resolves its publisher from CAS_BACKENDS per table; otherwise this
+#: module-global default applies — so local and conditional-PUT
+#: tables can coexist in one process.
 CAS_PUBLISH = _cas_publish_hardlink
+
+#: named publisher registry for per-table resolution: the name (not
+#: the callable) is what log_init records in the table's meta, so a
+#: table created in one process resolves the same backend in the next
+CAS_BACKENDS: dict = {"hardlink": _cas_publish_hardlink}
 
 
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
 
-def log_init(path: str) -> str:
-    """Create an empty log table (version 0, no files)."""
+def log_init(path: str, cas_backend: str | None = None) -> str:
+    """Create an empty log table (version 0, no files).
+
+    ``cas_backend`` (r17, r16 verdict #4) names a CAS_BACKENDS entry
+    recorded in v0's meta: every later commit to THIS table resolves
+    its publisher per table instead of the process-wide CAS_PUBLISH
+    default, so one process can host local (hardlink) and
+    object-store (conditional-PUT) tables side by side. The name must
+    be registered before init — a typo fails here, not at first
+    commit."""
+    if cas_backend is not None and cas_backend not in CAS_BACKENDS:
+        raise ValueError(
+            f"log_init: unknown cas_backend {cas_backend!r} "
+            f"(registered: {sorted(CAS_BACKENDS)})"
+        )
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(_manifest_dir(path), exist_ok=True)
     v0 = os.path.join(_manifest_dir(path), "v0.json")
     if not os.path.exists(v0):
+        meta = {"cas_backend": cas_backend} if cas_backend else {}
         tmp = v0 + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"version": 0, "files": [], "meta": {}}, f)
+            json.dump({"version": 0, "files": [], "meta": meta}, f)
         os.replace(tmp, v0)
     return path
 
@@ -197,12 +221,61 @@ def log_write_data(
     )
 
 
+def file_stats(path: str, names: list[str]) -> dict:
+    """Per-file column stats from the parquet FOOTERS (metadata only,
+    no data pages — the same column-chunk statistics every engine's
+    file skipping reads): ``{name: {"rows": n, "bytes": n, "cols":
+    {col: {"min": v, "max": v, "nulls": n}}}}``. Only JSON-safe
+    primitive min/max (bool/int/float/str) are kept — a column whose
+    stats are missing or exotic simply has no entry and is never
+    pruned on. Run at WRITE time against freshly written local files
+    (one footer read each, O(KB)); the manifest then answers planning
+    forever — Iceberg records the same stats from its write tasks.
+    """
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(path, "data")
+    out: dict = {}
+    for name in names:
+        fp = os.path.join(data_dir, name)
+        md = pq.ParquetFile(fp).metadata
+        cols: dict = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                cc = rg.column(c_i)
+                st = cc.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if not isinstance(lo, (bool, int, float, str)):
+                    continue
+                col = cc.path_in_schema
+                prev = cols.get(col)
+                nulls = int(st.null_count or 0)
+                if prev is None:
+                    cols[col] = {"min": lo, "max": hi, "nulls": nulls}
+                else:
+                    prev["min"] = min(prev["min"], lo)
+                    prev["max"] = max(prev["max"], hi)
+                    prev["nulls"] += nulls
+        out[name] = {
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(fp),
+            "cols": cols,
+        }
+    return out
+
+
 def log_commit(
     path: str,
     add_files: list[str],
     remove_files: list[str] | None = None,
     batch_id: int | None = None,
     note: str | None = None,
+    schema: str | None = None,
+    stats: dict | None = None,
+    meta: dict | None = None,
     max_retries: int = 50,
 ) -> dict:
     """Atomically publish a new table version: files(current)
@@ -221,13 +294,48 @@ def log_commit(
     the manifest being rebased onto (a concurrent commit already
     removed it — e.g. two compactions racing): the caller must re-read
     the table and rebuild its intent, because its replacement files
-    were derived from a stale snapshot."""
+    were derived from a stale snapshot.
+
+    ``schema`` (r17, r16 verdict #2) is the table's logical Spark
+    schema as a StructType JSON string (``df.schema.json()`` —
+    includes partition columns): recorded in the manifest and carried
+    forward by later commits, it makes empty snapshots readable and
+    lets log_read plan schema-evolved tables WITHOUT the
+    read-every-footer merge. Pass it on any commit that establishes
+    or evolves the schema (log_append does automatically).
+
+    ``stats`` (r17) maps added file names to their file_stats()
+    entries; the manifest carries an entry per live file (survivors'
+    entries ride forward, absorbed files' entries drop), which is
+    what log_read(prune=...) skips files with. Files committed
+    without stats are never pruned — mixed provenance degrades to
+    scanning, not to wrong answers.
+
+    ``meta`` merges extra keys into the manifest metadata (table
+    properties — e.g. a pointer table's live-generation key). The
+    ``note`` is per-commit: unset means NO note on the new manifest
+    (r17, r16 ADVICE #1 — previously the prior commit's note leaked
+    forward, labeling an append after a compaction 'compact')."""
     remove = set(remove_files or [])
     for _ in range(max_retries):
         cur = log_current(path)
         batches = set(cur["meta"].get("stream_batches", []))
         if batch_id is not None and batch_id in batches:
             return cur  # replay: already committed, no-op
+        floor = cur["meta"].get("stream_batch_floor")
+        if batch_id is not None and floor is not None and batch_id < floor:
+            # r17, r16 ADVICE #4: below the retention low-watermark the
+            # set cannot distinguish replay from new — committing would
+            # risk silent duplication, so fail loudly. Unreachable for
+            # checkpointed Structured Streaming (only the newest batch
+            # ever replays); this guards non-conforming drivers.
+            raise ValueError(
+                f"log_commit: batch_id {batch_id} is below the "
+                f"stream_batches retention floor {floor} at "
+                f"v{cur['version']} — replay-vs-new is ambiguous this "
+                "far back; a conforming (checkpointed) driver never "
+                "re-delivers ids this old"
+            )
         live = set(cur["files"])
         if not remove <= live:
             raise ConflictError(
@@ -252,15 +360,40 @@ def log_commit(
                 batches = set(
                     sorted(batches)[-_STREAM_BATCH_RETAIN:]
                 )
+        new_meta = {**cur["meta"], "stream_batches": sorted(batches)}
+        if batches and len(batches) >= _STREAM_BATCH_RETAIN:
+            # record the trim watermark the moment retention can bite,
+            # so the ambiguity guard above has a floor to compare with
+            new_meta["stream_batch_floor"] = min(batches)
+        # note is PER COMMIT — never inherited (r16 ADVICE #1)
+        new_meta.pop("note", None)
+        if note is not None:
+            new_meta["note"] = note
+        if meta:
+            new_meta.update(meta)
+        # per-live-file stats: survivors ride forward, removed drop
+        new_stats = {
+            **{
+                f: s
+                for f, s in cur.get("stats", {}).items()
+                if f in files
+            },
+            **{
+                f: s
+                for f, s in (stats or {}).items()
+                if f in files
+            },
+        }
         manifest = {
             "version": cur["version"] + 1,
             "files": files,
-            "meta": {
-                **cur["meta"],
-                "stream_batches": sorted(batches),
-                **({"note": note} if note else {}),
-            },
+            "meta": new_meta,
         }
+        new_schema = schema or cur.get("schema")
+        if new_schema:
+            manifest["schema"] = new_schema
+        if new_stats:
+            manifest["stats"] = new_stats
         target = os.path.join(
             _manifest_dir(path), f"v{manifest['version']}.json"
         )
@@ -274,12 +407,86 @@ def log_commit(
         tmp = target + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        if not CAS_PUBLISH(tmp, target):
+        # per-table backend when v0 recorded one, else the module-wide
+        # default (r17, r16 verdict #4)
+        backend_name = cur["meta"].get("cas_backend")
+        if backend_name is not None:
+            try:
+                publish = CAS_BACKENDS[backend_name]
+            except KeyError:
+                raise ValueError(
+                    f"log_commit: table {path} records cas_backend "
+                    f"{backend_name!r} but it is not registered in "
+                    f"CAS_BACKENDS (registered: {sorted(CAS_BACKENDS)})"
+                ) from None
+        else:
+            publish = CAS_PUBLISH
+        if not publish(tmp, target):
             os.remove(tmp)
             continue  # lost the CAS: rebase onto the new current
         os.remove(tmp)
         return manifest
     raise RuntimeError(f"log_commit: lost the CAS {max_retries} times")
+
+
+def log_append(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    note: str | None = None,
+    batch_id: int | None = None,
+    collect_stats: bool = True,
+) -> dict:
+    """Write + commit in one call, carrying the full r17 metadata:
+    the data files land via log_write_data, their footer stats via
+    file_stats, and the commit records ``df``'s logical schema — so a
+    table appended this way gets empty-snapshot reads, footer-free
+    schema-evolved planning, and stats-based file pruning for free.
+    The separate write/commit calls remain for callers that stage
+    data long before committing (the streaming publish path)."""
+    names = log_write_data(df, path, partition_by=partition_by)
+    return log_commit(
+        path,
+        names,
+        batch_id=batch_id,
+        note=note,
+        schema=df.schema.json(),
+        stats=file_stats(path, names) if collect_stats else None,
+    )
+
+
+def prune_files(manifest: dict, prune: dict) -> list[str]:
+    """Stats-based file skip (r17, r16 verdict #2 — the certified
+    manifest_pruned_scan shape composed INTO the log): keep exactly
+    the live files whose recorded [min, max] for each ``prune``
+    column overlaps the requested ``(lo, hi)`` range (either bound
+    None = unbounded). Conservative by construction: a file with no
+    stats, no entry for the column, or non-comparable bounds is KEPT
+    — pruning can only skip files the predicate provably rejects
+    (NULL rows never satisfy a range predicate, so all-null chunks
+    are safely skippable via the non-null min/max). Driver-side
+    metadata work, O(live files) dict lookups — bytes, not data."""
+    stats = manifest.get("stats", {})
+    kept = []
+    for f in manifest["files"]:
+        entry = stats.get(f)
+        drop = False
+        if entry:
+            for col, (lo, hi) in prune.items():
+                cs = entry.get("cols", {}).get(col)
+                if not cs or cs.get("min") is None:
+                    continue
+                try:
+                    if (hi is not None and cs["min"] > hi) or (
+                        lo is not None and cs["max"] < lo
+                    ):
+                        drop = True
+                        break
+                except TypeError:
+                    continue  # mixed types: keep, never mis-prune
+        if not drop:
+            kept.append(f)
+    return kept
 
 
 def log_versions(path: str) -> list[int]:
@@ -297,12 +504,15 @@ def log_read(
     path: str,
     version: int | None = None,
     merge_schema: bool = False,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Read the CURRENT snapshot: plan directly from the manifest's
     file list (no directory listing — orphans and in-flight files are
-    invisible by construction). Empty table → raises ValueError, since
-    a schema cannot be inferred from zero files; callers that allow
-    empty snapshots should branch on log_current(path)['files'].
+    invisible by construction). An EMPTY snapshot reads as an empty
+    DataFrame when the manifest records the table schema (any
+    log_append/log_compact since r17 does); without one it raises
+    ValueError, since a schema cannot be inferred from zero files —
+    callers on schema-less tables branch on log_current(path)['files'].
 
     ``version`` (r16) time-travels to an older snapshot: manifests are
     immutable and data files are never rewritten in place, so any
@@ -311,16 +521,25 @@ def log_read(
     pinned reader and a vacuum of its version cannot overlap.
 
     SCHEMA EVOLUTION (r16): commits may add columns over time — pass
-    ``merge_schema=True`` to union the file schemas (Spark's parquet
-    schema merge): rows from pre-evolution files read the added
-    columns as NULL, Iceberg's add-column semantics. Opt-in, not
-    default, because the merge reads every file's footer at PLANNING
-    time — a real driver cost on a many-file table whose schema never
-    evolves (Iceberg avoids it by carrying the schema in metadata;
-    this layout's manifests deliberately carry only file lists). Type
-    CHANGES of an existing column are not supported (parquet merge
-    raises — the honest failure; widenings need the column-id
-    metadata this layout doesn't have)."""
+    ``merge_schema=True`` to union the file schemas. When the
+    manifest RECORDS the table schema (r17), the read plans with it
+    directly — zero footer reads at planning time, rows from
+    pre-evolution files surface the added columns as NULL (parquet
+    reads by name), Iceberg's carry-the-schema-in-metadata posture.
+    Only schema-less manifests fall back to Spark's mergeSchema
+    footer union, whose every-footer planning cost the r16 docstring
+    documented. Type CHANGES of an existing column remain
+    unsupported (widenings need column-id metadata this layout
+    doesn't have).
+
+    ``prune`` (r17): ``{col: (lo, hi)}`` range hints — the plan is
+    built from ONLY the manifest-stats-overlapping files
+    (prune_files), Iceberg's stats-based file skip. The hints are
+    planning metadata, NOT a filter: the caller still applies the
+    real predicate; pruning is conservative (no stats → no skip), so
+    result correctness never depends on it. At 100 TB this is the
+    difference between opening every file's footer and opening only
+    the key-range's."""
     if version is not None:
         mf = os.path.join(_manifest_dir(path), f"v{version}.json")
         if not os.path.exists(mf):
@@ -332,22 +551,42 @@ def log_read(
             cur = json.load(f)
     else:
         cur = log_current(path)
-    if not cur["files"]:
-        raise ValueError(
-            f"log_read: {path} is empty at v{cur['version']} (no "
-            "schema to infer); check log_current()['files'] first"
-        )
+    schema_json = cur.get("schema")
+    files = cur["files"]
+    if prune:
+        files = prune_files(cur, prune)
     data_dir = os.path.join(path, "data")
+    if not files:
+        # empty snapshot, or every file pruned: with a recorded schema
+        # the read is well-defined (zero rows, full columns)
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        raise ValueError(
+            f"log_read: {path} has no files to plan at "
+            f"v{cur['version']} and the manifest records no schema; "
+            "check log_current()['files'] first or commit with "
+            "schema= (log_append does)"
+        )
     # basePath recovers hive partition columns from partitioned file
     # names (``cent_id=3/...parquet``) when planning from an explicit
     # file list; harmless for flat names — the scan keeps partition
     # columns, so DPP/partition pruning applies exactly as on a plain
     # hive directory
     reader = spark.read.option("basePath", data_dir)
-    if merge_schema:
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(
+            StructType.fromJson(json.loads(schema_json))
+        )
+    elif merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(
-        *[os.path.join(data_dir, f) for f in cur["files"]]
+        *[os.path.join(data_dir, f) for f in files]
     )
 
 
@@ -384,15 +623,24 @@ def log_compact(
     if not cur["files"]:
         return cur
     data_dir = os.path.join(path, "data")
-    # mergeSchema ALWAYS here: a compaction of a schema-evolved table
-    # must rewrite the UNION schema — without the merge Spark infers
-    # from one file and the rewrite would silently drop columns the
-    # other files carry; compaction already reads every file, so the
-    # footer-merge planning cost is free relative to the job
-    snapshot = (
-        spark.read.option("basePath", data_dir)
-        .option("mergeSchema", "true")
-        .parquet(*[os.path.join(data_dir, f) for f in cur["files"]])
+    # mergeSchema ALWAYS here (when the manifest carries no recorded
+    # schema): a compaction of a schema-evolved table must rewrite the
+    # UNION schema — without the merge Spark infers from one file and
+    # the rewrite would silently drop columns the other files carry;
+    # compaction already reads every file, so the footer-merge
+    # planning cost is free relative to the job. A recorded schema
+    # (r17) IS the union by contract and skips the footer pass.
+    reader = spark.read.option("basePath", data_dir)
+    if cur.get("schema"):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(
+            StructType.fromJson(json.loads(cur["schema"]))
+        )
+    else:
+        reader = reader.option("mergeSchema", "true")
+    snapshot = reader.parquet(
+        *[os.path.join(data_dir, f) for f in cur["files"]]
     )
     if partition_by:
         snapshot = snapshot.repartition(*[F.col(c) for c in partition_by])
@@ -404,8 +652,14 @@ def log_compact(
         n_out = max(1, math.ceil(total / max(1, target_bytes)))
         snapshot = snapshot.repartition(n_out)
     new_files = log_write_data(snapshot, path, partition_by=partition_by)
+    # the replace-commit records the (union) schema and the rewritten
+    # files' footer stats (r17): a compacted table gains empty-read /
+    # footer-free-planning / file-skip metadata even if its appends
+    # predate log_append
     return log_commit(
-        path, new_files, remove_files=cur["files"], note=note
+        path, new_files, remove_files=cur["files"], note=note,
+        schema=snapshot.schema.json(),
+        stats=file_stats(path, new_files),
     )
 
 
@@ -447,9 +701,20 @@ def log_vacuum(
     a file-mtime gate alone reclaims it while v_prev — young, spared,
     still listed by log_versions — advertises it). With the union rule
     a snapshot is readable exactly as long as its manifest exists:
-    Iceberg's expire-snapshots-then-remove-orphans order."""
+    Iceberg's expire-snapshots-then-remove-orphans order.
+
+    ``keep_versions`` must be >= 1 — a table always needs a current
+    manifest. 0 previously slipped through as ``versions[:-0]`` = the
+    empty slice, silently keeping EVERYTHING (r17, r16 verdict #5:
+    the inverted reading); now it raises."""
     import time
 
+    if keep_versions < 1:
+        raise ValueError(
+            f"log_vacuum: keep_versions must be >= 1 (got "
+            f"{keep_versions}) — the current manifest is never "
+            "expirable"
+        )
     mdir = _manifest_dir(path)
     versions = sorted(
         int(fn[1:-5])

@@ -113,9 +113,17 @@ def ann_index_stream_add(
     from ..operators.similarity import (
         _collect_cent_rows,
         _fused_residual_pass,
+        _resolve_index_root,
         ann_index_read,
     )
 
+    # a VERSIONED index (pointer manifest at the root, r17) resolves
+    # to its live generation ONCE, up front: the stream's quantizers,
+    # coded table, and checkpoint all pin to that generation — a
+    # rebuild flipping the pointer mid-stream does not retarget a
+    # running stream (its arrivals replay against the NEW generation's
+    # fresh checkpoint after a restart, the rebuild contract)
+    index_path = _resolve_index_root(index_path)
     index = ann_index_read(spark, index_path)
     cent_rows = _collect_cent_rows(index["cents"])
     books = index["books"]
