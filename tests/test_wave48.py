@@ -1,0 +1,417 @@
+"""Wave-48 tests (r17): the atomic whole-index swap (root CAS pointer
+manifest + generations), manifest schema/stats metadata (empty-snapshot
+reads, footer-free schema-evolved planning, stats-based file pruning),
+per-table CAS backends, and the r16 ADVICE hardening items (per-commit
+notes, stream-batch retention floor, vacuum keep_versions guard,
+total-route validation).
+
+Reference parity: the reference engine (build.sh:75-233) has no ANN
+surface or table format; Iceberg's metadata-pointer swap and
+manifest-entry stats are the public blueprints.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_v2_etl_spark.operators import similarity as S
+from map_v2_etl_spark.sources import manifest_log as L
+from map_v2_etl_spark.sources.registry import load_table
+
+
+def _rows(df):
+    return sorted(
+        (r["q_id"], r["nn_id"], r["rank"], round(r["cosine"], 9))
+        for r in df.collect()
+    )
+
+
+def _coded_rows(index):
+    return sorted(
+        (r["nn_id"], int(r["cent_id"]), tuple(r["codes"]))
+        for r in index["coded"].collect()
+    )
+
+
+def _build(spark, sf_dir, half=True):
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0) if half else emb
+    return emb, S.ann_index_build(
+        corpus, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# versioned index: pointer manifest, atomic rebuild, generation vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_versioned_write_resolves_and_matches_flat(spark, sf_dir, tmp_path):
+    """versioned=True round-trips bit-identically to the flat write:
+    same coded rows, same query results — the pointer indirection is
+    pure metadata."""
+    emb, index = _build(spark, sf_dir, half=False)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    flat, ver = str(tmp_path / "flat"), str(tmp_path / "ver")
+    S.ann_index_write(index, flat)
+    S.ann_index_write(index, ver, versioned=True)
+    gens = [d for d in os.listdir(ver) if d.startswith("gen-")]
+    assert len(gens) == 1
+    assert S._resolve_index_root(ver) == os.path.join(ver, gens[0])
+    assert S._resolve_index_root(flat) == flat  # legacy: no-op
+    a = S.ann_index_read(spark, flat)
+    b = S.ann_index_read(spark, ver)
+    assert _coded_rows(a) == _coded_rows(b)
+    assert _rows(S.ann_index_topk(a, qs, emb, k=5)) == _rows(
+        S.ann_index_topk(b, qs, emb, k=5)
+    )
+
+
+def test_rebuild_pointer_is_one_cas_flip(spark, sf_dir, tmp_path):
+    """On a versioned index a rebuild publishes generation N+1 with
+    exactly ONE pointer commit: the old generation stays on disk (for
+    in-flight readers), the pointer version advances by one, and the
+    rebuilt index equals a fresh build on the current corpus."""
+    emb, index = _build(spark, sf_dir, half=True)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "vidx")
+    S.ann_index_write(index, path, versioned=True)
+    v_before = L.log_current(path)["version"]
+    gen_before = L.log_current(path)["meta"]["index_generation"]
+    rebuilt = S.ann_index_rebuild(
+        spark, path, emb, m=4, ksub=16, centroid_stride=10,
+        train_sample_mod=5,
+    )
+    cur = L.log_current(path)
+    assert cur["version"] == v_before + 1  # ONE commit, no renames
+    assert cur["meta"]["index_generation"] != gen_before
+    assert cur["meta"]["note"] == "rebuild"
+    # both generations on disk: pinned readers stay valid
+    gens = {d for d in os.listdir(path) if d.startswith("gen-")}
+    assert gen_before in gens and cur["meta"]["index_generation"] in gens
+    fresh = S.ann_index_build(
+        emb, m=4, ksub=16, centroid_stride=10, train_sample_mod=5,
+    )
+    assert _rows(
+        S.ann_index_topk(rebuilt, qs, emb, k=5)
+    ) == _rows(S.ann_index_topk(fresh, qs, emb, k=5))
+
+
+def test_rebuild_races_live_reader_loop(spark, sf_dir, tmp_path):
+    """THE r16 verdict-#1 race: a reader loop resolving the pointer
+    and planning/collecting against the index stays valid at EVERY
+    instant across a live rebuild — no read ever sees a missing or
+    partial index (the legacy two-rename window). Each read lands on
+    a complete generation: params load, codebooks validate, coded
+    lists count > 0."""
+    emb, index = _build(spark, sf_dir, half=True)
+    path = str(tmp_path / "ridx")
+    S.ann_index_write(index, path, versioned=True)
+    stop = threading.Event()
+    reads = {"n": 0}
+    failures: list[BaseException] = []
+
+    def reader_loop():
+        while not stop.is_set():
+            try:
+                h = S.ann_index_read(spark, path)
+                assert h["coded"].count() > 0
+                assert h["cents"].count() > 0
+                reads["n"] += 1
+            except BaseException as e:  # noqa: BLE001 — recorded, reraised below
+                failures.append(e)
+                return
+
+    t = threading.Thread(target=reader_loop, daemon=True)
+    t.start()
+    try:
+        S.ann_index_rebuild(
+            spark, path, emb, m=4, ksub=16, centroid_stride=10,
+            train_sample_mod=5,
+        )
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not failures, f"reader hit the swap window: {failures[:1]}"
+    assert reads["n"] >= 1  # the loop actually overlapped the rebuild
+
+
+def test_failed_rebuild_leaves_pointer_untouched(spark, sf_dir, tmp_path):
+    """A failing rebuild (all-NULL corpus — rejected by the build
+    pass before anything stages; a corpus surviving build but
+    auditing empty hits the same guard later) raises and leaves the
+    pointer — and therefore the live index — exactly as it was."""
+    emb, index = _build(spark, sf_dir, half=True)
+    path = str(tmp_path / "fidx")
+    S.ann_index_write(index, path, versioned=True)
+    before = L.log_current(path)
+    bad = emb.withColumn(
+        "embedding", F.lit(None).cast("array<double>")
+    )
+    with pytest.raises(ValueError, match="non-null|empty"):
+        S.ann_index_rebuild(
+            spark, path, bad, m=4, ksub=16, centroid_stride=10,
+            train_sample_mod=5,
+        )
+    assert L.log_current(path) == before
+    assert S.ann_index_read(spark, path)["coded"].count() > 0
+
+
+def test_index_vacuum_generation_liveness(spark, sf_dir, tmp_path):
+    """ann_index_vacuum obeys the union-over-on-disk-manifests rule:
+    a generation named by ANY still-openable pointer version survives
+    (time travel to it stays valid); only after the old pointer
+    version expires does the old generation become reclaimable — and
+    the live index reads fine throughout."""
+    emb, index = _build(spark, sf_dir, half=True)
+    path = str(tmp_path / "gidx")
+    S.ann_index_write(index, path, versioned=True)
+    gen_old = L.log_current(path)["meta"]["index_generation"]
+    S.ann_index_rebuild(
+        spark, path, emb, m=4, ksub=16, centroid_stride=10,
+        train_sample_mod=5,
+    )
+    # both pointer versions on disk -> old gen is still referenced
+    assert S.ann_index_vacuum(path, grace_sec=0.0) == []
+    assert os.path.isdir(os.path.join(path, gen_old))
+    # expire the old pointer version, then the generation is garbage
+    L.log_vacuum(path, keep_versions=1, orphan_grace_sec=0.0)
+    assert S.ann_index_vacuum(path, grace_sec=0.0) == [gen_old]
+    assert not os.path.isdir(os.path.join(path, gen_old))
+    assert S.ann_index_read(spark, path)["coded"].count() > 0
+    # a legacy flat index is a no-op, not an error
+    flat = str(tmp_path / "flat")
+    S.ann_index_write(index, flat)
+    assert S.ann_index_vacuum(flat, grace_sec=0.0) == []
+
+
+# ---------------------------------------------------------------------------
+# manifest schema + stats metadata
+# ---------------------------------------------------------------------------
+
+
+def test_log_append_records_schema_and_stats(spark, tmp_path):
+    """log_append commits the writer's logical schema and per-file
+    footer min/max stats; survivors' stats ride through later commits
+    and absorbed files' entries drop at compaction."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    root = str(tmp_path / "log")
+    L.log_init(root)
+    m = L.log_append(df.repartitionByRange(4, "k"), root, note="a")
+    assert json.loads(m["schema"])["fields"][0]["name"] == "k"
+    assert set(m["stats"]) == set(m["files"])
+    ks = [s["cols"]["k"] for s in m["stats"].values()]
+    assert min(s["min"] for s in ks) == 0
+    assert max(s["max"] for s in ks) == 99
+    assert sum(s["rows"] for s in m["stats"].values()) == 100
+    m2 = L.log_compact(spark, root, target_bytes=1 << 30)
+    assert set(m2["stats"]) == set(m2["files"])  # rewritten, re-stated
+    assert all(f not in m2["stats"] for f in m["files"])
+
+
+def test_empty_snapshot_reads_with_schema(spark, tmp_path):
+    """An empty snapshot is readable iff the manifest records the
+    schema: delete-all on an appended table reads as zero rows with
+    full columns; a schema-less empty table still raises the honest
+    ValueError."""
+    df = spark.createDataFrame([(1, "x")], "k LONG, s STRING")
+    root = str(tmp_path / "log")
+    L.log_init(root)
+    m = L.log_append(df, root)
+    L.log_commit(root, [], remove_files=m["files"], note="delete all")
+    empty = L.log_read(spark, root)
+    assert empty.columns == ["k", "s"] and empty.count() == 0
+    bare = str(tmp_path / "bare")
+    L.log_init(bare)
+    with pytest.raises(ValueError, match="no schema"):
+        L.log_read(spark, bare)
+
+
+def test_recorded_schema_plans_evolution_without_merge(spark, tmp_path):
+    """A schema-evolved table appended via log_append reads its union
+    schema WITHOUT merge_schema=True: the recorded schema plans the
+    scan (zero footer reads), pre-evolution rows surface NULLs in the
+    added column — Iceberg's carry-the-schema-in-metadata posture."""
+    root = str(tmp_path / "log")
+    L.log_init(root)
+    L.log_append(
+        spark.createDataFrame([(1,)], "k LONG"), root, note="v1"
+    )
+    L.log_append(
+        spark.createDataFrame([(2, 20)], "k LONG, extra LONG"),
+        root,
+        note="v2 adds extra",
+    )
+    out = L.log_read(spark, root)  # NO merge_schema
+    assert sorted(
+        (r["k"], r["extra"]) for r in out.collect()
+    ) == [(1, None), (2, 20)]
+
+
+def test_stats_prune_skips_exactly_nonoverlapping_files(spark, tmp_path):
+    """prune_files keeps exactly the range-overlapping files (checked
+    against footer truth), log_read(prune=) returns the same rows as
+    the full filtered read, a stats-less file is conservatively kept,
+    and an all-pruned read degrades to an empty frame with schema."""
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    root = str(tmp_path / "log")
+    L.log_init(root)
+    m = L.log_append(df.repartitionByRange(8, "k"), root)
+    lo, hi = 90, 210
+    kept = L.prune_files(m, {"k": (lo, hi)})
+    want = [
+        f
+        for f in m["files"]
+        if m["stats"][f]["cols"]["k"]["min"] <= hi
+        and m["stats"][f]["cols"]["k"]["max"] >= lo
+    ]
+    assert kept == want and 0 < len(kept) < len(m["files"])
+    pruned = L.log_read(spark, root, prune={"k": (lo, hi)})
+    full = L.log_read(spark, root)
+    cond = F.col("k").between(lo, hi)
+    assert sorted(map(tuple, pruned.filter(cond).collect())) == sorted(
+        map(tuple, full.filter(cond).collect())
+    )
+    # all-pruned: empty frame with the recorded schema
+    none_df = L.log_read(spark, root, prune={"k": (-50, -10)})
+    assert none_df.columns == ["k", "v"] and none_df.count() == 0
+    # one-sided bounds
+    assert L.prune_files(m, {"k": (300, None)}) == [
+        f for f in m["files"] if m["stats"][f]["cols"]["k"]["max"] >= 300
+    ]
+    # a file committed WITHOUT stats is never pruned — even by a
+    # range its rows don't match (conservative: no stats, no skip)
+    extra = L.log_write_data(
+        spark.createDataFrame([(1000, 0)], "k LONG, v LONG"), root
+    )
+    m2 = L.log_commit(root, extra)  # no stats for the new file
+    assert set(extra) <= set(L.prune_files(m2, {"k": (0, 1)}))
+    assert set(extra) <= set(L.prune_files(m2, {"k": (-50, -10)}))
+
+
+# ---------------------------------------------------------------------------
+# hardening: notes, watermark floor, vacuum guard, backends, route
+# ---------------------------------------------------------------------------
+
+
+def test_note_is_per_commit_never_inherited(spark, tmp_path):
+    """r16 ADVICE #1: an append after a compaction must not read
+    'compact' — unset note means NO note on the new manifest."""
+    root = str(tmp_path / "log")
+    L.log_init(root)
+    L.log_append(spark.createDataFrame([(1,)], "k LONG"), root)
+    L.log_compact(spark, root)
+    assert L.log_current(root)["meta"]["note"] == "compact"
+    m = L.log_commit(
+        root, L.log_write_data(
+            spark.createDataFrame([(2,)], "k LONG"), root
+        )
+    )
+    assert "note" not in m["meta"]
+    m2 = L.log_commit(root, [], note="labeled")
+    assert m2["meta"]["note"] == "labeled"
+
+
+def test_stream_batch_floor_raises_on_ancient_replay(
+    tmp_path, monkeypatch
+):
+    """r16 ADVICE #4: once retention trims the stream_batches set, a
+    batch id below the recorded floor raises (replay-vs-new is
+    ambiguous) instead of silently committing duplicates; ids at or
+    above the floor keep exact idempotence."""
+    monkeypatch.setattr(L, "_STREAM_BATCH_RETAIN", 4)
+    root = str(tmp_path / "log")
+    L.log_init(root)
+    for b in range(6):
+        L.log_commit(root, [], batch_id=b)
+    cur = L.log_current(root)
+    assert cur["meta"]["stream_batches"] == [2, 3, 4, 5]
+    assert cur["meta"]["stream_batch_floor"] == 2
+    v = cur["version"]
+    # retained id: replay stays a no-op
+    assert L.log_commit(root, [], batch_id=4)["version"] == v
+    with pytest.raises(ValueError, match="retention floor"):
+        L.log_commit(root, [], batch_id=0)
+
+
+def test_vacuum_keep_versions_guard(tmp_path):
+    """r16 verdict #5: keep_versions=0 used to silently keep every
+    manifest (versions[:-0] == []); now it raises."""
+    root = str(tmp_path / "log")
+    L.log_init(root)
+    with pytest.raises(ValueError, match="keep_versions"):
+        L.log_vacuum(root, keep_versions=0)
+
+
+def test_per_table_cas_backend(spark, tmp_path, monkeypatch):
+    """r16 verdict #4: a table whose v0 records cas_backend resolves
+    its publisher from CAS_BACKENDS per table; tables without the
+    record keep the module default — both kinds commit correctly in
+    ONE process, including under an injected conditional-PUT race."""
+    import shutil as sh
+
+    calls = {"put": 0, "raced": False}
+
+    def conditional_put(tmp, target):
+        calls["put"] += 1
+        if not calls["raced"]:
+            calls["raced"] = True
+            with open(target, "w") as f:  # racing writer claims v first
+                json.dump(
+                    {
+                        "version": int(os.path.basename(target)[1:-5]),
+                        "files": [],
+                        "meta": {"cas_backend": "cond-put-48"},
+                    },
+                    f,
+                )
+        if os.path.exists(target):
+            return False
+        sh.copyfile(tmp, target)
+        return True
+
+    monkeypatch.setitem(L.CAS_BACKENDS, "cond-put-48", conditional_put)
+    obj = str(tmp_path / "obj")
+    loc = str(tmp_path / "loc")
+    L.log_init(obj, cas_backend="cond-put-48")
+    L.log_init(loc)
+    df = spark.createDataFrame([(1,)], "k LONG")
+    m = L.log_commit(obj, L.log_write_data(df, obj))
+    assert m["version"] == 2  # lost the injected race once, rebased
+    assert calls["put"] == 2
+    assert L.log_current(obj)["meta"]["cas_backend"] == "cond-put-48"
+    L.log_commit(loc, L.log_write_data(df, loc))
+    assert calls["put"] == 2  # default table never touched the backend
+    with pytest.raises(ValueError, match="unknown cas_backend"):
+        L.log_init(str(tmp_path / "bad"), cas_backend="nope")
+    # a recorded backend that is no longer registered fails loudly
+    monkeypatch.delitem(L.CAS_BACKENDS, "cond-put-48")
+    with pytest.raises(ValueError, match="not registered"):
+        L.log_commit(obj, [])
+
+
+def test_route_must_be_total_and_none_fans_out(spark, sf_dir):
+    """r16 ADVICE #3: a partial route dict raises a descriptive
+    ValueError up front; mapping an index to None fans it out
+    explicitly (every query hits it)."""
+    emb, index = _build(spark, sf_dir, half=False)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    with pytest.raises(ValueError, match="missing \\['b'\\]"):
+        S.ann_multi_index_topk(
+            {"a": index, "b": index}, qs, emb,
+            route={"a": F.lit(True)},
+        )
+    routed = S.ann_multi_index_topk(
+        {"a": index}, qs, emb, k=3, route={"a": None}
+    )
+    fanout = S.ann_multi_index_topk({"a": index}, qs, emb, k=3)
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, fanout.collect())
+    )
