@@ -701,6 +701,78 @@ def bench_manifest_maintenance(spark: SparkSession, frac: float) -> dict:
     return timed(spark, f"manifest_maintenance_{frac}x", run)
 
 
+def bench_manifest_pruned_read(spark: SparkSession, frac: float) -> dict:
+    """Stats-based file skip on the commit log (r17): a range-clustered
+    log table (64 files, footer stats recorded distributed at append —
+    the mapInPandas fan-out path, since 64 >= the distribute
+    threshold), then the same keyed aggregate through (a) a
+    log_read(prune=) plan that opens ONLY the ~1/16-of-keyspace
+    overlapping files and (b) the full-snapshot plan. Watches that the
+    pruned wall stays near-flat as the table grows (the skip is
+    manifest JSON, not IO) while the full-scan wall grows with the
+    data — Iceberg's stats-skip value proposition, measured."""
+    import tempfile
+
+    from map_v2_etl_spark.sources import manifest_log as ML
+
+    n = int(2_000_000 * MULT * frac)
+    df = (
+        spark.range(0, n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        .repartitionByRange(64, "k")
+        .sortWithinPartitions("k")
+    )
+    root = tempfile.mkdtemp(prefix="mlog_pruned_") + "/t"
+    ML.log_init(root)
+    t_append0 = time.perf_counter()
+    ML.log_append(df, root, note="range append")
+    append_sec = round(time.perf_counter() - t_append0, 3)
+    cur = ML.log_current(root)
+    lo, hi = n // 2, n // 2 + n // 16
+    planned = ML.prune_files(cur, {"k": (lo, hi)})
+
+    def run():
+        cond = F.col("k").between(lo, hi)
+        t0 = time.perf_counter()
+        pruned = (
+            ML.log_read(spark, root, prune={"k": (lo, hi)})
+            .filter(cond)
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("v").alias("vsum"),
+            )
+            .first()
+        )
+        t1 = time.perf_counter()
+        full = (
+            ML.log_read(spark, root)
+            .filter(cond)
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("v").alias("vsum"),
+            )
+            .first()
+        )
+        t2 = time.perf_counter()
+        assert (pruned["rows"], pruned["vsum"]) == (
+            full["rows"], full["vsum"],
+        )
+        return {
+            "n_rows": n,
+            "append_with_stats_sec_untimed": append_sec,
+            "files_total": len(cur["files"]),
+            "files_planned": len(planned),
+            "pruned_read_sec": round(t1 - t0, 3),
+            "full_read_sec": round(t2 - t1, 3),
+            "result_rows": pruned["rows"],
+        }
+
+    return timed(spark, f"manifest_pruned_read_{frac}x", run)
+
+
 def bench_span_dedup(spark: SparkSession, frac: float) -> dict:
     """Cross-doc exact substring dedup (operators/dedup.
     cross_doc_span_dedup, wave 42): gen_docs plants a shared base
@@ -1413,6 +1485,7 @@ BENCHES = {
     "ann_index_query": bench_ann_index_query,
     "ann_index_maintenance": bench_ann_index_maintenance,
     "manifest_maintenance": bench_manifest_maintenance,
+    "manifest_pruned_read": bench_manifest_pruned_read,
     "span_dedup": bench_span_dedup,
     "span_dedup_skew": bench_span_dedup_skew,
     "triangles": bench_triangles,

@@ -2329,7 +2329,11 @@ def ann_index_write(
     metadata-pointer swap at index granularity). Writing versioned
     over an EXISTING versioned index appends a new generation and
     flips the pointer — the old generation stays on disk for
-    in-flight readers until ann_index_vacuum reclaims it."""
+    in-flight readers until ann_index_vacuum reclaims it. Writing
+    versioned over an existing FLAT index upgrades resolution (the
+    pointer wins from then on) but leaves the flat tables at the
+    root as inert bytes — delete them once no legacy-path reader
+    remains."""
     if versioned:
         import os as _os
         import uuid as _uuid
@@ -2372,6 +2376,9 @@ def ann_index_write(
         # mode("overwrite"): a fresh write replaces any previous log
         _sh.rmtree(coded_root, ignore_errors=True)
         _ml.log_init(coded_root)
+        # the build commit records the coded table's logical schema
+        # (r17): empty snapshots stay readable and every later read
+        # plans without footer inference
         _ml.log_commit(
             coded_root,
             _ml.log_write_data(
@@ -2380,6 +2387,7 @@ def ann_index_write(
                 partition_by=["cent_id"] if partition_by_cell else None,
             ),
             note="build",
+            schema=index["coded"].schema.json(),
         )
     else:
         coded_writer = index["coded"].write.mode("overwrite")

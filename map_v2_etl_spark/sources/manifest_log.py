@@ -221,50 +221,99 @@ def log_write_data(
     )
 
 
-def file_stats(path: str, names: list[str]) -> dict:
+def _one_file_stats(fp: str) -> dict:
+    """Footer stats for ONE parquet file (shared by the driver loop
+    and the distributed path — byte-identical output either way)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    cols: dict = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            cc = rg.column(c_i)
+            st = cc.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (bool, int, float, str)):
+                continue
+            col = cc.path_in_schema
+            prev = cols.get(col)
+            nulls = int(st.null_count or 0)
+            if prev is None:
+                cols[col] = {"min": lo, "max": hi, "nulls": nulls}
+            else:
+                prev["min"] = min(prev["min"], lo)
+                prev["max"] = max(prev["max"], hi)
+                prev["nulls"] += nulls
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(fp),
+        "cols": cols,
+    }
+
+
+#: file count at which file_stats fans the footer reads out to
+#: executors instead of looping on the driver — at deployment scale a
+#: commit can add thousands of files and a driver-side footer loop
+#: becomes the commit's critical path (Iceberg collects stats in its
+#: write tasks for the same reason)
+_STATS_DISTRIBUTE_THRESHOLD = 64
+
+
+def file_stats(
+    path: str, names: list[str], spark: SparkSession | None = None
+) -> dict:
     """Per-file column stats from the parquet FOOTERS (metadata only,
     no data pages — the same column-chunk statistics every engine's
     file skipping reads): ``{name: {"rows": n, "bytes": n, "cols":
     {col: {"min": v, "max": v, "nulls": n}}}}``. Only JSON-safe
     primitive min/max (bool/int/float/str) are kept — a column whose
     stats are missing or exotic simply has no entry and is never
-    pruned on. Run at WRITE time against freshly written local files
-    (one footer read each, O(KB)); the manifest then answers planning
+    pruned on. Run at WRITE time against freshly written files (one
+    footer read each, O(KB)); the manifest then answers planning
     forever — Iceberg records the same stats from its write tasks.
-    """
-    import pyarrow.parquet as pq
 
+    Scale path (r17): with ``spark`` and >= _STATS_DISTRIBUTE_THRESHOLD
+    files, the footer reads fan out as an Arrow-batched mapInPandas
+    job over the NAME list (names are bytes, not data — the only
+    thing shuffled is the stats JSON back to the driver, O(files)).
+    The per-file extraction is the same function either way, so the
+    two paths are byte-identical (pinned in tests/test_wave48.py)."""
     data_dir = os.path.join(path, "data")
-    out: dict = {}
-    for name in names:
-        fp = os.path.join(data_dir, name)
-        md = pq.ParquetFile(fp).metadata
-        cols: dict = {}
-        for rg_i in range(md.num_row_groups):
-            rg = md.row_group(rg_i)
-            for c_i in range(rg.num_columns):
-                cc = rg.column(c_i)
-                st = cc.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                lo, hi = st.min, st.max
-                if not isinstance(lo, (bool, int, float, str)):
-                    continue
-                col = cc.path_in_schema
-                prev = cols.get(col)
-                nulls = int(st.null_count or 0)
-                if prev is None:
-                    cols[col] = {"min": lo, "max": hi, "nulls": nulls}
-                else:
-                    prev["min"] = min(prev["min"], lo)
-                    prev["max"] = max(prev["max"], hi)
-                    prev["nulls"] += nulls
-        out[name] = {
-            "rows": md.num_rows,
-            "bytes": os.path.getsize(fp),
-            "cols": cols,
-        }
-    return out
+    if (
+        spark is not None
+        and len(names) >= _STATS_DISTRIBUTE_THRESHOLD
+    ):
+        import pandas as pd
+
+        def extract(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "name": pdf["name"],
+                        "stats_json": [
+                            json.dumps(
+                                _one_file_stats(
+                                    os.path.join(data_dir, n)
+                                )
+                            )
+                            for n in pdf["name"]
+                        ],
+                    }
+                )
+
+        names_df = spark.createDataFrame(
+            [(n,) for n in names], "name STRING"
+        ).repartition(min(len(names), spark.sparkContext.defaultParallelism))
+        rows = names_df.mapInPandas(
+            extract, "name STRING, stats_json STRING"
+        ).collect()
+        return {r["name"]: json.loads(r["stats_json"]) for r in rows}
+    return {
+        n: _one_file_stats(os.path.join(data_dir, n)) for n in names
+    }
 
 
 def log_commit(
@@ -451,7 +500,11 @@ def log_append(
         batch_id=batch_id,
         note=note,
         schema=df.schema.json(),
-        stats=file_stats(path, names) if collect_stats else None,
+        stats=(
+            file_stats(path, names, spark=df.sparkSession)
+            if collect_stats
+            else None
+        ),
     )
 
 
@@ -659,7 +712,7 @@ def log_compact(
     return log_commit(
         path, new_files, remove_files=cur["files"], note=note,
         schema=snapshot.schema.json(),
-        stats=file_stats(path, new_files),
+        stats=file_stats(path, new_files, spark=spark),
     )
 
 

@@ -250,6 +250,7 @@ def ann_index_stream_add_log(
             log_write_data(index["coded"], log_path),
             batch_id=-1,
             note="seed: handle lists",
+            schema=index["coded"].schema.json(),
         )
     cent_rows = _collect_cent_rows(index["cents"])
     books = index["books"]

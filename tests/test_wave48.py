@@ -296,6 +296,26 @@ def test_stats_prune_skips_exactly_nonoverlapping_files(spark, tmp_path):
     assert set(extra) <= set(L.prune_files(m2, {"k": (-50, -10)}))
 
 
+def test_file_stats_distributed_matches_driver(
+    spark, tmp_path, monkeypatch
+):
+    """The executor-side stats fan-out (mapInPandas over file NAMES —
+    the 100 TB commit path, where a driver footer loop over thousands
+    of files would serialize the commit) is byte-identical to the
+    driver loop: same per-file extraction function, same dict."""
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    root = str(tmp_path / "log")
+    L.log_init(root)
+    names = L.log_write_data(df.repartition(20), root)
+    driver_stats = L.file_stats(root, names)  # spark=None: driver loop
+    monkeypatch.setattr(L, "_STATS_DISTRIBUTE_THRESHOLD", 4)
+    dist_stats = L.file_stats(root, names, spark=spark)
+    assert dist_stats == driver_stats
+    assert len(dist_stats) == len(names)
+
+
 # ---------------------------------------------------------------------------
 # hardening: notes, watermark floor, vacuum guard, backends, route
 # ---------------------------------------------------------------------------
