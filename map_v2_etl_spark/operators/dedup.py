@@ -275,22 +275,7 @@ def minhash_lsh_pairs(
     sigs = _minhash_columns(
         base, id_col, text_col, n, num_perm, carry=extra_group
     )
-    banded = sigs.select(
-        id_col,
-        *extra_group,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[
-                        F.col(f"h{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ]).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, *extra_group, "bb.band", "bb.bucket")
+    banded = _band_frame(sigs, id_col, bands, rows_per_band, extra_group)
     x, y = banded.alias("x"), banded.alias("y")
     if new_side is not None:
         pair_cond = (
@@ -319,17 +304,66 @@ def minhash_lsh_pairs(
         # re-runs the whole signature+banding pipeline
         .persist()
     )
-    # exact verification restricted to candidates: only docs that appear in
-    # a candidate pair are ever re-shingled (candidate ids are a tiny
-    # broadcast semi-join on the raw docs; the full corpus never joins at
-    # shingle granularity). Verification keeps each candidate doc's shingle
-    # set as ONE array row and computes the intersection with
-    # array_intersect per pair — two equi-joins + a per-row hash-set
-    # intersection, instead of the explode -> (id, shingle) self-join ->
-    # per-pair count aggregation (3 extra shuffles; measured 2.1s -> 0.4s
-    # at sf0.1 where the candidate set is a few hundred pairs). The
-    # candidate-doc set is output-bounded (docs in >= 1 near-dup pair), so
-    # the array rows stay small relative to the corpus at any scale.
+    return _verify_candidates(df, cand, threshold, id_col, text_col, n)
+
+
+def _band_frame(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """(id, *extra, band, bucket) rows — the LSH bucketing key:
+    xxhash64 over each band's ``rows_per_band`` signature mins, one
+    explode per signature row (|docs| x bands output rows, never
+    all-pairs). Factored out (r17) so the persisted-signature-store
+    path (minhash_lsh_pairs_vs_store) buckets stored signatures with
+    the IDENTICAL expressions as the one-pass path — the band/bucket
+    key cannot drift between them."""
+    extra = extra or []
+    return sigs.select(
+        id_col,
+        *extra,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, *extra, "bb.band", "bb.bucket")
+
+
+def _verify_candidates(
+    df: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate-pair frame (id_a,
+    id_b) against the docs in ``df`` — factored out of
+    minhash_lsh_pairs (r17) unchanged, shared with the
+    signature-store path.
+
+    Only docs that appear in a candidate pair are ever re-shingled
+    (candidate ids are a tiny broadcast semi-join on the raw docs; the
+    full corpus never joins at shingle granularity). Verification
+    keeps each candidate doc's shingle set as ONE array row and
+    computes the intersection with array_intersect per pair — two
+    equi-joins + a per-row hash-set intersection, instead of the
+    explode -> (id, shingle) self-join -> per-pair count aggregation
+    (3 extra shuffles; measured 2.1s -> 0.4s at sf0.1 where the
+    candidate set is a few hundred pairs). The candidate-doc set is
+    output-bounded (docs in >= 1 near-dup pair), so the array rows
+    stay small relative to the corpus at any scale."""
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
@@ -368,6 +402,108 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature_columns(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """PUBLIC column-form signatures — (id, h0..h{num_perm-1}) — the
+    schema a persisted signature STORE carries (r17): one row per doc,
+    num_perm bigint mins, plain parquet-friendly. The store is what
+    makes incremental dedup pay at deployment cadence: the corpus's
+    signatures are computed once at ingest and an arrival batch
+    re-shingles only itself (minhash_lsh_pairs_vs_store). Same single
+    aggregation as minhash_signatures (which packs the array form) —
+    the hash family cannot drift between the store and the one-pass
+    path."""
+    return _minhash_columns(df, id_col, text_col, n, num_perm)
+
+
+def minhash_lsh_pairs_vs_store(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup screening of an ARRIVAL batch against a persisted
+    signature store (r17) — the deployment form of incremental dedup:
+    the already-ingested corpus is represented ONLY by its stored
+    (id, h0..h{num_perm-1}) signatures (minhash_signature_columns —
+    in production a table maintained by commits, e.g. on the manifest
+    log), so the batch pays one signature pass over ITSELF plus a
+    banded join against the store. Candidates are new-vs-store (the
+    cross screen) plus new-vs-new (within-batch dups arrive together);
+    both verify by exact Jaccard over ``corpus`` (any superset of the
+    candidate docs carrying the raw text — the store holds no text).
+    Output pairs are orientation-normalized (id_a < id_b), so the
+    union of per-batch outputs with the bootstrap's self-pairs equals
+    the full-corpus minhash_lsh_pairs — certified by the registered
+    dedup_signature_log query against the exact-Jaccard oracle.
+
+    Scale: the store never re-shingles (signatures are 64 longs per
+    doc); the banded join is |new| x bands vs |store| x bands rows on
+    (band, bucket) equi-keys — same-bucket rows only, never
+    all-pairs; verification is output-bounded exactly as in
+    minhash_lsh_pairs."""
+    if bands < 1 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands must divide num_perm: num_perm={num_perm} bands={bands}"
+        )
+    rows_per_band = num_perm // bands
+    new_sigs = _minhash_columns(new_docs, id_col, text_col, n, num_perm)
+    bn = _band_frame(new_sigs, id_col, bands, rows_per_band)
+    bs = _band_frame(
+        store_sigs.select(
+            id_col, *[f"h{i}" for i in range(num_perm)]
+        ),
+        id_col,
+        bands,
+        rows_per_band,
+    )
+    key = ["band", "bucket"]
+    cross = (
+        bn.alias("x")
+        .join(
+            bs.alias("y"),
+            [F.col(f"x.{k}") == F.col(f"y.{k}") for k in key]
+            + [F.col(f"x.{id_col}") != F.col(f"y.{id_col}")],
+        )
+        .select(
+            F.least(
+                F.col(f"x.{id_col}"), F.col(f"y.{id_col}")
+            ).alias("id_a"),
+            F.greatest(
+                F.col(f"x.{id_col}"), F.col(f"y.{id_col}")
+            ).alias("id_b"),
+        )
+    )
+    within = (
+        bn.alias("x")
+        .join(
+            bn.alias("y"),
+            [F.col(f"x.{k}") == F.col(f"y.{k}") for k in key]
+            + [F.col(f"x.{id_col}") < F.col(f"y.{id_col}")],
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+    )
+    # distinct + persist: same contract as minhash_lsh_pairs' candidate
+    # table (referenced three times by the verification)
+    cand = cross.union(within).distinct().persist()
+    return _verify_candidates(
+        corpus, cand, threshold, id_col, text_col, n
     )
 
 
