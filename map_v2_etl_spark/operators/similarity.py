@@ -809,20 +809,6 @@ def pq_train(
     # (ivf_pq_residual_topk), while the unfused resid frame could still
     # carry NULL rvec rows from a NULL-embedding coarse centroid.
     corpus = corpus.filter(F.col(vec_col).isNotNull())
-    if train_sample_mod and train_sample_mod > 1:
-        # codebooks are always trained on a sample at corpus scale (the
-        # Faiss practice); a deterministic HASH-modulus sample keeps the
-        # books — and therefore codes and results — reproducible, and
-        # works for any id type / sparse id space (round-2 advice:
-        # `id % mod` returns NULL on string ids — silently empty
-        # training set — and skews on offset/strided numeric ids)
-        sample = corpus.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
-        )
-        # guard: degenerate sample (< ksub vectors) would collapse the
-        # codebooks; fall back to the full corpus rather than mistrain
-        if sample.limit(ksub).count() >= ksub:
-            corpus = sample
     # driver fast path — and the production architecture: Faiss trains
     # codebooks IN MEMORY on a bounded sample while encode/ADC stay
     # distributed. When the training set fits the gate (~128 MB of
@@ -835,9 +821,14 @@ def pq_train(
     # centroid mean onto the decimal(27,12) grid (see _pq_train_local),
     # closing the r3-advice gap where float-noise codebooks could flip
     # a near-tie pq_encode argmin across the gate boundary.
-    # Gate probe is a LIMIT-bounded count (short-circuits after
-    # gate_rows+1 rows) — the distributed path must not pay a full
-    # extra corpus scan just to learn it is big.
+    # Gate probe (r17, guide §1.2/§5 — fewer driver round-trips): ONE
+    # limit-bounded Arrow collect both probes the size and, in the
+    # gated regime, IS the training set — replacing the old separate
+    # probe-count job, sample-gate count job, and _pq_train_local's own
+    # full collect (3 jobs -> 1 on the training path every PQ caller
+    # pays). The collect is bounded by gate_rows+1 rows (~128 MB of
+    # doubles) regardless of corpus size; in the distributed regime
+    # that bounded transfer replaces the old limit-count scan.
     if gate_rows is None:  # override exists so tests can force the
         # distributed regime on small data and assert the two regimes'
         # codebooks are IDENTICAL (the decimal-grid contract below)
@@ -845,7 +836,30 @@ def pq_train(
     # probe at least ksub rows so the smallness check below stays valid
     # when gate_rows < ksub (the documented test override for forcing
     # the distributed regime must not reject a large corpus)
-    n_probe = corpus.limit(max(gate_rows + 1, ksub)).count()
+    probe_n = max(gate_rows + 1, ksub)
+    probe_pdf = None
+    if train_sample_mod and train_sample_mod > 1:
+        # codebooks are always trained on a sample at corpus scale (the
+        # Faiss practice); a deterministic HASH-modulus sample keeps the
+        # books — and therefore codes and results — reproducible, and
+        # works for any id type / sparse id space (round-2 advice:
+        # `id % mod` returns NULL on string ids — silently empty
+        # training set — and skews on offset/strided numeric ids)
+        sample = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_sample_mod)) == 0
+        )
+        # guard: degenerate sample (< ksub vectors) would collapse the
+        # codebooks; fall back to the full corpus rather than mistrain.
+        # The gate probe doubles as the sample-size guard — no separate
+        # count job.
+        probe_pdf = sample.select(id_col, vec_col).limit(probe_n).toPandas()
+        if len(probe_pdf) >= ksub:
+            corpus = sample
+        else:
+            probe_pdf = None  # degenerate sample: re-probe full corpus
+    if probe_pdf is None:
+        probe_pdf = corpus.select(id_col, vec_col).limit(probe_n).toPandas()
+    n_probe = len(probe_pdf)
     if n_probe < ksub:
         # fail LOUDLY on a training set that cannot fill the codebooks —
         # silently returning < ksub codewords would mistrain (and the
@@ -858,8 +872,10 @@ def pq_train(
             f" < ksub={ksub} after null filter"
         )
     if n_probe <= gate_rows:
+        # the probe rows ARE the full (post-filter, post-sample)
+        # training set: limit(probe_n) returned fewer than probe_n rows
         return _pq_train_local(
-            corpus, id_col, vec_col, m, ksub, iters, sublen, normalize
+            probe_pdf, id_col, vec_col, m, ksub, iters, sublen, normalize
         )
     # NULL embeddings are excluded from TRAINING up front: the init
     # collect below slices r["uvec"] (None is not subscriptable), and a
@@ -1012,7 +1028,7 @@ def _quantize_e12(U):
 
 
 def _pq_train_local(
-    corpus: DataFrame,
+    pdf,
     id_col: str,
     vec_col: str,
     m: int,
@@ -1021,10 +1037,13 @@ def _pq_train_local(
     sublen: int,
     normalize: bool = True,
 ) -> list[list[list[float]]]:
-    """Gate-bounded NumPy Lloyd over the (already sampled) training set —
-    the Faiss in-memory training step. Row order is pinned by an id sort
-    so float reductions are run-to-run identical (the determinism the
-    distributed twin gets from decimal means).
+    """Gate-bounded NumPy Lloyd over the (already sampled and collected)
+    training set — the Faiss in-memory training step. ``pdf`` is the
+    pandas frame pq_train's gate probe already pulled over Arrow (r17:
+    the probe IS the training set in this regime, so no second collect
+    runs). Row order is pinned by an id sort so float reductions are
+    run-to-run identical (the determinism the distributed twin gets
+    from decimal means).
 
     Cross-regime contract (r3 advice): centroid means replicate the
     distributed twin's decimal pipeline EXACTLY — inputs quantized to
@@ -1042,14 +1061,9 @@ def _pq_train_local(
     unit-normalized embedding components."""
     import numpy as np
 
-    # NULL embeddings dropped before the matrix build — mirrors the
-    # distributed pq_train's isNotNull training filter
-    pdf = (
-        corpus.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())
-        .toPandas()
-        .sort_values(id_col, kind="mergesort")
-    )
+    # NULL embeddings were dropped before the collect (pq_train filters
+    # isNotNull up front), mirroring the distributed training filter
+    pdf = pdf.sort_values(id_col, kind="mergesort")
     V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     # EXACT LEFT-FOLD norms (loop over dims, vectorized over rows): the
     # distributed twin's _unit is F.aggregate's left fold with a 0.0
