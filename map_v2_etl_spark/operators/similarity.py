@@ -2375,7 +2375,11 @@ def ann_index_write(
         ],
         "sub INT, code INT, cent ARRAY<DOUBLE>",
     )
-    cw.write.mode("overwrite").parquet(path + "/codebooks")
+    # bounded driver-side artifacts write as ONE file (r17, guide §6):
+    # createDataFrame parallelizes m x ksub rows over defaultParallelism
+    # slices, so the unguarded write emitted 32 near-empty part files —
+    # 32 task commits here and 32 file opens on every ann_index_read
+    cw.coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
     if layout not in ("plain", "manifest"):
         raise ValueError(
             f"ann_index_write: unknown layout {layout!r} "
@@ -2421,7 +2425,7 @@ def ann_index_write(
         )],
         "m INT, ksub INT, dim INT, cent_id_type STRING, "
         "partitioned_by_cell BOOLEAN, layout STRING",
-    ).write.mode("overwrite").parquet(path + "/params")
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/params")
     # a rebuilt/overwritten index must not inherit the PREVIOUS index's
     # streaming-add source log: the default checkpoint under this path
     # would silently skip every arrivals file the old index already
