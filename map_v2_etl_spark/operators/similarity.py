@@ -1726,6 +1726,7 @@ def _coarse_cents(
     id_col: str,
     vec_col: str,
     caller: str,
+    defer_empty_check: bool = False,
 ):
     """Coarse codebook shared by the residual IVF-PQ entry points:
     either every ``centroid_stride``-th vector (the deterministic
@@ -1750,13 +1751,22 @@ def _coarse_cents(
     ).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
     )
-    if cents.limit(1).count() == 0:
-        raise ValueError(
-            f"{caller} coarse codebook is empty: id_col % "
-            f"{centroid_stride} matched no rows (string or sparse "
-            "ids? use a smaller centroid_stride or numeric dense ids)"
-        )
+    # ``defer_empty_check`` (r17, guide §1.2 — fewer driver jobs): a
+    # caller that immediately collects the centroids driver-side
+    # (_collect_cent_rows) gets the same loud emptiness raise from the
+    # collect itself, so the limit(1) probe job here would be a pure
+    # extra corpus-scan round-trip
+    if not defer_empty_check and cents.limit(1).count() == 0:
+        raise ValueError(_empty_codebook_msg(caller, centroid_stride))
     return cents, corpus.schema[id_col].dataType
+
+
+def _empty_codebook_msg(caller: str, centroid_stride: int) -> str:
+    return (
+        f"{caller} coarse codebook is empty: id_col % "
+        f"{centroid_stride} matched no rows (string or sparse "
+        "ids? use a smaller centroid_stride or numeric dense ids)"
+    )
 
 
 def _fused_residual_index(
@@ -1770,6 +1780,7 @@ def _fused_residual_index(
     dim: int,
     train_sample_mod: int | None,
     cent_id_type,
+    cents_empty_msg: str | None = None,
 ) -> tuple[list[list[list[float]]], DataFrame]:
     """The PRODUCTION encode architecture (Faiss add-time), shared by
     ivf_pq_residual_topk(fused=True) and ann_index_build: coarse
@@ -1787,7 +1798,7 @@ def _fused_residual_index(
     expression, preserving the bit-exactness contract."""
     from ..sources.registry import widen_partitions
 
-    cent_rows = _collect_cent_rows(cents)
+    cent_rows = _collect_cent_rows(cents, empty_msg=cents_empty_msg)
     # training source replicates pq_train's sample semantics: the
     # xxhash64-modulus filter runs BEFORE the fused pass (so only
     # sampled rows pay the residual math — at corpus scale this is
@@ -1817,14 +1828,22 @@ def _fused_residual_index(
     return books, coded
 
 
-def _collect_cent_rows(cents: DataFrame) -> list:
+def _collect_cent_rows(
+    cents: DataFrame,
+    empty_msg: str | None = None,
+) -> list:
     """ONE driver collect carrying both the raw and the unit form of
     every centroid, ascending by cent_id (two separate collects would
     each re-run the centroid scan); the unit doubles come from the
     plan's own _unit expression, preserving the bit-exactness
     contract. Bounded by n_cells — the same boundedness every
-    broadcast(cents) already assumes."""
-    return [
+    broadcast(cents) already assumes.
+
+    ``empty_msg`` (r17): callers that built ``cents`` with
+    ``defer_empty_check=True`` pass the loud-failure message here, so
+    this collect doubles as the emptiness probe (one driver job instead
+    of two)."""
+    rows = [
         (r["cent_id"], r["cent_vec"], r["cent_uvec"])
         for r in cents.select(
             "cent_id",
@@ -1834,6 +1853,9 @@ def _collect_cent_rows(cents: DataFrame) -> list:
         .orderBy("cent_id")
         .collect()
     ]
+    if not rows and empty_msg is not None:
+        raise ValueError(empty_msg)
+    return rows
 
 
 def _routed_residual_query(
@@ -2143,13 +2165,19 @@ def ann_index_build(
         )
     if dim % m != 0:
         raise ValueError(f"dim {dim} must be a multiple of m={m}")
+    # the emptiness probe is deferred into _fused_residual_index's
+    # centroid collect (r17, guide §1.2): same loud ValueError, one
+    # fewer driver job on every index build
     cents, cid_type = _coarse_cents(
         corpus, centroid_stride, kmeans_cells, kmeans_iters,
-        id_col, vec_col, "ann_index_build",
+        id_col, vec_col, "ann_index_build", defer_empty_check=True,
     )
     books, coded = _fused_residual_index(
         corpus, cents, m, ksub, iters, id_col, vec_col, dim,
         train_sample_mod, cid_type,
+        cents_empty_msg=_empty_codebook_msg(
+            "ann_index_build", centroid_stride
+        ),
     )
     return {
         "cents": cents,
