@@ -245,12 +245,25 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is a join. Scale: the (lang, token) likelihood table is
     vocab x |langs| rows (broadcastable); the corpus shuffles once for
     tokenize-count and once per-doc for the score sum."""
+    from pyspark import StorageLevel
+
     from ..operators.lm import toks_col
 
     docs = load_table(spark, "documents", sf_dir)
-    tok = docs.select(
-        "doc_id", "lang", F.explode(toks_col("text")).alias("w")
-    )
+    # ONE tokenize pass (r17, guide §1.2 — don't recompute what five
+    # consumers share): the exploded token frame feeds langs/tot/jc/voc
+    # AND the scoring join, and un-persisted each branch re-ran the
+    # regex tokenizer from the raw scan (5 corpus scans + splits; the
+    # curation_pipeline discipline applied here). The cache holds one
+    # row per doc (token ARRAY, not the exploded instances — same
+    # choice as curation's shared token table); consumers re-explode
+    # from the cached arrays map-side. Shuffle structure and
+    # intra-partition row order are unchanged, so every aggregate folds
+    # in the same order as before.
+    t = docs.select(
+        "doc_id", "lang", toks_col("text").alias("toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tok = t.select("doc_id", "lang", F.explode("toks").alias("w"))
     langs = tok.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -294,7 +307,7 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).filter(F.col("r") == 1)
     return (
-        docs.select("doc_id", "lang")
+        t.select("doc_id", "lang")
         .join(best.select("doc_id", F.col("m_lang").alias("pred_lang")),
               "doc_id")
         .select(
