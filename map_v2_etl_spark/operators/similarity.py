@@ -2395,19 +2395,27 @@ def ann_index_write(
     spark = index["cents"].sparkSession
     p = index["params"]
     index["cents"].write.mode("overwrite").parquet(path + "/centroids")
-    cw = spark.createDataFrame(
-        [
-            (s, c, [float(x) for x in index["books"][s][c]])
-            for s in range(p["m"])
-            for c in range(p["ksub"])
-        ],
-        "sub INT, code INT, cent ARRAY<DOUBLE>",
-    )
     # bounded driver-side artifacts write as ONE file (r17, guide §6):
     # createDataFrame parallelizes m x ksub rows over defaultParallelism
     # slices, so the unguarded write emitted 32 near-empty part files —
-    # 32 task commits here and 32 file opens on every ann_index_read
-    cw.coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    # 32 task commits here and 32 file opens on every ann_index_read.
+    # The single partition is established AT parallelize time (one
+    # pickled batch, one task): a coalesce(1) over the default 32
+    # slices instead funnels 32 pickled partitions through one task's
+    # sequential Python-worker round-trips — measured 4.5-6s per write
+    # vs 0.5s for the 1-slice form.
+    cw = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [
+                (s, c, [float(x) for x in index["books"][s][c]])
+                for s in range(p["m"])
+                for c in range(p["ksub"])
+            ],
+            1,
+        ),
+        "sub INT, code INT, cent ARRAY<DOUBLE>",
+    )
+    cw.write.mode("overwrite").parquet(path + "/codebooks")
     if layout not in ("plain", "manifest"):
         raise ValueError(
             f"ann_index_write: unknown layout {layout!r} "
@@ -2447,13 +2455,16 @@ def ann_index_write(
     # files into a hive-partitioned coded/ dir (or vice versa) breaks
     # partition discovery on the next read
     spark.createDataFrame(
-        [(
-            p["m"], p["ksub"], p["dim"], cid_type,
-            bool(partition_by_cell), layout,
-        )],
+        spark.sparkContext.parallelize(
+            [(
+                p["m"], p["ksub"], p["dim"], cid_type,
+                bool(partition_by_cell), layout,
+            )],
+            1,
+        ),
         "m INT, ksub INT, dim INT, cent_id_type STRING, "
         "partitioned_by_cell BOOLEAN, layout STRING",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/params")
+    ).write.mode("overwrite").parquet(path + "/params")
     # a rebuilt/overwritten index must not inherit the PREVIOUS index's
     # streaming-add source log: the default checkpoint under this path
     # would silently skip every arrivals file the old index already
