@@ -42,6 +42,42 @@ from pyspark.sql import functions as F
 # any cell values at all (only partial agg buffers move).
 WIDE_AGG_MAX_COLS = 64
 
+# r17 (guide §2/§5): the wide layout's EXACT percentile funnels every
+# cell value of every column into ONE final reducer (a global agg with
+# value-buffering aggregates) — fine at bench scale (measured fastest:
+# 3.6 s vs melt 10 s / sketch 7 s / arrow 4.1 s at sf0.1 x 4 cols), a
+# single-task OOM at corpus scale. Auto-dispatch therefore also looks
+# at the INPUT BYTES (file-index metadata only): above this bound the
+# few-column exact path switches to the bounded-memory layouts
+# (arrow_extents for all-numeric inputs, melt otherwise — the same
+# pair the many-column branch already dispatches to). Env-overridable
+# so cluster profiles can tune it without a code change.
+WIDE_AGG_MAX_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_EXTENTS_WIDE_MAX_BYTES", str(2 << 30)
+    )
+)
+
+
+def _input_file_bytes(df: DataFrame) -> int:
+    """Total size of the scan's input files — pure file-index metadata
+    (the widen_partitions discipline: never touch df.rdd here). 0 when
+    the plan is not a file scan (derived frames), keeping byte-gated
+    dispatch conservative: no files, no regime switch."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    total = 0
+    for f in files:
+        try:
+            total += _os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return 0
+    return total
+
 
 def _interp(lower: float, higher: float, n: int, p: float) -> float:
     """EXACTLY org.apache.spark.sql.catalyst.expressions.Percentile:
@@ -100,12 +136,16 @@ def column_extents(
     """One row per metric column: id, min, max, q1, q99 (input column order).
 
     Two physical layouts, same semantics:
-      * ``wide``  (default up to WIDE_AGG_MAX_COLS columns): one global
-        aggregation of 4 exprs per column — partial aggregation collapses
-        map-side, the shuffle carries one buffer per partition, and a
-        final ``stack`` reshapes the single row to per-column rows.
-        Measured ~2x faster than melt at sf0.1 / 4 columns (3.5s vs 7.2s
-        warm, 32 cores) — melt pays a full cell-level shuffle.
+      * ``wide``  (default up to WIDE_AGG_MAX_COLS columns AND up to
+        WIDE_AGG_MAX_BYTES of scanned input — above the byte gate the
+        exact wide percentile would buffer every cell of every column
+        on ONE final reducer, so auto-dispatch switches to the
+        bounded-memory layouts, r17): one global aggregation of 4 exprs
+        per column — partial aggregation collapses map-side, the
+        shuffle carries one buffer per partition, and a final ``stack``
+        reshapes the single row to per-column rows. Measured ~2x faster
+        than melt at sf0.1 / 4 columns (3.5s vs 7.2s warm, 32 cores) —
+        melt pays a full cell-level shuffle.
       * ``melt``  (many columns): unpivot -> groupBy(column id) so each
         reducer gathers ONE column's values for the exact percentile —
         memory per task stays bounded by one column, not the whole table.
@@ -121,20 +161,31 @@ def column_extents(
 
     metric_cols = [c for c in wide_df.columns if c not in exclude]
     if layout == "auto":
-        if len(metric_cols) <= WIDE_AGG_MAX_COLS:
-            layout = "wide"
-        else:
-            # many columns: the Arrow two-pass path (arrow_extents) wins
-            # by ~3x over melt, but its pandas numeric coercion is only
-            # guaranteed equivalent to try_cast on ALREADY-NUMERIC
-            # columns — string columns keep the melt layout
-            from pyspark.sql import types as T
+        from pyspark.sql import types as T
 
-            numeric = all(
-                isinstance(f.dataType, T.NumericType)
-                for f in wide_df.schema.fields
-                if f.name in set(metric_cols)
+        # the Arrow two-pass path (arrow_extents) wins by ~3x over melt,
+        # but its pandas numeric coercion is only guaranteed equivalent
+        # to try_cast on ALREADY-NUMERIC columns — string columns keep
+        # the melt layout
+        numeric = all(
+            isinstance(f.dataType, T.NumericType)
+            for f in wide_df.schema.fields
+            if f.name in set(metric_cols)
+        )
+        if len(metric_cols) <= WIDE_AGG_MAX_COLS:
+            # few columns: wide is fastest at bench scale, but its exact
+            # percentile buffers EVERY cell on one final reducer — above
+            # the byte gate, take the bounded-memory layouts instead
+            # (r17, guide §2/§5; results identical, twin-test pinned)
+            big = (
+                exact
+                and _input_file_bytes(wide_df) > WIDE_AGG_MAX_BYTES
             )
+            if big:
+                layout = "arrow" if numeric else "melt"
+            else:
+                layout = "wide"
+        else:
             layout = "arrow" if (numeric and exact) else "melt"
     if layout == "arrow":
         return arrow_extents(

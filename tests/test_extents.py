@@ -287,3 +287,50 @@ def test_sketch_extents_presolved_side_gathers_nothing(spark):
     ex = [tuple(r) for r in column_extents(df, exclude=(), layout="melt").collect()]
     assert sk == ex
     assert sk[0][3] == 0.0  # q1 from the tie mass
+
+
+def test_auto_dispatch_byte_gate_switches_off_wide(spark, tmp_path, monkeypatch):
+    """r17: auto-dispatch must abandon the wide layout above the input
+    byte gate (its exact percentile buffers every cell on ONE final
+    reducer) — all-numeric file-backed inputs go to the Arrow path,
+    mixed-type ones to melt — and the results stay bit-identical."""
+    import map_v2_etl_spark.operators.extents as X
+
+    num = spark.createDataFrame(
+        [(float(i), float(i % 7)) for i in range(500)], "a double, b double"
+    )
+    p_num = str(tmp_path / "num.parquet")
+    num.write.parquet(p_num)
+    num_df = spark.read.parquet(p_num)
+
+    # below the gate (default 2 GiB): wide layout (lazy, stack reshape)
+    wide_out = X.column_extents(num_df, exclude=())
+    assert "stack" in wide_out._jdf.queryExecution().analyzed().toString()
+
+    monkeypatch.setattr(X, "WIDE_AGG_MAX_BYTES", 1)
+    # above the gate, all-numeric: Arrow two-pass (eager local frame)
+    arrow_out = X.column_extents(num_df, exclude=())
+    assert "stack" not in arrow_out._jdf.queryExecution().analyzed().toString()
+    assert [tuple(r) for r in arrow_out.collect()] == [
+        tuple(r) for r in wide_out.collect()
+    ]
+
+    # above the gate, mixed types: melt (lazy, per-column reducers)
+    mix = spark.createDataFrame(
+        [(float(i), str(i % 5)) for i in range(500)], "a double, s string"
+    )
+    p_mix = str(tmp_path / "mix.parquet")
+    mix.write.parquet(p_mix)
+    mix_df = spark.read.parquet(p_mix)
+    melt_out = X.column_extents(mix_df, exclude=())
+    plan = melt_out._jdf.queryExecution().analyzed().toString()
+    assert "stack" not in plan
+    monkeypatch.setattr(X, "WIDE_AGG_MAX_BYTES", 2 << 30)
+    assert [tuple(r) for r in melt_out.collect()] == [
+        tuple(r) for r in X.column_extents(mix_df, exclude=()).collect()
+    ]
+
+    # non-file-backed frames never switch (byte estimate is 0)
+    monkeypatch.setattr(X, "WIDE_AGG_MAX_BYTES", 1)
+    local_out = X.column_extents(num, exclude=())
+    assert "stack" in local_out._jdf.queryExecution().analyzed().toString()
