@@ -1825,7 +1825,7 @@ def _fused_residual_index(
         widen_partitions(corpus), cent_rows, books,
         id_col, vec_col, cent_id_type=cent_id_type,
     )
-    return books, coded
+    return books, coded, cent_rows
 
 
 def _collect_cent_rows(
@@ -2038,7 +2038,7 @@ def ivf_pq_residual_topk(
         # bit-identical to the unfused plan (fuzz-pinned); the unfused
         # plan remains the default because its every stage has a DuckDB
         # CTE twin of the same shape.
-        books, coded = _fused_residual_index(
+        books, coded, _ = _fused_residual_index(
             corpus, cents, m, ksub, iters, id_col, vec_col, dim,
             train_sample_mod, cid_type,
         )
@@ -2172,7 +2172,7 @@ def ann_index_build(
         corpus, centroid_stride, kmeans_cells, kmeans_iters,
         id_col, vec_col, "ann_index_build", defer_empty_check=True,
     )
-    books, coded = _fused_residual_index(
+    books, coded, cent_rows = _fused_residual_index(
         corpus, cents, m, ksub, iters, id_col, vec_col, dim,
         train_sample_mod, cid_type,
         cents_empty_msg=_empty_codebook_msg(
@@ -2184,6 +2184,13 @@ def ann_index_build(
         "books": books,
         "coded": coded,
         "params": {"m": m, "ksub": ksub, "dim": dim},
+        # the centroids the build ALREADY collected driver-side (r17):
+        # ann_index_write writes the centroid table from these bounded
+        # rows instead of re-executing the cents plan — on a stride
+        # codebook that plan is a FULL corpus scan (id % stride cannot
+        # push down to parquet) just to emit n_cells rows. Bounded by
+        # n_cells, the same boundedness every broadcast(cents) assumes.
+        "cent_rows": cent_rows,
     }
 
 
@@ -2214,7 +2221,11 @@ def ann_index_encode_shard(
 
     coded = _fused_residual_pass(
         widen_partitions(rows),
-        _collect_cent_rows(index["cents"]),
+        # build handles carry their collected centroids (r17): reuse
+        # them — re-collecting a BUILD handle's cents plan re-scans the
+        # corpus (stride filters never push down); read handles fall
+        # back to the cheap bounded-parquet collect
+        index.get("cent_rows") or _collect_cent_rows(index["cents"]),
         index["books"],
         id_col,
         vec_col,
@@ -2249,7 +2260,12 @@ def ann_index_merge(a: dict, b: dict) -> dict:
             "ann_index_merge: codebooks differ — these indexes were "
             "not built from the same training pass"
         )
-    if _collect_cent_rows(a["cents"]) != _collect_cent_rows(b["cents"]):
+    # handles that carry the build-time collected centroids (r17)
+    # validate from those bounded rows — a handle WITHOUT them pays the
+    # collect, which on a stride codebook is a full corpus scan
+    ca = a.get("cent_rows") or _collect_cent_rows(a["cents"])
+    cb = b.get("cent_rows") or _collect_cent_rows(b["cents"])
+    if ca != cb:
         raise ValueError(
             "ann_index_merge: coarse centroids differ — these indexes "
             "were not built from the same training pass"
@@ -2296,7 +2312,9 @@ def ann_index_add(
         )
     coded_new = _fused_residual_pass(
         widen_partitions(new_rows),
-        _collect_cent_rows(index["cents"]),
+        # same reuse as ann_index_encode_shard (r17): a build handle's
+        # collected centroids, else the bounded read-handle collect
+        index.get("cent_rows") or _collect_cent_rows(index["cents"]),
         index["books"],
         id_col,
         vec_col,
@@ -2394,7 +2412,25 @@ def ann_index_write(
         return path
     spark = index["cents"].sparkSession
     p = index["params"]
-    index["cents"].write.mode("overwrite").parquet(path + "/centroids")
+    cent_rows = index.get("cent_rows")
+    if cent_rows is not None:
+        # build-time indexes carry the centroids ALREADY collected
+        # driver-side (r17): write the bounded table from those rows —
+        # one slice, one task, one file — instead of re-executing the
+        # cents plan, which on a stride codebook re-scans the whole
+        # corpus (id % stride never pushes down) to emit n_cells rows.
+        # Exact schema (cent_id type, nullability) comes from the plan;
+        # doubles round-trip bit-exactly through the collected rows.
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(cid, cv) for cid, cv, _ in cent_rows], 1
+            ),
+            index["cents"].schema,
+        ).write.mode("overwrite").parquet(path + "/centroids")
+    else:
+        # read-back / externally assembled handles: the cents frame is
+        # already a bounded parquet scan — write it as-is
+        index["cents"].write.mode("overwrite").parquet(path + "/centroids")
     # bounded driver-side artifacts write as ONE file (r17, guide §6):
     # createDataFrame parallelizes m x ksub rows over defaultParallelism
     # slices, so the unguarded write emitted 32 near-empty part files —

@@ -99,7 +99,7 @@ def test_ann_index_build_coded_matches_fused_pass(spark, sf_dir):
     cents, cid_type = S._coarse_cents(
         emb, 10, None, 2, "vec_id", "embedding", "test"
     )
-    _, coded = S._fused_residual_index(
+    _, coded, _ = S._fused_residual_index(
         emb, cents, 4, 16, 2, "vec_id", "embedding", 64, 5, cid_type
     )
     want = sorted(
