@@ -2412,95 +2412,126 @@ def ann_index_write(
         return path
     spark = index["cents"].sparkSession
     p = index["params"]
-    cent_rows = index.get("cent_rows")
-    if cent_rows is not None:
-        # build-time indexes carry the centroids ALREADY collected
-        # driver-side (r17): write the bounded table from those rows —
-        # one slice, one task, one file — instead of re-executing the
-        # cents plan, which on a stride codebook re-scans the whole
-        # corpus (id % stride never pushes down) to emit n_cells rows.
-        # Exact schema (cent_id type, nullability) comes from the plan;
-        # doubles round-trip bit-exactly through the collected rows.
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [(cid, cv) for cid, cv, _ in cent_rows], 1
-            ),
-            index["cents"].schema,
-        ).write.mode("overwrite").parquet(path + "/centroids")
-    else:
-        # read-back / externally assembled handles: the cents frame is
-        # already a bounded parquet scan — write it as-is
-        index["cents"].write.mode("overwrite").parquet(path + "/centroids")
-    # bounded driver-side artifacts write as ONE file (r17, guide §6):
-    # createDataFrame parallelizes m x ksub rows over defaultParallelism
-    # slices, so the unguarded write emitted 32 near-empty part files —
-    # 32 task commits here and 32 file opens on every ann_index_read.
-    # The single partition is established AT parallelize time (one
-    # pickled batch, one task): a coalesce(1) over the default 32
-    # slices instead funnels 32 pickled partitions through one task's
-    # sequential Python-worker round-trips — measured 4.5-6s per write
-    # vs 0.5s for the 1-slice form.
-    cw = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [
-                (s, c, [float(x) for x in index["books"][s][c]])
-                for s in range(p["m"])
-                for c in range(p["ksub"])
-            ],
-            1,
-        ),
-        "sub INT, code INT, cent ARRAY<DOUBLE>",
-    )
-    cw.write.mode("overwrite").parquet(path + "/codebooks")
     if layout not in ("plain", "manifest"):
         raise ValueError(
             f"ann_index_write: unknown layout {layout!r} "
             "(expected 'plain' or 'manifest')"
         )
-    if layout == "manifest":
-        from ..sources import manifest_log as _ml
-        import shutil as _sh
+    cent_rows = index.get("cent_rows")
 
-        coded_root = path + "/coded"
-        # overwrite semantics, matching the plain branch's
-        # mode("overwrite"): a fresh write replaces any previous log
-        _sh.rmtree(coded_root, ignore_errors=True)
-        _ml.log_init(coded_root)
-        # the build commit records the coded table's logical schema
-        # (r17): empty snapshots stay readable and every later read
-        # plans without footer inference
-        _ml.log_commit(
-            coded_root,
-            _ml.log_write_data(
-                index["coded"],
-                coded_root,
-                partition_by=["cent_id"] if partition_by_cell else None,
+    def _write_centroids() -> None:
+        if cent_rows is not None:
+            # build-time indexes carry the centroids ALREADY collected
+            # driver-side (r17): write the bounded table from those
+            # rows — one slice, one task, one file — instead of
+            # re-executing the cents plan, which on a stride codebook
+            # re-scans the whole corpus (id % stride never pushes down)
+            # to emit n_cells rows. Exact schema (cent_id type,
+            # nullability) comes from the plan; doubles round-trip
+            # bit-exactly through the collected rows.
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(
+                    [(cid, cv) for cid, cv, _ in cent_rows], 1
+                ),
+                index["cents"].schema,
+            ).write.mode("overwrite").parquet(path + "/centroids")
+        else:
+            # read-back / externally assembled handles: the cents frame
+            # is already a bounded parquet scan — write it as-is
+            index["cents"].write.mode("overwrite").parquet(
+                path + "/centroids"
+            )
+
+    def _write_codebooks() -> None:
+        # bounded driver-side artifacts write as ONE file (r17, guide
+        # §6): createDataFrame parallelizes m x ksub rows over
+        # defaultParallelism slices, so the unguarded write emitted 32
+        # near-empty part files — 32 task commits here and 32 file
+        # opens on every ann_index_read. The single partition is
+        # established AT parallelize time (one pickled batch, one
+        # task): a coalesce(1) over the default 32 slices instead
+        # funnels 32 pickled partitions through one task's sequential
+        # Python-worker round-trips — measured 4.5-6s per write vs
+        # 0.5s for the 1-slice form.
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [
+                    (s, c, [float(x) for x in index["books"][s][c]])
+                    for s in range(p["m"])
+                    for c in range(p["ksub"])
+                ],
+                1,
             ),
-            note="build",
-            schema=index["coded"].schema.json(),
-        )
-    else:
-        coded_writer = index["coded"].write.mode("overwrite")
-        if partition_by_cell:
-            coded_writer = coded_writer.partitionBy("cent_id")
-        coded_writer.parquet(path + "/coded")
+            "sub INT, code INT, cent ARRAY<DOUBLE>",
+        ).write.mode("overwrite").parquet(path + "/codebooks")
+
     cid_type = index["coded"].schema["cent_id"].dataType.simpleString()
-    # the layout is part of the index contract (r15, ADVICE r14 #1):
-    # every later writer (ann_index_add's caller, the streaming add)
-    # must write coded files in the SAME layout — mixing flat part
-    # files into a hive-partitioned coded/ dir (or vice versa) breaks
-    # partition discovery on the next read
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(
-                p["m"], p["ksub"], p["dim"], cid_type,
-                bool(partition_by_cell), layout,
-            )],
-            1,
-        ),
-        "m INT, ksub INT, dim INT, cent_id_type STRING, "
-        "partitioned_by_cell BOOLEAN, layout STRING",
-    ).write.mode("overwrite").parquet(path + "/params")
+
+    def _write_params() -> None:
+        # the layout is part of the index contract (r15, ADVICE r14
+        # #1): every later writer (ann_index_add's caller, the
+        # streaming add) must write coded files in the SAME layout —
+        # mixing flat part files into a hive-partitioned coded/ dir
+        # (or vice versa) breaks partition discovery on the next read
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(
+                    p["m"], p["ksub"], p["dim"], cid_type,
+                    bool(partition_by_cell), layout,
+                )],
+                1,
+            ),
+            "m INT, ksub INT, dim INT, cent_id_type STRING, "
+            "partitioned_by_cell BOOLEAN, layout STRING",
+        ).write.mode("overwrite").parquet(path + "/params")
+
+    # the three bounded single-task writes overlap the corpus-sized
+    # coded write instead of serializing after it (r17, guide §2.6 —
+    # the driver was calling four independent actions sequentially;
+    # Spark happily runs them as concurrent jobs and the tiny jobs
+    # back-fill idle cores). No ordering contract is lost: the plain
+    # layout's mid-write directory state was never reader-safe (the
+    # versioned/pointer layout is the atomic-publish path), and every
+    # writer joins before this function returns.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [
+            pool.submit(_write_centroids),
+            pool.submit(_write_codebooks),
+            pool.submit(_write_params),
+        ]
+        if layout == "manifest":
+            from ..sources import manifest_log as _ml
+            import shutil as _sh
+
+            coded_root = path + "/coded"
+            # overwrite semantics, matching the plain branch's
+            # mode("overwrite"): a fresh write replaces any previous log
+            _sh.rmtree(coded_root, ignore_errors=True)
+            _ml.log_init(coded_root)
+            # the build commit records the coded table's logical schema
+            # (r17): empty snapshots stay readable and every later read
+            # plans without footer inference
+            _ml.log_commit(
+                coded_root,
+                _ml.log_write_data(
+                    index["coded"],
+                    coded_root,
+                    partition_by=(
+                        ["cent_id"] if partition_by_cell else None
+                    ),
+                ),
+                note="build",
+                schema=index["coded"].schema.json(),
+            )
+        else:
+            coded_writer = index["coded"].write.mode("overwrite")
+            if partition_by_cell:
+                coded_writer = coded_writer.partitionBy("cent_id")
+            coded_writer.parquet(path + "/coded")
+        for f in futures:
+            f.result()
     # a rebuilt/overwritten index must not inherit the PREVIOUS index's
     # streaming-add source log: the default checkpoint under this path
     # would silently skip every arrivals file the old index already
