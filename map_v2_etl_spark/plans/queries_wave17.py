@@ -183,7 +183,17 @@ def build_partitioned_events(
     ev = load_table(spark, "events", sf_dir).withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    # cluster by the partition column before the partitioned write
+    # (r17, guide §6 — the plain-parquet analogue of Iceberg's hash
+    # distribution-mode): without it every input split writes a file
+    # into EVERY day directory (splits x days files, and a single-split
+    # local source serializes all the day files through one task —
+    # measured 4.6-5.1s -> 2.1-3.9s at sf0.1, 30 days). One shuffle of
+    # narrow event rows buys one file per day per holding task and
+    # parallel commits; the day-equality read below is unchanged.
+    ev.repartition("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(path)
     # min over ONLY the partition column of the just-written table: the
     # partition values come from the directory listing (Spark's
     # metadata-only optimization), not a second corpus-sized scan of
