@@ -2594,12 +2594,27 @@ def ann_index_read(spark: SparkSession, path: str) -> dict:
     against one immutable generation directory, so a concurrent
     rebuild flipping the pointer mid-read is invisible."""
     path = _resolve_index_root(path)
-    prow = spark.read.parquet(path + "/params").collect()[0]
+    # the two bounded collects (params: 1 row; codebooks: m x ksub
+    # rows) are independent scans — overlap them instead of paying two
+    # sequential driver jobs (r17, guide §2.6; same discipline as the
+    # write side's threaded bounded writes). Assembly stays on this
+    # thread: indexing the books grid needs m/ksub from params.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _params_f = _pool.submit(
+            lambda: spark.read.parquet(path + "/params").collect()[0]
+        )
+        _books_f = _pool.submit(
+            lambda: spark.read.parquet(path + "/codebooks").collect()
+        )
+        prow = _params_f.result()
+        _book_rows = _books_f.result()
     m, ksub, dim = int(prow["m"]), int(prow["ksub"]), int(prow["dim"])
     books: list[list[list[float] | None]] = [
         [None] * ksub for _ in range(m)
     ]
-    for r in spark.read.parquet(path + "/codebooks").collect():
+    for r in _book_rows:
         books[r["sub"]][r["code"]] = [float(x) for x in r["cent"]]
     if any(cw is None for b in books for cw in b):
         raise ValueError(
