@@ -1408,6 +1408,69 @@ def pq_cosine_topk(
     return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, dim)
 
 
+def _routed_plain_query(
+    cents: DataFrame,
+    books: list[list[list[float]]],
+    coded: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    m: int,
+    ksub: int,
+    sublen: int,
+    candidates: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+) -> DataFrame:
+    """QUERY side of NON-residual IVF-PQ (ivf_pq_topk), shared by the
+    fused and unfused corpus regimes — _routed_residual_query's twin
+    with the plain (per-query, cell-independent) LUT: probe selection,
+    LUT fold, routed ADC (BroadcastHashJoin on cent_id), candidate cut,
+    exact re-rank. ``corpus`` is touched only by the candidate-bounded
+    exact re-rank."""
+    cos = _cos_fn(dim)
+    queries = _nonnull_queries(queries, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cs", cos(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cent_id")
+    )
+
+    lut = _pq_query_lut(queries, books, m, ksub, sublen, id_col, vec_col)
+    # (q_id, cent_id, lut): |Q| x nprobe rows — the broadcast probe
+    # frame. The lut side is broadcast EXPLICITLY (r18): plut itself is
+    # broadcast two lines down, so |Q|-bounded-ness is already a plan
+    # assumption, and without the hint the planner size-estimates the
+    # two windowed/aggregated inputs pessimistically and plans a
+    # SortMergeJoin — two exchanges and two sorts on a frame that then
+    # gets collected for broadcast anyway (the r18 plan diff removes
+    # the last SMJ from this query).
+    plut = probes.join(F.broadcast(lut), "q_id")
+    # routed ADC scan: equi-join on cent_id prunes to probed lists
+    # map-side (BHJ); distance is the in-row m-lookup sum
+    adc = (
+        coded.join(F.broadcast(plut), "cent_id")
+        .filter(F.col("nn_id") != F.col("q_id"))
+        .select("q_id", "nn_id", _adc_dist(m, ksub).alias("adist"))
+    )
+    wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
+    cand = (
+        adc.withColumn("r", F.row_number().over(wnd))
+        .filter(F.col("r") <= candidates)
+        .select("q_id", "nn_id")
+    )
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, dim)
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1422,6 +1485,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     train_sample_mod: int | None = None,
+    fused: bool = True,
 ) -> DataFrame:
     """IVF-routed PQ/ADC top-k with exact re-rank — the standard Faiss
     IVF-PQ composition (Jegou et al., TPAMI'11 §V; non-residual variant,
@@ -1463,6 +1527,25 @@ def ivf_pq_topk(
     Reference parity: the reference engine has no ANN surface
     (build.sh:75-233 is tile ETL); this is part of the §2.11
     training-data-pipeline extension the engine adds on top.
+
+    ``fused=True`` (the r18 default; guide §4.2, VERDICT r17 item 2) is
+    the PRODUCTION encode architecture, the same shape the residual
+    family and ann_index_build already ship: coarse centroids collect
+    driver-side (bounded by n_cells — the boundedness every
+    broadcast(cents) below already assumes) and assignment + encode run
+    as ONE Arrow-batched pass over the corpus (_fused_residual_pass in
+    its non-residual regime) — replacing the |corpus| x n_cells
+    interpreted-HOF cosine crossJoin (dim 64 sits past the
+    _COS_UNROLL_DIM_MAX codegen cliff, so that pass ran interpreted:
+    the dominant measured cost of this query, ~56 executor-sec at
+    sf0.1), the separate pq_encode corpus pass, and the codes ⨝
+    assignment shuffle. The query side (probes/LUT/routed ADC/re-rank)
+    is byte-identical between regimes (_routed_plain_query). Results
+    are BIT-IDENTICAL (fuzz-pinned in tests/test_wave39.py, and the
+    unchanged DuckDB oracle replays the unfused expression chain).
+    Measured at sf0.1 (interleaved x4, min): 2.48 s fused vs 4.74 s
+    unfused. The unfused plan stays available because each of its
+    stages has a same-shaped DuckDB CTE twin.
     """
     from ..sources.registry import widen_partitions
 
@@ -1475,13 +1558,52 @@ def ivf_pq_topk(
     cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
     )
+
+    if fused:
+        from pyspark.sql import types as T
+
+        spark = corpus.sparkSession
+        # ONE driver collect (bounded by n_cells) is both the loud
+        # emptiness probe and the fused pass's in-memory centroids —
+        # the deferred-probe discipline of _coarse_cents/r17
+        cent_rows = _collect_cent_rows(
+            cents,
+            empty_msg=_empty_codebook_msg("ivf_pq_topk", centroid_stride),
+        )
+        # the query side re-reads the centroids from the collected rows
+        # as a local relation (exact schema, exact doubles — the
+        # ann_index_write(bda0c14) discipline) instead of re-running
+        # the strided corpus scan, which never pushes down
+        cents = spark.createDataFrame(
+            [(cid, cv) for cid, cv, _ in cent_rows],
+            T.StructType(
+                [
+                    T.StructField(
+                        "cent_id", corpus.schema[id_col].dataType
+                    ),
+                    T.StructField(
+                        "cent_vec", corpus.schema[vec_col].dataType
+                    ),
+                ]
+            ),
+        )
+        books = pq_train(
+            corpus, m, ksub, iters, id_col, vec_col, dim, train_sample_mod
+        )
+        coded = _fused_residual_pass(
+            widen_partitions(corpus), cent_rows, books,
+            id_col, vec_col, residual=False,
+        )
+        return _routed_plain_query(
+            cents, books, coded, queries, corpus,
+            k, m, ksub, sublen, candidates, nprobe, id_col, vec_col, dim,
+        )
+
     if cents.limit(1).count() == 0:
         # same loud failure as ivf_cosine_topk: `id % stride` needs
         # dense numeric ids (NULL on string ids, empty on sparse spaces)
         raise ValueError(
-            "ivf_pq_topk coarse codebook is empty: id_col % "
-            f"{centroid_stride} matched no rows (string or sparse ids? "
-            "use a smaller centroid_stride or numeric dense ids)"
+            _empty_codebook_msg("ivf_pq_topk", centroid_stride)
         )
 
     # nearest centroid per corpus vector — ivf_cosine_topk's pass
@@ -1508,40 +1630,10 @@ def ivf_pq_topk(
     coded = codes.select(F.col(id_col).alias("nn_id"), "codes").join(
         assign, "nn_id"
     )
-
-    # query probes: nprobe nearest cells, ties to the LOWEST cent_id
-    # (ivf_cosine_topk's rule)
-    queries = _nonnull_queries(queries, vec_col)
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    return _routed_plain_query(
+        cents, books, coded, queries, corpus,
+        k, m, ksub, sublen, candidates, nprobe, id_col, vec_col, dim,
     )
-    q_scored = q.crossJoin(F.broadcast(cents)).withColumn(
-        "cs", cos(F.col("q_vec"), F.col("cent_vec"))
-    )
-    wq = W.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cent_id"))
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "cent_id")
-    )
-
-    lut = _pq_query_lut(queries, books, m, ksub, sublen, id_col, vec_col)
-    # (q_id, cent_id, lut): |Q| x nprobe rows — the broadcast probe frame
-    plut = probes.join(lut, "q_id")
-    # routed ADC scan: equi-join on cent_id prunes to probed lists
-    # map-side (BHJ); distance is the in-row m-lookup sum
-    adc = (
-        coded.join(F.broadcast(plut), "cent_id")
-        .filter(F.col("nn_id") != F.col("q_id"))
-        .select("q_id", "nn_id", _adc_dist(m, ksub).alias("adist"))
-    )
-    wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
-    cand = (
-        adc.withColumn("r", F.row_number().over(wnd))
-        .filter(F.col("r") <= candidates)
-        .select("q_id", "nn_id")
-    )
-    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, dim)
 
 
 def _fused_residual_pass(
@@ -1551,6 +1643,7 @@ def _fused_residual_pass(
     id_col: str,
     vec_col: str,
     cent_id_type=None,
+    residual: bool = True,
 ) -> DataFrame:
     """ONE Arrow-batched pass over ``src`` computing coarse assignment,
     residual, and (with ``books``) PQ codes — zero joins, zero shuffles:
@@ -1583,12 +1676,25 @@ def _fused_residual_pass(
     LongType (cluster indices are 0..k-1 regardless of the corpus id
     type). Emits (id, rvec) when books is None, else
     (id, cent_id, codes).
+
+    ``residual=False`` (r18, VERDICT r17 item 2) is the NON-residual
+    regime (ivf_pq_topk, Faiss ``by_residual=False``): codes quantize
+    the UNIT vector itself (pq_encode's normalize=True arithmetic —
+    the identical Σx² fold, zero-norm guard, and argmin), and rows
+    assigned to a NULL-embedding centroid are KEPT (the unfused plan
+    computes codes independently of the assignment, so such rows carry
+    valid codes there too — only the residual regime drops them, its
+    residual being undefined). Requires ``books``.
     """
     import math
 
     import pandas as pd
     from pyspark.sql import types as T
 
+    if not residual and books is None:
+        raise ValueError(
+            "_fused_residual_pass(residual=False) requires codebooks"
+        )
     cent_ids = [cid for cid, _, _ in cent_rows]
     cvecs = [
         [float(x) for x in cv] if cv is not None else None
@@ -1676,22 +1782,25 @@ def _fused_residual_pass(
                 best_ix[take] = ix
                 best_cs = np.where(upgrade, cs, best_cs)
                 best_valid = best_valid | valid
-            # rows assigned to a NULL-embedding centroid have no unit
-            # centroid to subtract — the unfused plan's NULL rvec, which
-            # vanishes in pq_train/pq_encode; drop them here
-            keep = has_ucent[best_ix]
-            if not keep.all():
-                V = V[keep]
-                sqrt_a = sqrt_a[keep]
-                best_ix = best_ix[keep]
-                pdf = pdf[keep]
-                n = len(V)
-            if not n:
-                continue
+            if residual:
+                # rows assigned to a NULL-embedding centroid have no
+                # unit centroid to subtract — the unfused plan's NULL
+                # rvec, which vanishes in pq_train/pq_encode; drop them
+                # here (non-residual codes never touch the centroid, so
+                # that regime keeps them — see docstring)
+                keep = has_ucent[best_ix]
+                if not keep.all():
+                    V = V[keep]
+                    sqrt_a = sqrt_a[keep]
+                    best_ix = best_ix[keep]
+                    pdf = pdf[keep]
+                    n = len(V)
+                if not n:
+                    continue
             nrm = sqrt_a.copy()
             nrm[nrm == 0] = 1.0  # zero vector stays zeros (_unit)
             U = V / nrm[:, None]
-            R = U - ucents[best_ix]
+            R = U - ucents[best_ix] if residual else U
             if books is None:
                 yield pd.DataFrame(
                     {id_col: pdf[id_col], "rvec": list(R.tolist())}

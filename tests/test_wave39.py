@@ -66,17 +66,32 @@ def test_ivf_pq_subset_of_probed_cells(spark, sf_dir):
 def test_ivf_pq_plan_routed_not_full_scan(spark, sf_dir):
     """Physical-plan contract: the ADC scan is an equi-join on cent_id
     (broadcast probe frame — non-probed cells drop map-side), and the
-    only nested-loop joins are the three broadcast-bounded ones
-    (corpus x centroids, queries x centroids, queries x codewords).
-    pq_cosine_topk's full-corpus crossJoin-vs-LUT shape must NOT
-    reappear here."""
+    only nested-loop joins are broadcast-bounded query-side ones
+    (queries x centroids, queries x codewords). pq_cosine_topk's
+    full-corpus crossJoin-vs-LUT shape must NOT reappear here.
+
+    r18: the fused default replaces the corpus x centroids BNLJ +
+    separate encode pass with ONE Arrow-batched pass (MapInPandas), so
+    the fused plan carries 2 BNLJs and a MapInPandas corpus encode; the
+    unfused twin keeps the original 3-BNLJ shape."""
     emb = load_table(spark, "embeddings", sf_dir)
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     df = S.ivf_pq_topk(emb, qs, k=5, centroid_stride=10, nprobe=4)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"BroadcastHashJoin \[cent_id", plan), plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 3, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert "MapInPandas" in plan, plan
+    # no SortMergeJoin anywhere (r18: the probes ⨝ lut join is
+    # broadcast — it feeds a broadcast anyway)
+    assert "SortMergeJoin" not in plan, plan
+    df_unfused = S.ivf_pq_topk(
+        emb, qs, k=5, centroid_stride=10, nprobe=4, fused=False
+    )
+    plan_u = df_unfused._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin \[cent_id", plan_u), plan_u
+    assert "CartesianProduct" not in plan_u
+    assert plan_u.count("BroadcastNestedLoopJoin") == 3, plan_u
 
 
 def test_ivf_pq_empty_corpus(spark):
@@ -252,4 +267,76 @@ def test_ivf_pq_fuzz_vs_python_twin(spark):
             f"stride={stride} nprobe={nprobe} cand={candidates} k={k}\n"
             f" only got: {sorted(got - exp)[:6]}\n"
             f" only exp: {sorted(exp - got)[:6]}"
+        )
+
+
+def test_ivf_pq_fused_fuzz_vs_unfused(spark):
+    """r18 (VERDICT r17 item 2): randomized bit-equality of the fused
+    single-pass corpus regime (assignment + encode in one Arrow pass,
+    the default) against the unfused join plan — zero vectors, exact
+    duplicates, colinear (cosine-tie) rows, NULL embeddings, and a
+    NULL-embedding centroid planted to exercise every tie rule, the
+    degenerate-cosine path, and the non-residual keep-rows-assigned-
+    to-null-centroids semantics. 40 volume trials passed before this
+    8-trial permanent cut (r12 fuzz-before-ship protocol). Exact
+    tuple-set equality INCLUDING the float cosines."""
+    import numpy as np
+
+    rng = random.Random(1882424)
+    for t in range(8):
+        m = rng.choice([2, 4])
+        sublen = rng.choice([2, 4])
+        dim = m * sublen
+        ksub = rng.choice([4, 8])
+        n = rng.randint(max(24, ksub + 4), 80)
+        stride = rng.choice([3, 5, 10])
+        nprobe = rng.choice([1, 2, 4])
+        candidates = rng.choice([5, 20])
+        k = rng.choice([3, 5])
+        qmod = rng.choice([7, 10])
+        tsm = rng.choice([None, 2, 3])
+        ids = list(range(n))
+        vecs = []
+        for i in ids:
+            r = rng.random()
+            if r < 0.05 and i % qmod != 0:
+                vecs.append(None)  # NULL embedding (non-query row)
+            elif r < 0.11:
+                vecs.append([0.0] * dim)
+            elif r < 0.22 and vecs and vecs[-1] is not None:
+                vecs.append(list(vecs[-1]))  # exact duplicate
+            elif r < 0.30 and vecs and vecs[-1] is not None:
+                vecs.append([2.0 * x for x in vecs[-1]])  # colinear
+            else:
+                vecs.append(
+                    [float(np.float32(rng.uniform(-1, 1)))
+                     for _ in range(dim)]
+                )
+        # plant a NULL-embedding centroid (highest strided id) so rows
+        # can ASSIGN to a null centroid and must still encode+survive
+        for i in reversed(ids):
+            if i % stride == 0 and i % qmod != 0:
+                vecs[i] = None
+                break
+        df = spark.createDataFrame(
+            list(zip(ids, vecs)), "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        qdf = df.filter(f"vec_id % {qmod} = 0")
+        kw = dict(
+            k=k, m=m, ksub=ksub, candidates=candidates,
+            centroid_stride=stride, nprobe=nprobe, train_sample_mod=tsm,
+        )
+        a = {
+            (r.q_id, r.nn_id, r.rank, r.cosine)
+            for r in S.ivf_pq_topk(df, qdf, fused=False, **kw).collect()
+        }
+        b = {
+            (r.q_id, r.nn_id, r.rank, r.cosine)
+            for r in S.ivf_pq_topk(df, qdf, **kw).collect()
+        }
+        assert a == b, (
+            f"trial {t}: n={n} dim={dim} m={m} ksub={ksub} "
+            f"stride={stride} nprobe={nprobe} cand={candidates} k={k} "
+            f"tsm={tsm}\n unfused-only: {sorted(a - b)[:6]}\n"
+            f" fused-only: {sorted(b - a)[:6]}"
         )
