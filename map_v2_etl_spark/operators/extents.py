@@ -61,21 +61,51 @@ WIDE_AGG_MAX_BYTES = int(
 
 def _input_file_bytes(df: DataFrame) -> int:
     """Total size of the scan's input files — pure file-index metadata
-    (the widen_partitions discipline: never touch df.rdd here). 0 when
-    the plan is not a file scan (derived frames), keeping byte-gated
-    dispatch conservative: no files, no regime switch."""
+    (the widen_partitions discipline: never touch df.rdd here).
+
+    Returns 0 when the plan is not a file scan at all (derived/local
+    frames — driver-resident by construction, so the wide layout is
+    safe), and -1 — UNKNOWN, which the caller must treat as big — when
+    a scan exists but its sizes cannot be determined. r18 (VERDICT r17
+    item 1): the r17 version statted every URI with os.path.getsize,
+    which raises on s3a://hdfs:// paths, and mapped the failure to 0 —
+    silently re-enabling the single-reducer wide layout on every
+    non-local filesystem, the exact OOM the gate exists to prevent.
+    Non-``file:`` schemes now stat through the Hadoop FileSystem API
+    (metadata RPCs only; Hadoop caches one FS instance per scheme), and
+    any failure is UNKNOWN, not small: fail safe, not fail fast."""
     import os as _os
 
     try:
         files = df.inputFiles()
     except Exception:
-        return 0
+        return -1  # cannot even enumerate: unknown, treat as big
     total = 0
+    remote: list[str] = []
     for f in files:
+        if f.startswith("file:"):
+            try:
+                total += _os.path.getsize(f.removeprefix("file:"))
+            except OSError:
+                return -1
+        elif "://" not in f:  # bare local path
+            try:
+                total += _os.path.getsize(f)
+            except OSError:
+                return -1
+        else:
+            remote.append(f)
+    if remote:
         try:
-            total += _os.path.getsize(f.removeprefix("file:"))
-        except OSError:
-            return 0
+            sess = df.sparkSession
+            jvm = sess._jvm
+            hconf = sess._jsc.hadoopConfiguration()
+            for f in remote:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                fs = p.getFileSystem(hconf)
+                total += fs.getFileStatus(p).getLen()
+        except Exception:
+            return -1  # unstatable remote scan: unknown, treat as big
     return total
 
 
@@ -176,11 +206,14 @@ def column_extents(
             # few columns: wide is fastest at bench scale, but its exact
             # percentile buffers EVERY cell on one final reducer — above
             # the byte gate, take the bounded-memory layouts instead
-            # (r17, guide §2/§5; results identical, twin-test pinned)
-            big = (
-                exact
-                and _input_file_bytes(wide_df) > WIDE_AGG_MAX_BYTES
-            )
+            # (r17, guide §2/§5; results identical, twin-test pinned).
+            # A scan whose size cannot be determined (-1: remote scheme
+            # the driver cannot stat, unstatable files) counts as BIG —
+            # an unknown corpus must not be funneled through one
+            # reducer (r18, fail-safe); size 0 means "not a file scan"
+            # (local/derived frames) and keeps the wide layout.
+            sz = _input_file_bytes(wide_df) if exact else 0
+            big = exact and (sz > WIDE_AGG_MAX_BYTES or sz < 0)
             if big:
                 layout = "arrow" if numeric else "melt"
             else:

@@ -334,3 +334,64 @@ def test_auto_dispatch_byte_gate_switches_off_wide(spark, tmp_path, monkeypatch)
     monkeypatch.setattr(X, "WIDE_AGG_MAX_BYTES", 1)
     local_out = X.column_extents(num, exclude=())
     assert "stack" in local_out._jdf.queryExecution().analyzed().toString()
+
+
+def test_byte_gate_remote_scheme_sizes_via_hadoop(spark, tmp_path, monkeypatch):
+    """r18 (VERDICT r17 item 1): the byte gate must work off the local
+    filesystem. Non-``file:`` URIs are statted through the Hadoop
+    FileSystem API — exercised here through a ``viewfs://`` mount over
+    the local test directory (a real non-file scheme Hadoop resolves
+    without a cluster) — and a scheme Hadoop cannot resolve makes the
+    size UNKNOWN, which the exact few-column branch treats as BIG
+    (bounded layout), never as small."""
+    import map_v2_etl_spark.operators.extents as X
+
+    num = spark.createDataFrame(
+        [(float(i), float(i % 7)) for i in range(500)], "a double, b double"
+    )
+    p_num = str(tmp_path / "num_remote.parquet")
+    num.write.parquet(p_num)
+    num_df = spark.read.parquet(p_num)
+    real_files = num_df.inputFiles()
+
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.extcell.link./data", f"file://{p_num}"
+    )
+    mock_files = [
+        "viewfs://extcell/data/" + f.rsplit("/", 1)[1] for f in real_files
+    ]
+    monkeypatch.setattr(
+        type(num_df), "inputFiles", lambda self: mock_files
+    )
+
+    # Hadoop-resolvable remote scheme: sizes add up to the real bytes
+    sz = X._input_file_bytes(num_df)
+    import os
+    expect = sum(
+        os.path.getsize(f.removeprefix("file:")) for f in real_files
+    )
+    assert sz == expect
+
+    # gate fires through the remote sizing exactly like the local path
+    monkeypatch.setattr(X, "WIDE_AGG_MAX_BYTES", 1)
+    out = X.column_extents(num_df, exclude=())
+    assert "stack" not in out._jdf.queryExecution().analyzed().toString()
+
+    # unresolvable scheme: UNKNOWN (-1), and the exact few-column
+    # branch goes bounded even below the byte gate (fail safe)
+    bad_files = [f.replace("file:", "nosuchfs://x") for f in real_files]
+    monkeypatch.setattr(
+        type(num_df), "inputFiles", lambda self: bad_files
+    )
+    assert X._input_file_bytes(num_df) == -1
+    monkeypatch.setattr(X, "WIDE_AGG_MAX_BYTES", 2 << 30)
+    out2 = X.column_extents(num_df, exclude=())
+    assert "stack" not in out2._jdf.queryExecution().analyzed().toString()
+
+    # results are unchanged by the dispatch — bit-identical to wide
+    wide_out = X.column_extents(
+        spark.read.parquet(p_num), exclude=(), layout="wide"
+    )
+    assert sorted(map(tuple, out2.collect())) == sorted(
+        map(tuple, wide_out.collect())
+    )
