@@ -186,14 +186,34 @@ def main() -> None:
         sf = float(sf_token)
     except ValueError:
         sf = None
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+            }
+        )
+    )
+    # Parse-resilience alias (r18, VERDICT r17 item 10): the driver's
+    # BENCH artifact keeps only the last 2000 chars of stdout, and the
+    # full per-query line is ~2.4 KB — BENCH_r16's line was lost to the
+    # round-over-round comparison that way (PERF_r17 prev_bench_ok:
+    # false). The full line above is UNCHANGED (same keys, printed
+    # first); this second, totals-only line fits any truncation window
+    # whole, so the headline total survives even when the per-query
+    # map does not. Flagged "alias" so no consumer can double-count.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "alias": "totals_only_reprint_of_line_above",
             }
         )
     )
