@@ -1337,6 +1337,163 @@ def _exact_rerank(
     return _topk_window(scored, k)
 
 
+#: fused full-corpus ADC gate: max queries whose LUTs ship driver-side
+#: into the fused pass's task closure. 4096 LUTs x m*ksub doubles is
+#: ~2 MB at (m=4, ksub=16) — broadcast-closure scale; the per-chunk
+#: distance matrix is bounded separately (_FUSED_ADC_CHUNK rows x 4096
+#: queries x 8 B = 64 MB float64). Above the gate the unfused plan runs
+#: unchanged (its LUT frame is |Q|-sized and stays distributed).
+_FUSED_ADC_MAX_Q = 4096
+_FUSED_ADC_CHUNK = 2048
+
+
+def _fused_adc_candidates(
+    src: DataFrame,
+    books: list[list[list[float]]],
+    lut_rows: list,
+    candidates: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ONE Arrow-batched pass over ``src`` fusing PQ encode, the
+    full-corpus ADC distance, and the per-task partial candidate cut —
+    the full-scan twin of _fused_residual_pass (guide §4.2, VERDICT r17
+    item 2's second half). Replaces pq_cosine_topk's unfused chain of
+    pq_encode pass -> |corpus| x |Q| BroadcastNestedLoopJoin with the
+    interpreted-HOF _adc_dist per pair -> corpus-sized exchange into
+    the candidate window. Emits at most |tasks| x |Q| x ``candidates``
+    rows of (q_id, nn_id, adist) — the exchange into the global
+    candidate window becomes output-bounded instead of corpus-bounded,
+    which is the term that matters at 10^9+ vectors.
+
+    Bit-exactness contract with the unfused plan (fuzz-pinned in
+    tests/test_wave39.py):
+
+      * codes — pq_encode's arithmetic verbatim: Σx² in j order, zero
+        norm -> 1.0 guard, per-subspace squared-distance fold in j
+        order, argmin ties to the lowest code;
+      * adist — the JVM _adc_dist left fold replayed on the COLLECTED
+        lut doubles (the plan's own values, not a recomputation):
+        acc = 0.0; for s ascending: acc += lut[s*ksub + codes[s]] —
+        float64 adds in the identical order;
+      * the ``nn_id != q_id`` drop happens before any cut, exactly as
+        the unfused BNLJ's join condition; rows with NULL id drop as
+        the unfused plan's isnotnull(nn_id) filter + null-safe
+        inequality do, and a NULL q_id lut row is skipped (all its
+        pairs fail ``nn_id != q_id`` in the unfused plan);
+      * the partial cut keeps the ``candidates`` smallest by
+        (adist, nn_id) per query PER TASK — a superset of every row
+        the downstream global row_number() <= candidates window can
+        keep, so the selection (not just the scores) is unchanged.
+
+    Caller gates: integral id column (np.lexsort orders them exactly)
+    and len(lut_rows) <= _FUSED_ADC_MAX_Q."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = len(books)
+    ksub = len(books[0])
+    sublen = len(books[0][0])
+    nb_books = [np.asarray(b, dtype=np.float64) for b in books]
+    # NULL q_id: every unfused candidate row dies at nn_id != q_id
+    lut_rows = [r for r in lut_rows if r["q_id"] is not None]
+    qids = np.array([r["q_id"] for r in lut_rows], dtype=np.int64)
+    L = np.array(
+        [r["lut"] for r in lut_rows], dtype=np.float64
+    ).reshape(len(lut_rows), m * ksub)
+    id_type = src.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", id_type),
+            T.StructField("nn_id", id_type),
+            T.StructField("adist", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        nQ = len(qids)
+        if nQ == 0:
+            return
+        # per-task accumulators of already-cut (qix, nn_id, adist)
+        acc_q: list = []
+        acc_i: list = []
+        acc_d: list = []
+
+        def _cut(qx, ii, dd, limit):
+            # smallest `limit` per query by (adist, nn_id) — argmin
+            # order identical to the JVM sort (adist ASC, nn_id ASC;
+            # neither is ever NULL here)
+            order = np.lexsort((ii, dd, qx))
+            qx, ii, dd = qx[order], ii[order], dd[order]
+            # rank within query after the stable sort
+            if len(qx):
+                starts = np.r_[0, np.flatnonzero(qx[1:] != qx[:-1]) + 1]
+                rank = np.arange(len(qx)) - np.repeat(
+                    starts, np.diff(np.r_[starts, len(qx)])
+                )
+                keep = rank < limit
+                qx, ii, dd = qx[keep], ii[keep], dd[keep]
+            return qx, ii, dd
+
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna() & pdf[id_col].notna()]
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # pq_encode's normalize+assign arithmetic, verbatim
+            sq = np.zeros(len(V), dtype=np.float64)
+            for j in range(V.shape[1]):
+                sq = sq + V[:, j] * V[:, j]
+            nrm = np.sqrt(sq)
+            nrm[nrm == 0] = 1.0  # zero vector stays zeros (_unit)
+            U = V / nrm[:, None]
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                X = U[:, s * sublen : (s + 1) * sublen]
+                C = nb_books[s]
+                d = np.zeros((len(X), len(C)), dtype=np.float64)
+                for j in range(sublen):
+                    diff = X[:, j, None] - C[None, :, j]
+                    d = d + diff * diff
+                codes[:, s] = d.argmin(axis=1)
+            # ADC in row chunks so the (rows x nQ) float64 matrix stays
+            # bounded (guide §4.2 batch-memory caveat)
+            for lo in range(0, len(V), _FUSED_ADC_CHUNK):
+                hi = min(lo + _FUSED_ADC_CHUNK, len(V))
+                c = codes[lo:hi]
+                dmat = np.zeros((hi - lo, nQ), dtype=np.float64)
+                for s in range(m):
+                    # JVM fold order: s ascending, float64 adds
+                    dmat = dmat + L[:, s * ksub + c[:, s]].T
+                keep = ids[lo:hi, None] != qids[None, :]
+                qx, rx = np.nonzero(keep.T)  # qx ascending
+                if not len(qx):
+                    continue
+                qx2, ii2, dd2 = _cut(
+                    qx.astype(np.int64),
+                    ids[lo:hi][rx],
+                    dmat[rx, qx],
+                    candidates,
+                )
+                acc_q.append(qx2)
+                acc_i.append(ii2)
+                acc_d.append(dd2)
+        if not acc_q:
+            return
+        qx, ii, dd = _cut(
+            np.concatenate(acc_q),
+            np.concatenate(acc_i),
+            np.concatenate(acc_d),
+            candidates,
+        )
+        yield pd.DataFrame(
+            {"q_id": qids[qx], "nn_id": ii, "adist": dd}
+        )
+
+    return src.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
 def pq_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1349,6 +1506,7 @@ def pq_cosine_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     train_sample_mod: int | None = None,
+    fused: bool = True,
 ) -> DataFrame:
     """PQ/ADC approximate top-k with exact re-rank: (q_id, nn_id, rank,
     cosine), self-matches excluded — same shape as cosine_topk.
@@ -1370,7 +1528,17 @@ def pq_cosine_topk(
     (the Faiss practice at corpus scale).
     Jegou et al., "Product Quantization for Nearest Neighbor Search"
     (TPAMI'11) is the public blueprint.
+
+    ``fused=True`` (the r18 default) runs encode + ADC + partial
+    candidate cut as ONE Arrow pass when the |Q| LUTs fit the
+    driver gate (_FUSED_ADC_MAX_Q) and ids are integral — see
+    _fused_adc_candidates for the bit-exactness contract. Results are
+    BIT-IDENTICAL to the unfused plan (fuzz-pinned in
+    tests/test_wave39.py; the DuckDB oracle replays the unfused
+    expression chain and stays green).
     """
+    from pyspark.sql import types as T
+
     from ..sources.registry import widen_partitions
 
     dim = _vec_dim(corpus, vec_col, dim)
@@ -1382,24 +1550,56 @@ def pq_cosine_topk(
     books = pq_train(
         corpus, m, ksub, iters, id_col, vec_col, dim, train_sample_mod
     )
-    codes = pq_encode(widen_partitions(corpus), books, id_col, vec_col)
 
     # Fold each query's LUT into ONE flat array of m*ksub partials
-    # (ordered by sub, then code). The ADC pass is then a crossJoin of
-    # corpus codes against |Q| broadcast rows with the distance computed
+    # (ordered by sub, then code) — shared by both ADC regimes below.
+    lut = _pq_query_lut(queries, books, m, ksub, sublen, id_col, vec_col)
+    wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
+
+    if fused and isinstance(
+        corpus.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        # FUSED regime (r18, guide §4.2 — the second half of VERDICT
+        # r17 item 2): the |Q| LUTs collect driver-side through ONE
+        # bounded transfer (limit probes the gate and, inside it, IS
+        # the LUT set — the pq_train probe discipline), and encode +
+        # ADC + per-task candidate cut run as one Arrow pass. The
+        # |corpus| x |Q| interpreted-HOF BroadcastNestedLoopJoin and
+        # the corpus-sized exchange into the candidate window are
+        # gone; the window input is |tasks| x |Q| x candidates rows.
+        # Past the gate (or on non-integral ids, which the NumPy cut
+        # cannot order exactly) the unfused plan below runs unchanged.
+        lut_rows = lut.limit(_FUSED_ADC_MAX_Q + 1).collect()
+        if len(lut_rows) <= _FUSED_ADC_MAX_Q:
+            adc = _fused_adc_candidates(
+                widen_partitions(corpus), books, lut_rows,
+                candidates, id_col, vec_col,
+            )
+            cand = (
+                adc.withColumn("r", F.row_number().over(wnd))
+                .filter(F.col("r") <= candidates)
+                .select("q_id", "nn_id")
+            )
+            return _exact_rerank(
+                cand, corpus, queries, k, id_col, vec_col, dim
+            )
+
+    # UNFUSED regime: pq_encode pass, then the ADC crossJoin of corpus
+    # codes against |Q| broadcast LUT rows with the distance computed
     # INSIDE the row — Σ_s lut[s*ksub + codes[s]] — instead of
     # posexploding codes to m rows per vector and hash-aggregating
     # |C|·|Q| groups back together: m× fewer joined rows, zero
     # aggregation state, and the only shuffle left is the per-query
-    # top-candidates ranking.
-    lut = _pq_query_lut(queries, books, m, ksub, sublen, id_col, vec_col)
+    # top-candidates ranking. Kept as the past-the-gate plan AND the
+    # oracle-shaped twin (each stage has a same-shaped DuckDB CTE).
+    codes = pq_encode(widen_partitions(corpus), books, id_col, vec_col)
     adc = (
         codes.select(F.col(id_col).alias("nn_id"), "codes")
         .crossJoin(F.broadcast(lut))
         .filter(F.col("nn_id") != F.col("q_id"))
         .select("q_id", "nn_id", _adc_dist(m, ksub).alias("adist"))
     )
-    wnd = W.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("nn_id"))
     cand = (
         adc.withColumn("r", F.row_number().over(wnd))
         .filter(F.col("r") <= candidates)
