@@ -987,7 +987,11 @@ def simhash_pairs(
     run many simhash builds in one session should
     ``spark.catalog.clearCache()`` (or unpersist after materializing, as
     q_bfs_levels does) between builds; the bench/oracle harnesses
-    already do.
+    already do. r18: the persisted chunk frame also rides on the
+    returned DataFrame as ``_m2e_cached_parents`` so a caller that
+    consumes the pairs EAGERLY (doc_pagerank's checkpointed power
+    iteration) can release it without clearing the whole session cache
+    (VERDICT r17 item 7).
     """
     from pyspark import StorageLevel
 
@@ -1032,7 +1036,7 @@ def simhash_pairs(
             (F.col("x.ci") <= j)
             | (chunk(F.col("x.fp"), j) != chunk(F.col("y.fp"), j))
         )
-    return (
+    out = (
         x.join(
             y,
             (F.col("x.ci") == F.col("y.ci"))
@@ -1049,6 +1053,8 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    out._m2e_cached_parents = [chunks]  # see CACHE CONTRACT above
+    return out
 
 
 def cross_doc_span_dedup(

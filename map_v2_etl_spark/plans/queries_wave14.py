@@ -245,8 +245,6 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is a join. Scale: the (lang, token) likelihood table is
     vocab x |langs| rows (broadcastable); the corpus shuffles once for
     tokenize-count and once per-doc for the score sum."""
-    from pyspark import StorageLevel
-
     from ..operators.lm import toks_col
 
     docs = load_table(spark, "documents", sf_dir)
@@ -254,15 +252,22 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers share): the exploded token frame feeds langs/tot/jc/voc
     # AND the scoring join, and un-persisted each branch re-ran the
     # regex tokenizer from the raw scan (5 corpus scans + splits; the
-    # curation_pipeline discipline applied here). The cache holds one
-    # row per doc (token ARRAY, not the exploded instances — same
-    # choice as curation's shared token table); consumers re-explode
-    # from the cached arrays map-side. Shuffle structure and
-    # intra-partition row order are unchanged, so every aggregate folds
-    # in the same order as before.
+    # curation_pipeline discipline applied here). The shared table
+    # holds one row per doc (token ARRAY, not the exploded instances —
+    # same choice as curation's shared token table); consumers
+    # re-explode from the materialized arrays map-side. r18 (VERDICT
+    # r17 item 7): localCheckpoint(eager=True) instead of a persist
+    # the returned-lazy-plan could never release — the MEMORY_AND_DISK
+    # block outlived the query for library callers (only bench.py's
+    # clearCache saved the headline run), while checkpoint blocks are
+    # reference-tracked and freed when the plan is garbage-collected,
+    # and nothing strands in the CacheManager (pinned in
+    # tests/test_wave14_hygiene.py). Values are unchanged: the token
+    # table is deterministic and every consumer aggregates it with the
+    # same fold shapes either way.
     t = docs.select(
         "doc_id", "lang", toks_col("text").alias("toks")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     tok = t.select("doc_id", "lang", F.explode("toks").alias("w"))
     langs = tok.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_docs")

@@ -89,8 +89,6 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanned and re-tokenized per signal — 4x the scan cost at
     100 TB; on a cluster this table would be a materialized parquet).
     """
-    from pyspark import StorageLevel
-
     from ..operators.lm import (
         bigram_ll_from_bigrams,
         doc_bigrams_from_toks,
@@ -102,11 +100,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries_wave7 import dup_span_from_toks
 
     docs = widen_partitions(load_table(spark, "documents", sf_dir))
+    # r18 (VERDICT r17 item 7): localCheckpoint(eager=True) instead of
+    # a persist the returned-lazy-plan could never release — same
+    # hygiene change as nb_lang_classifier's token table; values
+    # unchanged (deterministic token table, same consumer fold shapes)
     t = docs.select(
         "doc_id",
         (F.col("lang") == "en").cast("int").alias("is_t"),
         toks_col("text").alias("toks"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     gop = gopher_rules_from_toks(t).select(
         "doc_id", F.col("keep").alias("keep_quality")
     )
@@ -274,7 +276,8 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # InMemoryRelation (lineage kept — recoverable, clearCache-able)
     from pyspark import StorageLevel
 
-    pairs = simhash_pairs(docs, max_hamming=3).select(
+    sp = simhash_pairs(docs, max_hamming=3)
+    pairs = sp.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     edges = pairs.union(
@@ -282,4 +285,12 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = docs.select(F.col("doc_id").alias("id"))
     ranks = pagerank(nodes, edges, iters=10)
+    # pagerank returns an EAGERLY materialized frame (checkpointed
+    # iterations / local NumPy regime), so the pair table AND
+    # simhash_pairs' internal chunk cache were fully consumed inside
+    # the call — release both instead of stranding corpus-sized cache
+    # entries on the session (r18, VERDICT r17 item 7)
+    pairs.unpersist()
+    for _p in getattr(sp, "_m2e_cached_parents", []):
+        _p.unpersist()
     return ranks.select("id", F.round("rank", 9).alias("rank"))
