@@ -2632,6 +2632,14 @@ def ann_index_add(
     return {**index, "coded": index["coded"].unionByName(coded_new)}
 
 
+#: within-cell write-salt sizing for partition_by_cell coded writes:
+#: one salt bucket per this many SOURCE bytes (codes are the ~10x
+#: compressed corpus projection, so 1 GiB of raw input ≈ one
+#: target-sized codes file); module-level so tests can force the
+#: multi-bucket regime on small data
+_CODED_SALT_TARGET_BYTES = 1 << 30
+
+
 def ann_index_write(
     index: dict, path: str, partition_by_cell: bool = False,
     layout: str = "plain",
@@ -2727,6 +2735,32 @@ def ann_index_write(
             "(expected 'plain' or 'manifest')"
         )
     cent_rows = index.get("cent_rows")
+    coded_df = index["coded"]
+    if partition_by_cell:
+        # Cluster the coded rows by (cent_id, within-cell salt) before
+        # the hive write (r18, guide §6/§2.5 — VERDICT r17 item 5, the
+        # same shape as the salted partitioned-events write): without
+        # it every task of the corpus-partitioned coded frame opens a
+        # file in EVERY cell directory it holds rows for — tasks x
+        # n_cells files (~1-row files at sf0.1's 10-rows-per-cell
+        # ratio). A bare repartition("cent_id") would bound files/cell
+        # at 1 but cap write parallelism at n_cells and funnel a hot
+        # cell through one task; the deterministic salt keeps <=k
+        # files per cell with k sized from the SOURCE bytes (coded
+        # rows are the ~10x-compressed corpus projection), and the
+        # explicit count keeps at least session parallelism. At sf0.1
+        # k=1 (one file per cell); unknown input size keeps k=1 —
+        # layout stays valid, only the fan-out heuristic degrades.
+        from .extents import _input_file_bytes
+
+        src_bytes = _input_file_bytes(coded_df)
+        k = max(1, -(-max(src_bytes, 0) // _CODED_SALT_TARGET_BYTES))
+        n_tasks = max(spark.sparkContext.defaultParallelism, k)
+        coded_df = coded_df.repartition(
+            n_tasks,
+            F.col("cent_id"),
+            F.pmod(F.xxhash64(F.col("nn_id")), F.lit(k)),
+        )
 
     def _write_centroids() -> None:
         if cent_rows is not None:
@@ -2825,7 +2859,7 @@ def ann_index_write(
             _ml.log_commit(
                 coded_root,
                 _ml.log_write_data(
-                    index["coded"],
+                    coded_df,
                     coded_root,
                     partition_by=(
                         ["cent_id"] if partition_by_cell else None
@@ -2835,7 +2869,7 @@ def ann_index_write(
                 schema=index["coded"].schema.json(),
             )
         else:
-            coded_writer = index["coded"].write.mode("overwrite")
+            coded_writer = coded_df.write.mode("overwrite")
             if partition_by_cell:
                 coded_writer = coded_writer.partitionBy("cent_id")
             coded_writer.parquet(path + "/coded")
